@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship cell-bucketed spatial join at sf0.001
+queries()         -> one callable per implemented operator (SURVEY.md §2)
+oracle_sql()      -> DuckDB-equivalent ANSI SQL per query (where
+                     expressible; engine-only ops are verified
+                     engine-vs-NumPy-oracle in tests/ instead)
+
+Column names are aliased identically on both sides; aggregate values
+that depend on floating summation order are computed through DECIMAL
+casts so they are order-independent and bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +16,352 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.data import synthetic as S
+from cadastre_pg_spark.operators import dedup as D
+from cadastre_pg_spark.operators import textanalysis as TA
+from cadastre_pg_spark.operators.asof import asof_join
+from cadastre_pg_spark.operators.scd2 import build_history, current_snapshot
+from cadastre_pg_spark.operators.spatial_join import (
+    cell_spatial_join,
+    parcels_from_parts,
+    points_from_docs,
+)
+
+LEVEL = 10
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    points = points_from_docs(docs)
+    parcels = parcels_from_parts(parts)
+    out = cell_spatial_join(points, parcels, level=LEVEL)
+    return out.select(
+        F.col("point_id").alias("doc_id"), F.col("parcel_id").alias("parcel_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geotagged documents x synthetic parcels via the
+    cell-bucketed spatial join with exact PIP refinement."""
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_grid_cell_assign(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    lon, lat = S.lon_col(key), S.lat_col(key)
+    return docs.select(
+        "doc_id",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        S.grid_cell_col(lon, lat, LEVEL).alias("cell"),
+    )
+
+
+def q_cell_histogram(spark, sf_dir):
+    return (
+        q_grid_cell_assign(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_flagship(spark, sf_dir):
+    return _flagship(spark, sf_dir)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return TA.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return TA.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return TA.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return TA.lang_id(_docs(spark, sf_dir))
+
+
+def q_dep_partition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dep = F.lpad(F.regexp_extract(F.col("source"), r"(\d+)", 1), 3, "0")
+    return docs.select(
+        "doc_id",
+        dep.alias("dep"),
+        F.concat(dep, F.lit("-"), F.col("doc_id").cast("string")).alias("prefixed_id"),
+    )
+
+
+def q_props_extract(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k_str = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+    # lenient EDIGEO-style numeric cleanup (P4, cli.rs:842-861) applied
+    # to a '+NNN.'-decorated copy of the value
+    decorated = F.concat(F.lit("+"), k_str, F.lit("."))
+    cleaned = F.regexp_replace(F.regexp_replace(decorated, r"^\+", ""), r"\.$", "")
+    return ev.select(
+        "event_id",
+        k_str.cast("long").alias("k_val"),
+        cleaned.cast("double").alias("k_lenient"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top1_recent_order(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = asof_join(
+        ev,
+        orders,
+        key_l="user_id",
+        key_r="o_custkey",
+        ts_l="ts",
+        ts_r="o_orderdate",
+        value_r="o_orderdate",
+        out_col="last_order_date",
+    )
+    return joined.select("event_id", "last_order_date")
+
+
+def q_scd2_history(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return build_history(
+        orders,
+        key="o_custkey",
+        ts="o_orderdate",
+        attrs=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+
+def q_scd2_current(spark, sf_dir):
+    return current_snapshot(q_scd2_history(spark, sf_dir), "o_custkey")
+
+
+def q_events_windowed(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------------------- engine-only (rows-only check)
+
+
+def q_hex_cell_assign(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pts = points_from_docs(docs)
+    from cadastre_pg_spark.operators.spatial_join import _with_hex_cell
+
+    return _with_hex_cell(pts, 9).select(
+        F.col("point_id").alias("doc_id"), "cell"
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_embedding_neardup(spark, sf_dir):
+    # the synthetic embeddings have no natural near-dups, so union a
+    # perturbed copy (vec_id offset by 10^6) — the op must find each
+    # original/copy pair via the hyperplane buckets
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(copies)
+    return D.embedding_neardup_pairs(both, threshold=0.999)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_cell_join": q_flagship,
+        "grid_cell_assign": q_grid_cell_assign,
+        "cell_histogram": q_cell_histogram,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "dep_partition": q_dep_partition,
+        "props_extract": q_props_extract,
+        "tpch_q1": q_tpch_q1,
+        "top1_recent_order": q_top1_recent_order,
+        "asof_join": q_asof_join,
+        "scd2_history": q_scd2_history,
+        "scd2_current": q_scd2_current,
+        "events_windowed": q_events_windowed,
+        "hex_cell_assign": q_hex_cell_assign,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lon = S.lon_sql("doc_id")
+    lat = S.lat_sql("doc_id")
+    cell = S.grid_cell_sql(lon, lat, LEVEL)
+    cx, cy, hw, hh = S.parcel_box_sql("p.p_partkey")
+    return {
+        "flagship_cell_join": f"""
+            SELECT d.doc_id AS doc_id, p.p_partkey AS parcel_id
+            FROM documents d, part p
+            WHERE {S.lon_sql('d.doc_id')} BETWEEN {cx} - {hw} AND {cx} + {hw}
+              AND {S.lat_sql('d.doc_id')} BETWEEN {cy} - {hh} AND {cy} + {hh}
+        """,
+        "grid_cell_assign": f"""
+            SELECT doc_id, {lon} AS lon, {lat} AS lat, {cell} AS cell
+            FROM documents
+        """,
+        "cell_histogram": f"""
+            SELECT {cell} AS cell, count(*) AS n_docs FROM documents GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, sha256(text) AS text_sha FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": TA.quality_score_sql("documents"),
+        "lang_id": TA.lang_id_sql("documents"),
+        "dep_partition": r"""
+            SELECT doc_id,
+                   lpad(regexp_extract(source, '(\d+)', 1), 3, '0') AS dep,
+                   lpad(regexp_extract(source, '(\d+)', 1), 3, '0')
+                     || '-' || CAST(doc_id AS VARCHAR) AS prefixed_id
+            FROM documents
+        """,
+        "props_extract": r"""
+            SELECT event_id,
+                   TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val,
+                   TRY_CAST(regexp_replace(regexp_replace(
+                       '+' || regexp_extract(props, '"k":\s*(\d+)', 1) || '.',
+                       '^\+', ''), '\.$', '') AS DOUBLE) AS k_lenient
+            FROM events
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                        AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top1_recent_order": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "asof_join": """
+            SELECT e.event_id,
+                   (SELECT max(o.o_orderdate) FROM orders o
+                    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                   AS last_order_date
+            FROM events e
+        """,
+        "scd2_history": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate ASC, o_orderkey ASC)
+                   AS valid_to
+            FROM orders
+        """,
+        "scd2_current": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   o_orderdate AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
+            FROM (
+              SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS nxt
+              FROM orders) WHERE nxt IS NULL
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,142 @@
+"""Text-analysis operators over the `documents` table — the web-text
+payload side of the engine (training-data pipeline ops). Everything
+here is JVM-side (`pyspark.sql.functions` only, whole-stage codegen);
+each op has an exactly-matching DuckDB SQL oracle in __spark_entry__.
+
+Reference lineage: these generalize the reference's config-driven
+scalar derivations (P-group, cadastre-pg/src/cli.rs:842-910,984-1021)
+from cadastre attributes to web-text quality signals.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (lang, keyword) stopword table for the n-gram language heuristic.
+# Occurrence counting uses the replace-length trick so the identical
+# expression exists in ANSI SQL (no regexp dialect divergence).
+LANG_KEYWORDS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " die ", " und "],
+}
+
+PUNCT_CHARS = ".!?,;:"
+
+
+def occurrences(col: Column, kw: str) -> Column:
+    """Count of (non-overlapping) keyword occurrences via length diff."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(kw), F.lit("")))) / F.lit(
+        len(kw)
+    )
+
+
+def occurrences_sql(expr: str, kw: str) -> str:
+    kw_sql = kw.replace("'", "''")
+    return (
+        f"(length({expr}) - length(replace({expr}, '{kw_sql}', ''))) / {len(kw)}"
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count per doc (JVM split)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword quality signals + composite score.
+
+    All ratios are single-division doubles over integer counts, so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, "[.!?,;:]", ""))
+    ).cast("long")
+    n_stop = sum(
+        (occurrences(padded, kw) for kws in LANG_KEYWORDS.values() for kw in kws),
+        F.lit(0.0),
+    )
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0))
+        * (F.lit(1.0) - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-count language heuristic: argmax of per-language keyword
+    hits (ties -> 'und' = undetermined), computed as a CASE chain."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: sum((occurrences(padded, kw) for kw in kws), F.lit(0.0))
+        for lang, kws in LANG_KEYWORDS.items()
+    }
+    en, fr, de = scores["en"], scores["fr"], scores["de"]
+    pred = (
+        F.when((en > fr) & (en > de), F.lit("en"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    padded = "(' ' || text || ' ')"
+    s = {
+        lang: " + ".join(occurrences_sql(padded, kw) for kw in kws)
+        for lang, kws in LANG_KEYWORDS.items()
+    }
+    return f"""
+SELECT doc_id,
+  CASE
+    WHEN ({s['en']}) > ({s['fr']}) AND ({s['en']}) > ({s['de']}) THEN 'en'
+    WHEN ({s['fr']}) > ({s['en']}) AND ({s['fr']}) > ({s['de']}) THEN 'fr'
+    WHEN ({s['de']}) > ({s['en']}) AND ({s['de']}) > ({s['fr']}) THEN 'de'
+    ELSE 'und'
+  END AS pred_lang
+FROM {table}
+"""
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    padded = "(' ' || text || ' ')"
+    n_stop = " + ".join(
+        occurrences_sql(padded, kw)
+        for kws in LANG_KEYWORDS.values()
+        for kw in kws
+    )
+    return f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_obs,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+  round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  round((0.0 + {n_stop}) / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 6) AS stop_ratio,
+  round(least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+        * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE)), 6) AS quality
+FROM {table}
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """sha256 content fingerprint per doc — the distributed half of the
+    byte-identity invariant (same hex the oracle computes)."""
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))

@@ -1,0 +1,37 @@
+"""Engine-vs-DuckDB-oracle parity for every SQL-expressible query —
+the in-repo replica of the driver's CORRECTNESS gate."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from cadastre_pg_spark.oracle import compare, run_oracle
+
+from conftest import SF_UNIT
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = q(spark, SF_UNIT)
+    exp = run_oracle(sql, SF_UNIT)
+    ok, detail = compare(got, exp)
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF_UNIT)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert set(df.columns) == {"doc_id", "parcel_id"}
