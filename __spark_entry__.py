@@ -53,6 +53,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark, "/root/testdata/sf0.001")
 
 
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return 0.01
+
+
+# points-per-sf for the scale join: sf0.01 -> 200k (driver correctness),
+# sf0.1 -> 2M (bench). The oracle below is pinned to the sf0.01 count
+# because the driver only runs oracles at sf0.01.
+SCALE_POINTS_PER_SF = 20_000_000
+
+
+def q_spatial_join_scale(spark, sf_dir):
+    """The throughput headline: N synthetic points (JVM range, no input
+    table) through the full cell-join + PIP engine against parcels
+    derived from `part`."""
+    n = int(SCALE_POINTS_PER_SF * _sf_of(sf_dir))
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    key = F.col("id").cast("long")
+    points = spark.range(n).select(
+        F.col("id").alias("point_id"),
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    parcels = parcels_from_parts(parts)
+    return cell_spatial_join(points, parcels, level=LEVEL).select(
+        F.col("point_id"), F.col("parcel_id")
+    )
+
+
 # --------------------------------------------------------------- queries
 
 
@@ -205,6 +237,50 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_knn_grid(spark, sf_dir):
+    from cadastre_pg_spark.operators.knn import knn_grid
+
+    pts = points_from_docs(_docs(spark, sf_dir))
+    queries_df = pts.filter(F.col("point_id") % 10 == 0).select(
+        F.col("point_id").alias("query_id"), "lon", "lat"
+    )
+    out = knn_grid(pts, queries_df, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "dist_sq", F.col("rank").cast("long").alias("rank")
+    )
+
+
+TILE_LEVEL = 7
+FINE_LEVEL = 10
+
+
+def q_tile_assign(spark, sf_dir):
+    from cadastre_pg_spark.operators.tiling import tile_assign
+
+    parcels = parcels_from_parts(spark.read.parquet(f"{sf_dir}/part.parquet"))
+    return tile_assign(parcels, tile_level=TILE_LEVEL)
+
+
+def q_raster_burn(spark, sf_dir):
+    from cadastre_pg_spark.operators.tiling import raster_burn
+
+    parcels = parcels_from_parts(spark.read.parquet(f"{sf_dir}/part.parquet"))
+    return raster_burn(parcels, fine_level=FINE_LEVEL, tile_level=TILE_LEVEL)
+
+
+def q_tile_extract(spark, sf_dir):
+    from cadastre_pg_spark.operators.tiling import raster_burn, tile_extract
+
+    parcels = parcels_from_parts(spark.read.parquet(f"{sf_dir}/part.parquet"))
+    burn = raster_burn(parcels, fine_level=FINE_LEVEL, tile_level=TILE_LEVEL)
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    tiles = docs.select(
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), TILE_LEVEL).alias("tile")
+    )
+    return tile_extract(tiles, burn)
+
+
 # ------------------------------------------- engine-only (rows-only check)
 
 
@@ -241,6 +317,7 @@ def q_embedding_neardup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_cell_join": q_flagship,
+        "spatial_join_scale": q_spatial_join_scale,
         "grid_cell_assign": q_grid_cell_assign,
         "cell_histogram": q_cell_histogram,
         "dedup_exact": q_dedup_exact,
@@ -256,6 +333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_current": q_scd2_current,
         "events_windowed": q_events_windowed,
+        "knn_grid": q_knn_grid,
+        "tile_assign": q_tile_assign,
+        "raster_burn": q_raster_burn,
+        "tile_extract": q_tile_extract,
         "hex_cell_assign": q_hex_cell_assign,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -277,6 +358,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d, part p
             WHERE {S.lon_sql('d.doc_id')} BETWEEN {cx} - {hw} AND {cx} + {hw}
               AND {S.lat_sql('d.doc_id')} BETWEEN {cy} - {hh} AND {cy} + {hh}
+        """,
+        "spatial_join_scale": f"""
+            SELECT t.i AS point_id, p.p_partkey AS parcel_id
+            FROM range(0, {int(SCALE_POINTS_PER_SF * 0.01)}) t(i), part p
+            WHERE {S.lon_sql('t.i')} BETWEEN {cx} - {hw} AND {cx} + {hw}
+              AND {S.lat_sql('t.i')} BETWEEN {cy} - {hh} AND {cy} + {hh}
         """,
         "grid_cell_assign": f"""
             SELECT doc_id, {lon} AS lon, {lat} AS lat, {cell} AS cell
@@ -364,4 +451,106 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "knn_grid": f"""
+            WITH pts AS (
+              SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents
+            ), q AS (SELECT * FROM pts WHERE doc_id % 10 = 0),
+            c AS (
+              SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+                     (p.lon - q.lon) * (p.lon - q.lon)
+                   + (p.lat - q.lat) * (p.lat - q.lat) AS dist_sq
+              FROM q, pts p WHERE p.doc_id != q.doc_id
+            )
+            SELECT query_id, neighbor_id, dist_sq, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY dist_sq ASC, neighbor_id ASC) AS rank FROM c)
+            WHERE rank <= 5
+        """,
+        "tile_assign": _tile_assign_sql(),
+        "raster_burn": _raster_burn_sql(),
+        "tile_extract": _tile_extract_sql(),
     }
+
+
+def _parcel_cte() -> str:
+    cx, cy, hw, hh = S.parcel_box_sql("p.p_partkey")
+    return f"""
+      p AS (
+        SELECT p.p_partkey AS parcel_id,
+               {cx} AS cx, {cy} AS cy, {hw} AS hw, {hh} AS hh
+        FROM part p
+      )"""
+
+
+def _tile_assign_sql() -> str:
+    nt = 1 << TILE_LEVEL
+    return f"""
+        WITH {_parcel_cte()},
+        b AS (
+          SELECT parcel_id,
+                 {S.grid_ix_sql('cx - hw', TILE_LEVEL)} AS tx0,
+                 {S.grid_ix_sql('cx + hw', TILE_LEVEL)} AS tx1,
+                 {S.grid_iy_sql('cy - hh', TILE_LEVEL)} AS ty0,
+                 {S.grid_iy_sql('cy + hh', TILE_LEVEL)} AS ty1
+          FROM p
+        ),
+        xr AS (
+          SELECT parcel_id, ty0, ty1,
+                 unnest(generate_series(tx0, tx1)) AS tx
+          FROM b
+        )
+        SELECT parcel_id,
+               CAST(tx * {nt} + unnest(generate_series(ty0, ty1)) AS BIGINT) AS tile
+        FROM xr
+    """
+
+
+def _burn_core_sql() -> str:
+    d = FINE_LEVEL - TILE_LEVEL
+    side = 1 << d
+    nt = 1 << TILE_LEVEL
+    return f"""
+        {_parcel_cte()},
+        bf AS (
+          SELECT parcel_id,
+                 {S.grid_ix_sql('cx - hw', FINE_LEVEL)} AS fx0,
+                 {S.grid_ix_sql('cx + hw', FINE_LEVEL)} AS fx1,
+                 {S.grid_iy_sql('cy - hh', FINE_LEVEL)} AS fy0,
+                 {S.grid_iy_sql('cy + hh', FINE_LEVEL)} AS fy1
+          FROM p
+        ),
+        tr AS (
+          SELECT parcel_id, fx0, fx1, fy0, fy1,
+                 unnest(generate_series(fx0 // {side}, fx1 // {side})) AS tx
+          FROM bf
+        ),
+        tr2 AS (
+          SELECT parcel_id, fx0, fx1, fy0, fy1, tx,
+                 unnest(generate_series(fy0 // {side}, fy1 // {side})) AS ty
+          FROM tr
+        ),
+        burn AS (
+          SELECT parcel_id, CAST(tx * {nt} + ty AS BIGINT) AS tile,
+                 CAST((least(fx1, tx * {side} + {side - 1}) - greatest(fx0, tx * {side}) + 1)
+                    * (least(fy1, ty * {side} + {side - 1}) - greatest(fy0, ty * {side}) + 1)
+                   AS BIGINT) AS n_cells
+          FROM tr2
+        )"""
+
+
+def _raster_burn_sql() -> str:
+    return f"WITH {_burn_core_sql()} SELECT parcel_id, tile, n_cells FROM burn"
+
+
+def _tile_extract_sql() -> str:
+    lon = S.lon_sql("doc_id")
+    lat = S.lat_sql("doc_id")
+    return f"""
+        WITH {_burn_core_sql()},
+        doctiles AS (
+          SELECT DISTINCT {S.grid_cell_sql(lon, lat, TILE_LEVEL)} AS tile
+          FROM documents
+        )
+        SELECT b.tile, b.parcel_id, b.n_cells
+        FROM burn b JOIN doctiles d ON b.tile = d.tile
+    """

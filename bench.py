@@ -1,0 +1,145 @@
+"""Per-round benchmark harness.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and
+prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "spatial_join": {"rows": R, "sec": S, "rows_per_sec": R/S},
+   "scaling": {"cores_lo": 8, "cores_hi": 32, "sec_lo": ..,
+               "sec_hi": .., "efficiency": (T_lo/T_hi)/(32/8)}}
+
+The scaling block evidences the north rule's N->4N criterion by
+running the identical spatial-join job at two parallelism levels on
+the same input (BASELINE.md). Each measurement runs in its own
+subprocess so every JVM is cold-started identically.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_LO = max(2, CPUS // 4)
+
+BENCH_QUERIES = [
+    "spatial_join_scale",
+    "flagship_cell_join",
+    "grid_cell_assign",
+    "cell_histogram",
+    "hex_cell_assign",
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "minhash_lsh",
+    "simhash",
+    "embedding_neardup",
+    "tpch_q1",
+    "top1_recent_order",
+    "asof_join",
+    "scd2_history",
+    "events_windowed",
+]
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.chdir({repo!r})
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+
+cores = {cores}
+spark = (SparkSession.builder.master(f"local[{{cores}}]")
+    .appName("bench")
+    .config("spark.sql.shuffle.partitions", str(cores * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "48g")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+sf_dir = {sf_dir!r}
+qs = E.queries()
+# warm the JVM/session so per-query times measure the queries
+spark.range(1000).count()
+
+out = {{}}
+rows = {{}}
+for name in {names!r}:
+    fn = qs[name]
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    out[name] = round(time.time() - t0, 3)
+    rows[name] = n
+print("BENCHJSON:" + json.dumps({{"times": out, "rows": rows}}))
+spark.stop()
+"""
+
+
+def run_child(cores, names, sf_dir):
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _CHILD.format(repo=repo, cores=cores, sf_dir=sf_dir, names=names)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHJSON:"):
+            return json.loads(line[len("BENCHJSON:"):])
+    raise RuntimeError(
+        f"bench child (cores={cores}) failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main():
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # full suite at the high parallelism level
+    hi = run_child(CPUS, BENCH_QUERIES, SF_DIR)
+    times = hi["times"]
+    total = round(sum(times.values()), 3)
+    sj_sec = times["spatial_join_scale"]
+    sj_rows = hi["rows"]["spatial_join_scale"]
+
+    # scaling: identical spatial-join job at lo vs hi parallelism
+    lo = run_child(SCALE_LO, ["spatial_join_scale"], SF_DIR)
+    hi2 = run_child(CPUS, ["spatial_join_scale"], SF_DIR)
+    t_lo = lo["times"]["spatial_join_scale"]
+    t_hi = hi2["times"]["spatial_join_scale"]
+    eff = round((t_lo / t_hi) / (CPUS / SCALE_LO), 3) if t_hi > 0 else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spatial_join": {
+                    "rows": sj_rows,
+                    "sec": sj_sec,
+                    "rows_per_sec": round(sj_rows / sj_sec, 1) if sj_sec else None,
+                },
+                "scaling": {
+                    "cores_lo": SCALE_LO,
+                    "cores_hi": CPUS,
+                    "sec_lo": t_lo,
+                    "sec_hi": t_hi,
+                    "efficiency": eff,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,19 @@ def grid_cell_sql(lon_expr: str, lat_expr: str, level: int = C.DEFAULT_LEVEL) ->
     return f"CAST({ix} * {n} + {iy} AS BIGINT)"
 
 
+def grid_ix_sql(x_expr: str, level: int = C.DEFAULT_LEVEL) -> str:
+    """Clamped x cell index — same op order as kernels.cells.grid_cell_xy."""
+    n = 1 << level
+    ix = f"floor(({x_expr} - ({LON0})) / ({LON1 - LON0}) * {float(n)})"
+    return f"CAST(least(greatest({ix}, 0), {n - 1}) AS BIGINT)"
+
+
+def grid_iy_sql(y_expr: str, level: int = C.DEFAULT_LEVEL) -> str:
+    n = 1 << level
+    iy = f"floor(({y_expr} - ({LAT0})) / ({LAT1 - LAT0}) * {float(n)})"
+    return f"CAST(least(greatest({iy}, 0), {n - 1}) AS BIGINT)"
+
+
 def parcel_box_sql(expr: str):
     """(cx, cy, hw, hh) SQL strings — mirrors parcel_box_cols exactly."""
     base_cx = f"({P_CX0} + {P_CX_SPAN} * ({u_sql(expr, MULT_LON)}))"

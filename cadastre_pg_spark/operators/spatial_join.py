@@ -173,7 +173,10 @@ def cell_spatial_join(
         cover = polyfill(parcels, level=level, scheme=scheme)
 
     if strategy == "auto":
-        # measured, not guessed: count the cover (cheap — build side)
+        # measured, not guessed: count the cover (cheap — build side).
+        # persist first so the polyfill runs once, not once for the
+        # count and again for the join.
+        cover = cover.persist()
         n = cover.count()
         strategy = choose_strategy(n)
 
