@@ -27,14 +27,20 @@ from pyspark.sql import functions as F
 from ..data import synthetic as S
 from ..kernels import cells as C
 from ..kernels.cover import grid_cover, hex_cover
-from ..kernels.pip import points_in_polygon
+from ..kernels.pip import (
+    build_edge_matrix,
+    points_in_polygon,
+    points_in_polygons_rowwise,
+)
 
 PARCEL_FLAT_SCHEMA = (
     "parcel_id long, xs array<double>, ys array<double>, ring_offsets array<int>"
 )
 COVER_SCHEMA = "parcel_id long, cell long, is_full boolean"
 
-BROADCAST_CELL_LIMIT = 2_000_000  # cover rows; ~50 MB — explicit planner knob
+# cover rows (~20 B/row -> ~160 MB ceiling); above this the probe-side
+# join shuffles on cell with AQE skew-split instead of broadcasting
+BROADCAST_CELL_LIMIT = 8_000_000
 
 
 def parcels_from_parts(parts: DataFrame, id_col: str = "p_partkey") -> DataFrame:
@@ -85,6 +91,11 @@ def polyfill(
     cover_fn = grid_cover if scheme == "grid" else hex_cover
     res = level
 
+    # the build side often arrives as one small file -> one task; the
+    # per-polygon cover kernel is CPU-bound, so spread it first
+    sc = parcels.sparkSession.sparkContext
+    parcels = parcels.repartition(sc.defaultParallelism)
+
     def gen(batches):
         for pdf in batches:
             ids, cells_out, fulls = [], [], []
@@ -122,36 +133,112 @@ def choose_strategy(n_cover_rows: int, limit: int = BROADCAST_CELL_LIMIT) -> str
     return "broadcast" if n_cover_rows <= limit else "shuffle"
 
 
-def _pip_refine(cand: DataFrame, parcels: DataFrame, pip_salt: int) -> DataFrame:
-    """Exact refinement of partial-cell candidates.
-
-    cand: (point_id, lon, lat, parcel_id); joins ring arrays back in and
-    runs the vectorized PIP kernel per (parcel, salt) group."""
-    with_rings = cand.join(
-        F.broadcast(parcels.select("parcel_id", "xs", "ys", "ring_offsets")),
-        "parcel_id",
-    )
-    salted = with_rings.withColumn(
-        "salt", F.pmod(F.hash("point_id"), F.lit(pip_salt))
-    )
-
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+def _refine_batches(batches, ring_lookup):
+    """Shared PIP loop: batches carry (point_id, lon, lat, parcel_id);
+    ring arrays come from `ring_lookup(parcel_id, batch)`."""
+    for pdf in batches:
         if pdf.empty:
-            return pd.DataFrame({"point_id": [], "parcel_id": []}).astype(
-                {"point_id": "int64", "parcel_id": "int64"}
+            continue
+        keep_point, keep_parcel = [], []
+        for pid, g in pdf.groupby("parcel_id", sort=False):
+            xs, ys, offs = ring_lookup(pid, g)
+            inside = points_in_polygon(
+                g["lon"].to_numpy(np.float64),
+                g["lat"].to_numpy(np.float64),
+                xs,
+                ys,
+                offs,
             )
-        xs = np.asarray(pdf["xs"].iloc[0], dtype=np.float64)
-        ys = np.asarray(pdf["ys"].iloc[0], dtype=np.float64)
-        offs = np.asarray(pdf["ring_offsets"].iloc[0], dtype=np.int64)
-        inside = points_in_polygon(
-            pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), xs, ys, offs
-        )
-        out = pdf.loc[inside, ["point_id", "parcel_id"]]
-        return out
+            pts = g["point_id"].to_numpy(np.int64)[inside]
+            keep_point.append(pts)
+            keep_parcel.append(np.full(len(pts), pid, dtype=np.int64))
+        if keep_point:
+            yield pd.DataFrame(
+                {
+                    "point_id": np.concatenate(keep_point),
+                    "parcel_id": np.concatenate(keep_parcel),
+                }
+            )
 
-    return salted.groupBy("parcel_id", "salt").applyInPandas(
-        refine, schema="point_id long, parcel_id long"
+
+def _pip_refine(
+    cand: DataFrame, parcels: DataFrame, strategy: str = "broadcast"
+) -> DataFrame:
+    """Exact refinement of partial-cell candidates — SHUFFLE-FREE.
+
+    Broadcast path: ring arrays travel as a SparkContext broadcast
+    variable (one deserialization per python worker), so the Arrow
+    stream into the PIP kernel is only 4 narrow columns — ~10x less
+    transfer than join-duplicating the ring arrays per candidate row.
+    Shuffle path (build side too big to broadcast): rings are attached
+    by a parcel-id shuffle join and read per batch. Either way the PIP
+    kernel runs vectorized per parcel group WITHIN each Arrow batch —
+    no groupBy shuffle, no per-group task overhead, and a hot parcel's
+    candidates stay spread across input partitions (natural salting)."""
+    if strategy == "broadcast":
+        sc = cand.sparkSession.sparkContext
+        rpdf = parcels.select("parcel_id", "xs", "ys", "ring_offsets").toPandas()
+        pids = rpdf["parcel_id"].to_numpy(np.int64)
+        X1, Y1, X2, Y2 = build_edge_matrix(
+            zip(rpdf["xs"].values, rpdf["ys"].values, rpdf["ring_offsets"].values)
+        )
+        # dense LUT when ids are compact (vectorized index translation)
+        max_pid = int(pids.max()) if len(pids) else 0
+        if max_pid < 4 * len(pids) + 1024:
+            lut = np.full(max_pid + 1, -1, dtype=np.int64)
+            lut[pids] = np.arange(len(pids), dtype=np.int64)
+            payload = (lut, None, X1, Y1, X2, Y2)
+        else:
+            payload = (None, {int(p): i for i, p in enumerate(pids)}, X1, Y1, X2, Y2)
+        bc = sc.broadcast(payload)
+
+        def refine(batches):
+            lut, idx_map, x1, y1, x2, y2 = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pid = pdf["parcel_id"].to_numpy(np.int64)
+                if lut is not None:
+                    pidx = lut[pid]
+                else:
+                    pidx = np.fromiter(
+                        (idx_map[int(p)] for p in pid), dtype=np.int64, count=len(pid)
+                    )
+                inside = points_in_polygons_rowwise(
+                    pdf["lon"].to_numpy(np.float64),
+                    pdf["lat"].to_numpy(np.float64),
+                    pidx,
+                    x1,
+                    y1,
+                    x2,
+                    y2,
+                )
+                out = pdf.loc[inside, ["point_id", "parcel_id"]]
+                if len(out):
+                    yield out
+
+        return cand.select("point_id", "lon", "lat", "parcel_id").mapInPandas(
+            refine, schema="point_id long, parcel_id long"
+        )
+
+    with_rings = cand.join(
+        parcels.select("parcel_id", "xs", "ys", "ring_offsets"), "parcel_id"
     )
+
+    def refine_joined(batches):
+        def lookup(pid, g):
+            return (
+                np.asarray(g["xs"].iloc[0], dtype=np.float64),
+                np.asarray(g["ys"].iloc[0], dtype=np.float64),
+                np.asarray(g["ring_offsets"].iloc[0], dtype=np.int64),
+            )
+
+        yield from _refine_batches(batches, lookup)
+
+    return with_rings.mapInPandas(refine_joined, schema="point_id long, parcel_id long")
+
+
+BROADCAST_PARCEL_LIMIT = 300_000  # rings dict ~<150 MB broadcast ceiling
 
 
 def cell_spatial_join(
@@ -160,7 +247,6 @@ def cell_spatial_join(
     level: int = C.DEFAULT_LEVEL,
     scheme: str = "grid",
     strategy: str = "auto",
-    pip_salt: int = 8,
     cover: DataFrame | None = None,
 ) -> DataFrame:
     """points (point_id, lon, lat) x parcels (parcel_id, rings) ->
@@ -168,17 +254,18 @@ def cell_spatial_join(
 
     Exact: equals brute-force PIP (tests + DuckDB oracle assert this).
     Each point maps to exactly one cell, so (point, parcel) pairs are
-    unique without a distinct."""
+    unique without a distinct.
+
+    Strategy (explicit, from measured build size — north rule):
+    'broadcast' broadcasts the cell cover to the probe side and ships
+    ring arrays as a task broadcast; 'shuffle' hash-joins on cell with
+    AQE skew-split and attaches rings by a parcel-id join."""
+    parcels = parcels.persist()
+    if strategy == "auto":
+        strategy = "broadcast" if parcels.count() <= BROADCAST_PARCEL_LIMIT else "shuffle"
+
     if cover is None:
         cover = polyfill(parcels, level=level, scheme=scheme)
-
-    if strategy == "auto":
-        # measured, not guessed: count the cover (cheap — build side).
-        # persist first so the polyfill runs once, not once for the
-        # count and again for the join.
-        cover = cover.persist()
-        n = cover.count()
-        strategy = choose_strategy(n)
 
     if scheme == "grid":
         pts = points.withColumn(
@@ -194,7 +281,7 @@ def cell_spatial_join(
     partial = cand.filter(~F.col("is_full")).select(
         "point_id", "lon", "lat", "parcel_id"
     )
-    partial_hits = _pip_refine(partial, parcels, pip_salt)
+    partial_hits = _pip_refine(partial, parcels, strategy)
     return full_hits.unionByName(partial_hits)
 
 
