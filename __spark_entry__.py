@@ -237,6 +237,22 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_topk_similarity(spark, sf_dir):
+    from cadastre_pg_spark.operators.similarity import topk_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return topk_cosine(emb, queries_df, k=5)
+
+
+def q_ann_topk(spark, sf_dir):
+    from cadastre_pg_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_topk(emb, queries_df, k=5)
+
+
 def q_knn_grid(spark, sf_dir):
     from cadastre_pg_spark.operators.knn import knn_grid
 
@@ -333,6 +349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_current": q_scd2_current,
         "events_windowed": q_events_windowed,
+        "topk_similarity": q_topk_similarity,
+        "ann_topk": q_ann_topk,
         "knn_grid": q_knn_grid,
         "tile_assign": q_tile_assign,
         "raster_burn": q_raster_burn,
@@ -469,6 +487,38 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": _tile_assign_sql(),
         "raster_burn": _raster_burn_sql(),
         "tile_extract": _tile_extract_sql(),
+        "topk_similarity": """
+            WITH el AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     CAST(sum(CAST(CAST(q.v AS DOUBLE) * CAST(n.v AS DOUBLE)
+                          AS DECIMAL(20,18))) AS DOUBLE) AS dot
+              FROM el q JOIN el n ON q.pos = n.pos
+              WHERE q.vec_id % 50 = 0 AND n.vec_id != q.vec_id
+              GROUP BY 1, 2
+            ),
+            norms AS (
+              SELECT vec_id,
+                     sqrt(CAST(sum(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                          AS DECIMAL(20,18))) AS DOUBLE)) AS nrm
+              FROM el GROUP BY 1
+            ),
+            scored AS (
+              SELECT d.query_id, d.neighbor_id,
+                     round(d.dot / (nq.nrm * nn.nrm), 6) AS cosine
+              FROM dots d
+              JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nn ON nn.vec_id = d.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+            WHERE rank <= 5
+        """,
     }
 
 

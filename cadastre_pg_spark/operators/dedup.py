@@ -11,6 +11,8 @@ Everything below is built from JVM-side primitives (split / transform /
 aggregate / xxhash64 / explode / groupBy) — no Python in any hot path.
 """
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -202,60 +204,39 @@ def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 8
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold. Candidates from
-    random-hyperplane sign buckets (deterministic planes from xxhash64
-    of (plane, dim)), verified with an exact JVM-side dot product."""
+    deterministic random-hyperplane sign buckets; both the bucket
+    assignment and the exact verify run as NumPy matrix ops inside
+    mapInPandas (Catalyst's per-element higher-order folds are ~20x
+    slower for 64-dim arrays). Joins stay JVM-side."""
+    from .similarity import _unit_and_bucket
+
     dim = len(embeddings.select("embedding").head()[0])
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    sig = _unit_and_bucket(embeddings, n_planes, dim)
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "bucket"
     )
-    unit = embeddings.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x / norm).alias("u"),
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "bucket"
     )
-    # deterministic pseudo-random plane weights per (plane, dim)
-    planes = [
-        [(((p * 1315423911 + d * 2654435761) % 1000003) / 1000003.0 - 0.5) for d in range(dim)]
-        for p in range(n_planes)
-    ]
-    sig = unit.select(
-        "vec_id",
-        "u",
-        sum(
-            (
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("u"),
-                            F.array(*[F.lit(w) for w in planes[p]]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    > 0,
-                    F.lit(1 << p),
-                ).otherwise(F.lit(0))
-                for p in range(n_planes)
-            ),
-            F.lit(0),
-        ).alias("bucket"),
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+
+    def verify(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ua = np.stack(pdf["ua"].values)
+            ub = np.stack(pdf["ub"].values)
+            cos = np.round(np.einsum("ij,ij->i", ua, ub), 6)
+            keep = cos >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(np.int64)[keep],
+                        "vec_b": pdf["vec_b"].to_numpy(np.int64)[keep],
+                        "cosine": cos[keep],
+                    }
+                )
+
+    return cand.select("vec_a", "ua", "vec_b", "ub").mapInPandas(
+        verify, schema="vec_a long, vec_b long, cosine double"
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cand = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    cos = F.aggregate(
-        F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return cand.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cos, 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)

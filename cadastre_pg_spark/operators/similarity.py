@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+- topk_cosine: exact brute-force top-k for a query subset. The cosine
+  is computed with DECIMAL-cast partial products so the sum is
+  order-independent and the DuckDB oracle matches bit-for-bit (same
+  trick as the aggregate queries — see __spark_entry__).
+- ann_topk: the scale path — random-hyperplane LSH buckets (multi-
+  probe) + exact re-rank inside buckets, NumPy-vectorized via
+  mapInPandas. Approximate; recall tested in pytest.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _unit_and_bucket(df: DataFrame, n_planes: int, dim: int) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, u array<double>, bucket long),
+    vectorized NumPy: one matrix multiply per Arrow batch."""
+    planes = _planes(n_planes, dim)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].values).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            u = m / norms[:, None]
+            signs = (u @ planes.T) > 0
+            bucket = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "u": list(u),
+                    "bucket": bucket.astype(np.int64),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        gen, schema="vec_id long, u array<double>, bucket long"
+    )
+
+
+def _planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state)."""
+    p = np.arange(n_planes)[:, None]
+    d = np.arange(dim)[None, :]
+    return ((p * 1315423911 + d * 2654435761) % 1000003) / 1000003.0 - 0.5
+
+
+def topk_cosine(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector, oracle-matched:
+    dot and norms use DECIMAL(28,18)-cast partial products so the
+    aggregation order cannot perturb the result.
+
+    embeddings/queries: (vec_id, embedding array<float>). Self-matches
+    excluded. Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    pairs = q.crossJoin(e).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    def dec_dot(a, b):
+        # products |v| <= ~64 fit decimal(20,18); the per-step re-cast
+        # to (28,18) is numerically lossless, it only pins the fold's
+        # accumulator type (Spark decimal addition widens every step)
+        prods = F.zip_with(
+            a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(
+                "decimal(20,18)"
+            )
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(28,18)"),
+            lambda acc, x: (acc + x).cast("decimal(28,18)"),
+        ).cast("double")
+
+    cos = dec_dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(dec_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(dec_dot(F.col("ne"), F.col("ne")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed candidates (multi-probe:
+    each query also probes buckets at Hamming distance <= probe_bits),
+    exact NumPy re-rank within candidates."""
+    dim = len(embeddings.select("embedding").head()[0])
+    e = _unit_and_bucket(embeddings, n_planes, dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("u").alias("nu"),
+        "bucket",
+    )
+    qb = _unit_and_bucket(queries, n_planes, dim).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu"), "bucket"
+    )
+    # multi-probe: flip up to probe_bits bits
+    probes = [0] + ([1 << i for i in range(n_planes)] if probe_bits >= 1 else [])
+    qprobe = qb.select(
+        "query_id",
+        "qu",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probes])
+        ).alias("bucket"),
+    )
+    cand = qprobe.join(e, "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qu = np.stack(pdf["qu"].values)
+            nu = np.stack(pdf["nu"].values)
+            cos = np.einsum("ij,ij->i", qu, nu)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    scored = cand.select("query_id", "qu", "neighbor_id", "nu").mapInPandas(
+        rerank, schema="query_id long, neighbor_id long, cosine double"
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
