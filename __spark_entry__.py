@@ -300,6 +300,59 @@ def q_tile_extract(spark, sf_dir):
 # ------------------------------------------- engine-only (rows-only check)
 
 
+def q_pages_pipeline(spark, sf_dir):
+    """End-to-end web-page slice: deterministic pages table -> byte-
+    identical text extraction (pandas UDF kernel) -> hashed page points
+    -> cell join against GENERAL polygon parcels (holes + stitched
+    rings from the generator). Engine-only; pytest holds the NumPy
+    brute-force oracle."""
+    from cadastre_pg_spark.data.pages import extract_text_udf, generate_pages
+    from cadastre_pg_spark.data.parcels import generate_parcels
+
+    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
+    n_parcels = max(50, int(20_000 * _sf_of(sf_dir)))
+    pages = generate_pages(spark, n_pages)
+    parcels = generate_parcels(spark, n_parcels).withColumn(
+        "pid", F.xxhash64("parcel_id")
+    )
+    extract_udf = extract_text_udf("8859-15")
+
+    # cap the key so key * MULT stays inside int64 (ANSI mode errors
+    # on overflow): 2^22 * 2654435761 < 2^54
+    key = F.abs(F.xxhash64("url")) % F.lit(1 << 22)
+    points = pages.select(
+        F.col("url"),
+        F.sha2(extract_udf(F.col("html")), 256).alias("text_sha"),
+        key.alias("pkey"),
+    ).select(
+        F.col("pkey").alias("point_id"),
+        "url",
+        "text_sha",
+        S.lon_col(F.col("pkey")).alias("lon"),
+        S.lat_col(F.col("pkey")).alias("lat"),
+    )
+    joined = cell_spatial_join(
+        points.select("point_id", "lon", "lat"),
+        parcels.select(F.col("pid").alias("parcel_id"), "xs", "ys", "ring_offsets"),
+        level=LEVEL,
+    )
+    return joined.join(
+        points.select("point_id", "url", "text_sha"), "point_id"
+    ).select("url", "text_sha", "parcel_id")
+
+
+def q_hex_spatial_join(spark, sf_dir):
+    """Same join on the H3-style hex index (scheme='hex', res 9)."""
+    docs = _docs(spark, sf_dir)
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    points = points_from_docs(docs)
+    parcels = parcels_from_parts(parts)
+    out = cell_spatial_join(points, parcels, level=9, scheme="hex")
+    return out.select(
+        F.col("point_id").alias("doc_id"), F.col("parcel_id").alias("parcel_id")
+    )
+
+
 def q_hex_cell_assign(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pts = points_from_docs(docs)
@@ -356,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_burn": q_raster_burn,
         "tile_extract": q_tile_extract,
         "hex_cell_assign": q_hex_cell_assign,
+        "hex_spatial_join": q_hex_spatial_join,
+        "pages_pipeline": q_pages_pipeline,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,

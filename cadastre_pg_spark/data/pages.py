@@ -69,6 +69,21 @@ def make_page(i: int) -> dict:
     }
 
 
+def extract_text_udf(encoding: str = "8859-15"):
+    """Arrow-batched text-extraction UDF (defined here, without
+    `from __future__ import annotations`, so the pd.Series type hints
+    stay resolvable by pyspark's signature inspection)."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.textextract import extract_text
+
+    @F.pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return pd.Series([extract_text(h, encoding) for h in html])
+
+    return _extract
+
+
 def generate_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     """Distributed generator: spark.range -> mapInPandas building the
     same rows make_page builds (test asserts byte equality)."""

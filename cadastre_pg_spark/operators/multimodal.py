@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY
+columns + typed metadata, with decode/feature/resize/frame-sample
+stages as Arrow-batched mapInPandas operators.
+
+The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
+shapes) is real and tested; the actual codec calls are STUBBED — the
+image/audio libraries are not in this container. Each stub either
+raises NotImplementedError (strict mode) or produces a deterministic
+fake derived from the payload bytes (test mode), clearly marked.
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms long"
+)
+
+IMAGE_FEATURE_DIM = 16
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: payload size + sha (no decode)."""
+    return df.withColumn("n_bytes", F.length(payload_col).cast("long")).withColumn(
+        "payload_sha", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake 'decode': bytes -> feature vector via sha256
+    expansion. STAND-IN for a real codec (pillow/ffmpeg absent)."""
+    h = hashlib.sha256(payload).digest()
+    raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
+    return (
+        np.frombuffer(raw, dtype=np.uint32).astype(np.float64) / 2**32
+    )[:dim]
+
+
+def image_features(
+    media: DataFrame, strict: bool = False, dim: int = IMAGE_FEATURE_DIM
+) -> DataFrame:
+    """(media_id, payload) -> (media_id, features array<double>).
+
+    Batch shape: one Arrow batch in, vectorized over rows; the decode
+    itself is a STUB (deterministic fake, or NotImplementedError in
+    strict mode) — the real implementation drops in per batch."""
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires pillow/opencv — not in this env"
+                )
+            feats = [
+                _fake_decode(bytes(p), dim) for p in pdf["payload"].values
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema="media_id long, features array<double>"
+    )
+
+
+def frame_sample(
+    media: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    timestamp (duration metadata drives the explode, JVM-side); frame
+    extraction itself is the stubbed decode."""
+    ts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+            F.lit(every_ms),
+        )
+    ).alias("frame_ms")
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", ts
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if strict:
+                raise NotImplementedError("video decode not available")
+            feats = [
+                _fake_decode(bytes(p) + int(t).to_bytes(8, "little"), 8)
+                for p, t in zip(pdf["payload"].values, pdf["frame_ms"].values)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "frame_ms": pdf["frame_ms"].to_numpy(np.int64),
+                    "features": feats,
+                }
+            )
+
+    return frames.mapInPandas(
+        gen, schema="media_id long, frame_ms long, features array<double>"
+    )
+
+
+def generate_media(spark, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic media table for the plumbing tests."""
+
+    def gen(batches):
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = hashlib.sha256(f"media:{i}".encode()).digest() * (
+                    4 + i % 5
+                )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "payload": payload,
+                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                        "width": 64 + (i % 8) * 16 if kind != "audio" else None,
+                        "height": 64 + (i % 5) * 16 if kind != "audio" else None,
+                        "duration_ms": 3000 + (i % 7) * 500 if kind != "image" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
