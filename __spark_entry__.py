@@ -312,7 +312,9 @@ def q_pages_pipeline(spark, sf_dir):
     n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
     n_parcels = max(50, int(20_000 * _sf_of(sf_dir)))
     pages = generate_pages(spark, n_pages)
-    parcels = generate_parcels(spark, n_parcels).withColumn(
+    # size_scale densifies the tiny cadastral polygons so the sparse
+    # synthetic point set still produces joined pairs at test scale
+    parcels = generate_parcels(spark, n_parcels, size_scale=20.0).withColumn(
         "pid", F.xxhash64("parcel_id")
     )
     extract_udf = extract_text_udf("8859-15")

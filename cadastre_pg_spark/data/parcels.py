@@ -30,7 +30,7 @@ def _rng(i: int):
     return np.random.default_rng(42 + i)  # per-parcel stream, seed fixed
 
 
-def make_parcel(i: int) -> dict:
+def make_parcel(i: int, size_scale: float = 1.0) -> dict:
     r = _rng(i)
     if i % 5 == 0:  # hot cluster
         hx, hy = HOT_CENTERS[i % 3]
@@ -39,7 +39,7 @@ def make_parcel(i: int) -> dict:
     else:
         cx = r.uniform(-4.0, 8.0)
         cy = r.uniform(41.6, 50.4)
-    size = r.uniform(0.002, 0.02)
+    size = r.uniform(0.002, 0.02) * size_scale
 
     # equally spaced angles + bounded jitter: keeps every angular gap
     # < pi so the ring is star-shaped around (cx, cy) and the scaled
@@ -98,9 +98,13 @@ def make_parcel(i: int) -> dict:
     }
 
 
-def generate_parcels(spark: SparkSession, n: int, partitions: int = 16) -> DataFrame:
+def generate_parcels(
+    spark: SparkSession, n: int, partitions: int = 16, size_scale: float = 1.0
+) -> DataFrame:
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([make_parcel(int(i)) for i in pdf["id"].values])
+            yield pd.DataFrame(
+                [make_parcel(int(i), size_scale) for i in pdf["id"].values]
+            )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PARCEL_SCHEMA)
