@@ -237,6 +237,89 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_dedup_anti(spark, sf_dir):
+    """J3 semantics: drop docs whose text sha already exists in the
+    'existing' set (docs with doc_id % 7 == 0) — broadcast anti-join."""
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    survivors = D.dedup_anti_join(docs, existing)
+    return survivors.select("doc_id")
+
+
+def q_scd2_merge(spark, sf_dir):
+    """V2/V6 merge matrix over two snapshots built from orders: current
+    = latest order per customer before 1995; incoming = latest overall.
+    Output one row per (key, change)."""
+    from cadastre_pg_spark.operators.scd2 import merge_snapshot
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    cur = (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderkey").cast("string").alias("h"),
+            F.col("o_orderdate").cast("date").alias("valid_from"),
+        )
+    )
+    inc = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderkey").cast("string").alias("h"),
+        )
+    )
+    out = merge_snapshot(cur, inc, key="k", hash_col="h", vintage=F.lit("1999-01-01"))
+    # timestamps on both sides: DuckDB DATE arrives in pandas as
+    # Timestamp, Spark DateType as date — align the comparison type
+    return out.select(
+        "k",
+        "h",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "change",
+    )
+
+
+def q_reproject_points(spark, sf_dir):
+    """R-group on the hot path: deterministic Lambert-93 coordinates per
+    doc -> WGS84 via the vectorized kernel in a pandas UDF (engine-only;
+    pytest holds the golden-coordinate oracles)."""
+    import pandas as pd
+
+    from cadastre_pg_spark.kernels.lambert import lambert93_to_wgs84
+    from cadastre_pg_spark.kernels.smart import round_coords
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    # Lambert-93 domain bbox (FIXTURES.md §1)
+    x = F.lit(100000.0) + F.lit(1100000.0) * S.u_col(key, S.MULT_LON)
+    y = F.lit(6000000.0) + F.lit(1200000.0) * S.u_col(key, S.MULT_LAT)
+
+    def reproject(batches):
+        for pdf in batches:
+            lon, lat = lambert93_to_wgs84(pdf["x"].values, pdf["y"].values)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "lon": round_coords(lon, 7),
+                    "lat": round_coords(lat, 7),
+                }
+            )
+
+    return docs.select("doc_id", x.alias("x"), y.alias("y")).mapInPandas(
+        reproject, schema="doc_id long, lon double, lat double"
+    )
+
+
 def q_topk_similarity(spark, sf_dir):
     from cadastre_pg_spark.operators.similarity import topk_cosine
 
@@ -404,6 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_current": q_scd2_current,
         "events_windowed": q_events_windowed,
+        "dedup_anti": q_dedup_anti,
+        "scd2_merge": q_scd2_merge,
+        "reproject_points": q_reproject_points,
         "topk_similarity": q_topk_similarity,
         "ann_topk": q_ann_topk,
         "knn_grid": q_knn_grid,
@@ -525,6 +611,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "dedup_anti": """
+            SELECT d.doc_id FROM documents d
+            WHERE sha256(d.text) NOT IN (
+              SELECT sha256(text) FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "scd2_merge": """
+            WITH ranked AS (
+              SELECT o_custkey AS k, CAST(o_orderkey AS VARCHAR) AS h,
+                     CAST(o_orderdate AS DATE) AS od,
+                     row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            ),
+            ranked_pre AS (
+              SELECT o_custkey AS k, CAST(o_orderkey AS VARCHAR) AS h,
+                     CAST(o_orderdate AS DATE) AS od,
+                     row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+            ),
+            cur AS (SELECT k, h, od AS valid_from FROM ranked_pre WHERE rn = 1),
+            inc AS (SELECT k, h FROM ranked WHERE rn = 1),
+            j AS (
+              SELECT coalesce(c.k, i.k) AS k, c.h AS ch,
+                     c.valid_from AS cf, i.h AS ih
+              FROM cur c FULL OUTER JOIN inc i ON c.k = i.k
+            )
+            SELECT k, ch AS h, CAST(cf AS TIMESTAMP) AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+                   'unchanged' AS change FROM j WHERE ch = ih
+            UNION ALL
+            SELECT k, ch, CAST(cf AS TIMESTAMP), TIMESTAMP '1999-01-01 00:00:00', 'closed' FROM j
+            WHERE ch IS NOT NULL AND ih IS NOT NULL AND ch != ih
+            UNION ALL
+            SELECT k, ih, TIMESTAMP '1999-01-01 00:00:00', CAST(NULL AS TIMESTAMP), 'updated' FROM j
+            WHERE ch IS NOT NULL AND ih IS NOT NULL AND ch != ih
+            UNION ALL
+            SELECT k, ih, TIMESTAMP '1999-01-01 00:00:00', CAST(NULL AS TIMESTAMP), 'inserted' FROM j
+            WHERE ch IS NULL
+            UNION ALL
+            SELECT k, ch, CAST(cf AS TIMESTAMP), TIMESTAMP '1999-01-01 00:00:00', 'ended' FROM j WHERE ih IS NULL
         """,
         "knn_grid": f"""
             WITH pts AS (

@@ -1,0 +1,128 @@
+"""Distributed geometry assembly: unordered arcs -> repaired polygons.
+
+The Spark form of the reference's central build (SURVEY.md J1/J2 +
+G-group): associate arcs to features (equi-join), then per feature run
+the repair ladder — self-closing detection, greedy ring stitching
+(ring.rs:8-109), dead-end pruning (topology.rs:66-107), shell/hole
+organization (topology.rs:6-63), convex-hull fallback
+(fallback.rs:8-26) — inside an applyInPandas over feature groups,
+with the validity filter (P6, cli.rs:1034-1070) and the normalized
+geometry hash (H1, versioning/diff.rs:13-114) applied on the way out.
+
+Failures never kill the run: rows route to a quarantine status column
+(graceful degradation, cli.rs:487-497).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.geomhash import geometry_hash
+from ..kernels.hull import convex_hull
+from ..kernels.rings import (
+    organize_rings,
+    polygon_to_flat,
+    reconstruct_rings,
+    remove_dead_ends,
+)
+
+ARC_SCHEMA = (
+    "feature_id string, arc_id long, xs array<double>, ys array<double>"
+)
+ASSEMBLED_SCHEMA = (
+    "feature_id string, xs array<double>, ys array<double>, "
+    "ring_offsets array<int>, geometry_hash binary, n_polygons int, "
+    "status string"
+)
+
+
+def _assemble_one(arcs_xs, arcs_ys, prune_dead_ends: bool):
+    arcs = [
+        np.column_stack([np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)])
+        for x, y in zip(arcs_xs, arcs_ys)
+    ]
+    if prune_dead_ends:
+        kept = remove_dead_ends(arcs)
+        if kept:
+            arcs = kept
+    try:
+        rings = reconstruct_rings(arcs)
+        status = "ok"
+    except ValueError:
+        # hull fallback over all arc points (>=3 required)
+        allpts = np.concatenate(arcs) if arcs else np.empty((0, 2))
+        hx, hy = convex_hull(allpts[:, 0], allpts[:, 1])
+        ring = np.column_stack([hx, hy])
+        rings = [np.vstack([ring, ring[:1]])]
+        status = "hull_fallback"
+    # validity filter (P6): rings need >= 4 points incl. closure
+    rings = [r for r in rings if len(r) >= 4]
+    if not rings:
+        raise ValueError("no valid ring")
+    polys = organize_rings(rings)
+    xs, ys, offs = polygon_to_flat(polys)
+    return xs, ys, offs, len(polys), status
+
+
+def assemble_polygons(
+    arcs: DataFrame, prune_dead_ends: bool = False
+) -> DataFrame:
+    """arcs (feature_id, arc_id, xs, ys) -> one repaired polygon row per
+    feature (+ quarantined failures with status='error')."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fid, g in pdf.groupby("feature_id", sort=False):
+            try:
+                xs, ys, offs, npoly, status = _assemble_one(
+                    g["xs"].tolist(), g["ys"].tolist(), prune_dead_ends
+                )
+                out.append(
+                    {
+                        "feature_id": fid,
+                        "xs": xs.tolist(),
+                        "ys": ys.tolist(),
+                        "ring_offsets": offs.astype("int32").tolist(),
+                        "geometry_hash": geometry_hash(xs, ys, offs),
+                        "n_polygons": npoly,
+                        "status": status,
+                    }
+                )
+            except (ValueError, IndexError) as ex:
+                out.append(
+                    {
+                        "feature_id": fid,
+                        "xs": [],
+                        "ys": [],
+                        "ring_offsets": [],
+                        "geometry_hash": None,
+                        "n_polygons": 0,
+                        "status": f"error:{type(ex).__name__}",
+                    }
+                )
+        return pd.DataFrame(out)
+
+    return arcs.groupBy("feature_id").applyInPandas(
+        per_group, schema=ASSEMBLED_SCHEMA
+    )
+
+
+def assembly_report(assembled: DataFrame) -> DataFrame:
+    """A4-style ImportReport: counts by status + derived run status
+    (Success / Partial / Failed — report.rs:211-226)."""
+    counts = assembled.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    total = assembled.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("status").startswith("error"), 1).otherwise(0)).alias(
+            "errors"
+        ),
+    )
+    return total.select(
+        "total",
+        "errors",
+        F.when(F.col("errors") == 0, F.lit("Success"))
+        .when(F.col("errors") < F.col("total"), F.lit("Partial"))
+        .otherwise(F.lit("Failed"))
+        .alias("run_status"),
+    ), counts
