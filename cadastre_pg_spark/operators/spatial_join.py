@@ -265,7 +265,10 @@ def cell_spatial_join(
         strategy = "broadcast" if parcels.count() <= BROADCAST_PARCEL_LIMIT else "shuffle"
 
     if cover is None:
-        cover = polyfill(parcels, level=level, scheme=scheme)
+        # persist: the full-hit and partial branches of the union both
+        # consume the cover — without this the polyfill kernel (and its
+        # broadcast build) runs once per branch (seen in .explain)
+        cover = polyfill(parcels, level=level, scheme=scheme).persist()
 
     if scheme == "grid":
         pts = points.withColumn(

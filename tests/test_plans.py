@@ -1,0 +1,72 @@
+"""Plan-shape audits: the optimizer must produce the plan the engine
+was designed for — pushdown at the scan, broadcast on the small side,
+whole-stage codegen on the hot path, AQE enabled (SURVEY.md §4)."""
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as E
+from cadastre_pg_spark.plans.audit import audit, plan_has, scan_read_schema
+from conftest import SF_UNIT
+
+
+def test_filter_and_column_pushdown(spark):
+    li = spark.read.parquet(f"{SF_UNIT}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1995-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    a = audit(q)
+    assert a["pushed_filters"], "shipdate filter did not reach the scan"
+    schemas = scan_read_schema(q)
+    # scan reads only the 3 needed columns, not all 11
+    assert any(
+        set(s) <= {"l_orderkey", "l_extendedprice", "l_shipdate"} for s in schemas
+    ), schemas
+
+
+def test_flagship_join_is_broadcast_and_codegen(spark):
+    df = E.queries()["flagship_cell_join"](spark, SF_UNIT)
+    a = audit(df)
+    assert a["broadcast_join"], "cell join should broadcast the cover at this scale"
+    assert a["aqe"]
+    assert a["arrow_eval"]  # the PIP refinement stage
+    # codegen spans are hidden inside AdaptiveSparkPlan pre-execution;
+    # disable AQE for the shape check only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = E.queries()["flagship_cell_join"](spark, SF_UNIT)
+        assert audit(df2)["codegen"]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_probe_side_has_no_pre_join_shuffle(spark):
+    """On the broadcast path the probe side must flow scan->join with
+    no hash-partition exchange before the join."""
+    from cadastre_pg_spark.operators.spatial_join import (
+        cell_spatial_join,
+        parcels_from_parts,
+        points_from_docs,
+    )
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    parts = spark.read.parquet(f"{SF_UNIT}/part.parquet")
+    out = cell_spatial_join(
+        points_from_docs(docs), parcels_from_parts(parts), strategy="broadcast"
+    )
+    # full-hit branch: select point/parcel pairs — pure narrow plan
+    assert not audit(out)["shuffle_exchange"]
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    df = E.queries()["tpch_q1"](spark, SF_UNIT)
+    # map-side partial agg before the exchange (HashAggregate x2)
+    s_plan = __import__(
+        "cadastre_pg_spark.plans.audit", fromlist=["explain_string"]
+    ).explain_string(df)
+    assert s_plan.count("HashAggregate") >= 2
+    assert audit(df)["pushed_filters"]
+
+
+def test_dedup_anti_is_broadcast(spark):
+    df = E.queries()["dedup_anti"](spark, SF_UNIT)
+    assert plan_has(df, "BroadcastHashJoin") or plan_has(df, "BroadcastNestedLoop")
