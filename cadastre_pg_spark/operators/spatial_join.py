@@ -133,6 +133,46 @@ def choose_strategy(n_cover_rows: int, limit: int = BROADCAST_CELL_LIMIT) -> str
     return "broadcast" if n_cover_rows <= limit else "shuffle"
 
 
+def hot_cells(cover: DataFrame, threshold: int) -> DataFrame:
+    """Cells whose build-side fan-out exceeds `threshold` (dense urban
+    parcels) — measured from the cover histogram, not guessed."""
+    return (
+        cover.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .select("cell")
+    )
+
+
+def salted_cell_join(
+    pts: DataFrame, cover: DataFrame, salt: int, hot: DataFrame
+) -> DataFrame:
+    """Explicit skew salting for the shuffle path: probe rows in hot
+    cells get a deterministic salt from their point id; build rows in
+    hot cells are replicated across all `salt` buckets. Cold cells join
+    on salt=0 with no replication. Exact — every (point, parcel) pair
+    meets in exactly one (cell, salt) bucket."""
+    hot = F.broadcast(hot.withColumn("is_hot", F.lit(True)))
+    p = pts.join(hot, "cell", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot").isNotNull(), F.pmod(F.hash("point_id"), F.lit(salt))
+        ).otherwise(F.lit(0)),
+    ).drop("is_hot")
+    c = (
+        cover.join(hot, "cell", "left")
+        .withColumn(
+            "salts",
+            F.when(
+                F.col("is_hot").isNotNull(), F.sequence(F.lit(0), F.lit(salt - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("salt", F.explode("salts"))
+        .drop("salts", "is_hot")
+    )
+    return p.join(c, ["cell", "salt"]).drop("salt")
+
+
 def _refine_batches(batches, ring_lookup):
     """Shared PIP loop: batches carry (point_id, lon, lat, parcel_id);
     ring arrays come from `ring_lookup(parcel_id, batch)`."""
@@ -248,6 +288,8 @@ def cell_spatial_join(
     scheme: str = "grid",
     strategy: str = "auto",
     cover: DataFrame | None = None,
+    salt_hot: int = 8,
+    hot_threshold: int = 256,
 ) -> DataFrame:
     """points (point_id, lon, lat) x parcels (parcel_id, rings) ->
     (point_id, parcel_id) pairs where the point is strictly inside.
@@ -277,8 +319,15 @@ def cell_spatial_join(
     else:
         pts = _with_hex_cell(points, level)
 
-    build = F.broadcast(cover) if strategy == "broadcast" else cover
-    cand = pts.join(build, "cell")
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(cover), "cell")
+    elif salt_hot > 1:
+        # explicit skew handling: measured hot cells get salted
+        cand = salted_cell_join(
+            pts, cover, salt_hot, hot_cells(cover, hot_threshold)
+        )
+    else:
+        cand = pts.join(cover, "cell")
 
     full_hits = cand.filter(F.col("is_full")).select("point_id", "parcel_id")
     partial = cand.filter(~F.col("is_full")).select(

@@ -21,8 +21,16 @@ def _random_points(n, seed=7):
     return rng.uniform(-4.5, 8.5, n), rng.uniform(41.2, 50.8, n)
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
-def test_general_polygon_join_vs_bruteforce(spark, strategy):
+@pytest.mark.parametrize(
+    ("strategy", "kwargs"),
+    [
+        ("broadcast", {}),
+        ("shuffle", {}),
+        # hot_threshold=0 forces the explicit salting path on EVERY cell
+        ("shuffle", {"salt_hot": 4, "hot_threshold": 0}),
+    ],
+)
+def test_general_polygon_join_vs_bruteforce(spark, strategy, kwargs):
     n_parcels, n_points = 120, 4000
     lon, lat = _random_points(n_points)
     points = spark.createDataFrame(
@@ -35,7 +43,7 @@ def test_general_polygon_join_vs_bruteforce(spark, strategy):
     got = {
         (r.point_id, r.parcel_id)
         for r in cell_spatial_join(
-            points, parcels, level=10, strategy=strategy
+            points, parcels, level=10, strategy=strategy, **kwargs
         ).collect()
     }
     # single-process oracle
