@@ -175,6 +175,32 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_sales_rollup(spark, sf_dir):
+    """ROLLUP aggregation (beyond the reference — SURVEY.md §2 note):
+    subtotals by (returnflag, linestatus), by returnflag, and grand
+    total, with order-independent decimal sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_pivot_linestatus(spark, sf_dir):
+    """Pivot as portable conditional aggregation: per returnflag, the
+    decimal quantity sum split by linestatus."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", qty)).cast("double").alias("qty_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", qty)).cast("double").alias("qty_f"),
+    )
+
+
 def q_top1_recent_order(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -482,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_partition": q_dep_partition,
         "props_extract": q_props_extract,
         "tpch_q1": q_tpch_q1,
+        "sales_rollup": q_sales_rollup,
+        "pivot_linestatus": q_pivot_linestatus,
         "top1_recent_order": q_top1_recent_order,
         "asof_join": q_asof_join,
         "scd2_history": q_scd2_history,
@@ -573,6 +601,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sales_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_linestatus": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
         """,
         "top1_recent_order": """
             SELECT o_custkey, o_orderkey, o_orderdate FROM (

@@ -329,6 +329,23 @@ def cell_spatial_join(
     else:
         cand = pts.join(cover, "cell")
 
+    # refinement ladder rung 1 (JVM, codegen): bbox prefilter via a tiny
+    # per-parcel broadcast (array_min/max over the rings — no kernel).
+    # Points in full cells trivially satisfy it (cell ⊂ polygon ⊂ bbox),
+    # so it only prunes partial-cell candidates — before any Python runs.
+    bbox = parcels.select(
+        "parcel_id",
+        F.array_min("xs").alias("x0"),
+        F.array_max("xs").alias("x1"),
+        F.array_min("ys").alias("y0"),
+        F.array_max("ys").alias("y1"),
+    )
+    cand = cand.join(F.broadcast(bbox), "parcel_id").filter(
+        (F.col("lon") >= F.col("x0"))
+        & (F.col("lon") <= F.col("x1"))
+        & (F.col("lat") >= F.col("y0"))
+        & (F.col("lat") <= F.col("y1"))
+    )
     full_hits = cand.filter(F.col("is_full")).select("point_id", "parcel_id")
     partial = cand.filter(~F.col("is_full")).select(
         "point_id", "lon", "lat", "parcel_id"
