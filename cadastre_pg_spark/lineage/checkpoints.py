@@ -86,19 +86,32 @@ def run_stage(
     log = CheckpointLog(spark, base_dir)
     out_dir = os.path.join(base_dir, stage)
 
-    part_hash = (
-        content_hash_col
-        if content_hash_col is not None
-        else F.sha2(F.concat_ws("|", F.col(partition_col).cast("string")), 256)
-    )
-    parts = (
-        input_df.select(
-            F.col(partition_col).cast("int").alias("partition_id"),
-            part_hash.alias("content_hash"),
+    # content-derived partition hash (J5: the reference checksums the
+    # archive BYTES, cli.rs:1357-1374): order-independent sum of 32-bit
+    # row hashes over all columns — changed data => changed hash =>
+    # reprocess, identical data => skip
+    if content_hash_col is None:
+        row_hash = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in input_df.columns])),
+            F.lit(1 << 32),
         )
-        .groupBy("partition_id")
-        .agg(F.min("content_hash").alias("content_hash"))
-    )
+        parts = (
+            input_df.select(
+                F.col(partition_col).cast("int").alias("partition_id"),
+                row_hash.alias("rh"),
+            )
+            .groupBy("partition_id")
+            .agg(F.sum("rh").cast("string").alias("content_hash"))
+        )
+    else:
+        parts = (
+            input_df.select(
+                F.col(partition_col).cast("int").alias("partition_id"),
+                content_hash_col.alias("content_hash"),
+            )
+            .groupBy("partition_id")
+            .agg(F.min("content_hash").alias("content_hash"))
+        )
     done = log.committed(stage)
     todo = parts.join(done, ["partition_id", "content_hash"], "left_anti")
 

@@ -79,6 +79,24 @@ def test_resume_processes_only_new_partitions(spark, base):
     assert new_parts == [5, 6, 7, 8, 9]  # only the uncommitted half
 
 
+def test_changed_content_reprocesses(spark, base):
+    """J5: identical partition values but CHANGED data must reprocess
+    (the reference re-imports when the archive checksum changes)."""
+    df1 = _input(spark)
+    run_stage(
+        spark, df1, stage="s", run_id="r1", partition_col="dep",
+        base_dir=base,
+        process=lambda d: d.withColumn("v2", F.col("v") * 2),
+    )
+    df2 = df1.withColumn("v", F.col("v") + 1)  # same partitions, new data
+    _, committed = run_stage(
+        spark, df2, stage="s", run_id="r2", partition_col="dep",
+        base_dir=base,
+        process=lambda d: d.withColumn("v2", F.col("v") * 2),
+    )
+    assert committed.count() == 10  # every partition re-committed
+
+
 def test_replay_is_idempotent(spark, base):
     """A replayed partition overwrites its own files — no double rows
     (SURVEY.md §7.4 hard part #3)."""

@@ -34,6 +34,38 @@ def test_stream_equals_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState totals must equal the batch aggregate."""
+    import shutil
+
+    from cadastre_pg_spark.streaming.stateful import running_user_totals_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    shutil.copy(f"{SF_UNIT}/events.parquet", src / "part-0.parquet")
+    q = running_user_totals_stream(spark, str(src), query_name="ut_test")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 2))
+            for r in spark.sql(
+                """SELECT user_id, n_events, total_value FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY n_events DESC) rn FROM ut_test) WHERE rn=1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    exp = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp
+
+
 def test_sessionize(spark):
     events = spark.read.parquet(f"{SF_UNIT}/events.parquet")
     out = sessionize(events, gap_minutes=30)
