@@ -144,8 +144,9 @@ def main():
     # scaling: identical spatial-join job at lo vs hi parallelism,
     # CPU-pinned, large enough that compute dominates fixed costs;
     # best of 2 to damp JIT/load noise
-    # long enough (~1 min) that host-load noise averages out
-    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "100000000"))
+    # long enough (~1-3 min/run) that the ~8 s fixed driver work and
+    # host-load noise stop dominating the ratio
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     scale_job = f"__scale:{scale_n}"
     t_lo = min(
