@@ -38,8 +38,8 @@ def grid_cell(lon, lat, level: int = DEFAULT_LEVEL):
     with clamping to [0, 2^L - 1].
     """
     n = np.int64(1) << level
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
     ix = np.floor((lon - GRID_LON0) / (GRID_LON1 - GRID_LON0) * float(n))
     iy = np.floor((lat - GRID_LAT0) / (GRID_LAT1 - GRID_LAT0) * float(n))
     ix = np.clip(ix, 0, float(n - 1)).astype(np.int64)
@@ -50,8 +50,8 @@ def grid_cell(lon, lat, level: int = DEFAULT_LEVEL):
 def grid_cell_xy(lon, lat, level: int = DEFAULT_LEVEL):
     """(ix, iy) integer grid coordinates (clamped)."""
     n = np.int64(1) << level
-    lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
     ix = np.floor((lon - GRID_LON0) / (GRID_LON1 - GRID_LON0) * float(n))
     iy = np.floor((lat - GRID_LAT0) / (GRID_LAT1 - GRID_LAT0) * float(n))
     return (
