@@ -128,8 +128,13 @@ def run_stage(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     processed.write.mode("overwrite").partitionBy("_pid").parquet(out_dir)
 
-    # metrics from what landed, then the commit-point append
-    landed = spark.read.parquet(out_dir).join(
+    # metrics from what landed, then the commit-point append (an empty
+    # stage may write no files at all — read with the known schema)
+    try:
+        landed_raw = spark.read.schema(processed.schema).parquet(out_dir)
+    except Exception:
+        landed_raw = spark.createDataFrame([], processed.schema)
+    landed = landed_raw.join(
         F.broadcast(todo.select(F.col("partition_id").alias("_pid"))),
         "_pid",
         "left_semi",
