@@ -362,6 +362,44 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(emb, queries_df, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    from cadastre_pg_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries_df, k=5)
+
+
+def q_sales_cube(spark, sf_dir):
+    """CUBE aggregation over two dims (all grouping sets)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(price).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_keys_intersect(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        ev.select(F.col("user_id").alias("key"))
+        .distinct()
+        .intersect(orders.select(F.col("o_custkey").alias("key")).distinct())
+    )
+
+
+def q_keys_except(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .exceptAll(ev.select(F.col("user_id").alias("key")).distinct())
+    )
+
+
 def q_knn_grid(spark, sf_dir):
     from cadastre_pg_spark.operators.knn import knn_grid
 
@@ -509,7 +547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "tpch_q1": q_tpch_q1,
         "sales_rollup": q_sales_rollup,
+        "sales_cube": q_sales_cube,
         "pivot_linestatus": q_pivot_linestatus,
+        "keys_intersect": q_keys_intersect,
+        "keys_except": q_keys_except,
+        "ivf_topk": q_ivf_topk,
         "top1_recent_order": q_top1_recent_order,
         "asof_join": q_asof_join,
         "scd2_history": q_scd2_history,
@@ -608,6 +650,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "sales_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "keys_intersect": """
+            SELECT DISTINCT user_id AS key FROM events
+            INTERSECT
+            SELECT DISTINCT o_custkey AS key FROM orders
+        """,
+        "keys_except": """
+            SELECT DISTINCT o_custkey AS key FROM orders
+            EXCEPT
+            SELECT DISTINCT user_id AS key FROM events
         """,
         "pivot_linestatus": """
             SELECT l_returnflag,

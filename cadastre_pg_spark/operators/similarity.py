@@ -96,16 +96,105 @@ def topk_cosine(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means quantizer (pyspark.ml) partitions
+    the vectors into lists; each query probes its `n_probe` nearest
+    centroids and exact-reranks inside them (NumPy). The scale path
+    when hyperplane buckets are too coarse."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(embeddings.select("embedding").head()[0])
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    ).withColumn("features", array_to_vector("arr"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features")
+    model = km.fit(base)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    lists = model.transform(base).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("arr").alias("nu"),
+        F.col("prediction").alias("list_id"),
+    )
+
+    qdf = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qu"),
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf["qu"].values)
+            d = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(np.int64), n_probe),
+                    "qu": [q[i] for i in range(n) for _ in range(n_probe)],
+                    "list_id": near.ravel().astype(np.int32),
+                }
+            )
+
+    probes = qdf.mapInPandas(
+        probe, schema="query_id long, qu array<double>, list_id int"
+    )
+    cand = probes.join(lists, "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qu = np.stack(pdf["qu"].values)
+            nu = np.stack(pdf["nu"].values)
+            qn = np.linalg.norm(qu, axis=1)
+            nn = np.linalg.norm(nu, axis=1)
+            qn[qn == 0] = 1.0
+            nn[nn == 0] = 1.0
+            cos = np.einsum("ij,ij->i", qu, nu) / (qn * nn)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    scored = cand.select("query_id", "qu", "neighbor_id", "nu").mapInPandas(
+        rerank, schema="query_id long, neighbor_id long, cosine double"
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
-    probe_bits: int = 1,
+    n_planes: int = 6,
+    probe_bits: int = 2,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucketed candidates (multi-probe:
     each query also probes buckets at Hamming distance <= probe_bits),
     exact NumPy re-rank within candidates."""
+    from itertools import combinations
+
     dim = len(embeddings.select("embedding").head()[0])
     e = _unit_and_bucket(embeddings, n_planes, dim).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -115,8 +204,12 @@ def ann_topk(
     qb = _unit_and_bucket(queries, n_planes, dim).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu"), "bucket"
     )
-    # multi-probe: flip up to probe_bits bits
-    probes = [0] + ([1 << i for i in range(n_planes)] if probe_bits >= 1 else [])
+    # multi-probe: every mask with <= probe_bits bits set
+    probes = [
+        sum(1 << b for b in bits)
+        for r in range(probe_bits + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
     qprobe = qb.select(
         "query_id",
         "qu",

@@ -1,0 +1,28 @@
+"""ANN recall vs the exact brute-force top-k."""
+
+import pyspark.sql.functions as F
+
+from cadastre_pg_spark.operators.similarity import ann_topk, ivf_topk, topk_cosine
+from conftest import SF_UNIT
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _pairs(topk_cosine(emb, queries, k=5))
+    approx = _pairs(ann_topk(emb, queries, k=5))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"hyperplane ANN recall too low: {recall}"
+
+
+def test_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _pairs(topk_cosine(emb, queries, k=5))
+    approx = _pairs(ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF ANN recall too low: {recall}"
