@@ -47,10 +47,16 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_neardup",
     "tpch_q1",
+    "sales_rollup",
     "top1_recent_order",
     "asof_join",
     "scd2_history",
+    "scd2_merge",
     "events_windowed",
+    "knn_grid",
+    "tile_assign",
+    "raster_burn",
+    "topk_similarity",
 ]
 
 _CHILD = r"""
