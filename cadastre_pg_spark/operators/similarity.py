@@ -59,14 +59,6 @@ def topk_cosine(
 
     embeddings/queries: (vec_id, embedding array<float>). Self-matches
     excluded. Returns (query_id, neighbor_id, cosine, rank)."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    e = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-    )
-    pairs = q.crossJoin(e).filter(F.col("neighbor_id") != F.col("query_id"))
-
     def dec_dot(a, b):
         # products |v| <= ~64 fit decimal(20,18); the per-step re-cast
         # to (28,18) is numerically lossless, it only pins the fold's
@@ -82,10 +74,27 @@ def topk_cosine(
             lambda acc, x: (acc + x).cast("decimal(28,18)"),
         ).cast("double")
 
-    cos = dec_dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(dec_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(dec_dot(F.col("ne"), F.col("ne")))
+    # norms computed ONCE per vector (the oracle's `norms` CTE shape);
+    # recomputing them per pair is O(|Q| x |E|) wasted decimal folds
+    norms = embeddings.select(
+        F.col("vec_id"),
+        F.sqrt(dec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    ).join(
+        F.broadcast(norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qn"))),
+        "query_id",
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    ).join(
+        F.broadcast(norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nn"))),
+        "neighbor_id",
+    )
+    pairs = q.crossJoin(e).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    cos = dec_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
