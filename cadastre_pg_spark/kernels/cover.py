@@ -91,6 +91,48 @@ def _classify_full(xs, ys, offs, cx0, cy0, cx1, cy1):
     return all_corners_in & ~overlap_any
 
 
+def grid_cover_compact(
+    xs, ys, ring_offsets, fine_level: int = C.DEFAULT_LEVEL, d: int = 3
+):
+    """Multi-resolution cover (H3 'compact' analog): fine cells whose
+    parent block at (fine_level - d) is ENTIRELY full collapse into one
+    coarse full cell; boundary stays at fine resolution.
+
+    Returns (cell_ids, is_full, lvl) where lvl is fine_level for fine
+    rows and (fine_level - d) for coarse rows. Exactness: a coarse cell
+    is emitted only when all (2^d)^2 children are provably interior, so
+    any point in it is inside the polygon; no child is double-emitted.
+    """
+    cells_f, full_f = grid_cover(xs, ys, ring_offsets, fine_level)
+    coarse_level = fine_level - d
+    if d <= 0 or coarse_level < 0 or len(cells_f) == 0:
+        return (
+            cells_f,
+            full_f,
+            np.full(len(cells_f), fine_level, dtype=np.int64),
+        )
+    nf = np.int64(1) << fine_level
+    nc = np.int64(1) << coarse_level
+    side = np.int64(1) << d
+    ix = cells_f // nf
+    iy = cells_f % nf
+    parent = (ix >> d) * nc + (iy >> d)
+    # parents where every child cell is present AND full
+    full_parents, counts = np.unique(parent[full_f], return_counts=True)
+    complete = full_parents[counts == side * side]
+    complete_set = np.isin(parent, complete)
+    keep = ~(complete_set & full_f)  # drop children of complete blocks
+    out_cells = np.concatenate([cells_f[keep], complete])
+    out_full = np.concatenate([full_f[keep], np.ones(len(complete), dtype=bool)])
+    out_lvl = np.concatenate(
+        [
+            np.full(keep.sum(), fine_level, dtype=np.int64),
+            np.full(len(complete), coarse_level, dtype=np.int64),
+        ]
+    )
+    return out_cells, out_full, out_lvl
+
+
 def hex_cover(xs, ys, ring_offsets, res: int):
     """Cover of a lon/lat polygon by hex cells at `res` (conservative:
     all cells whose center-disk bounding region meets the polygon bbox;

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..data import synthetic as S
 from ..kernels import cells as C
-from ..kernels.cover import grid_cover, hex_cover
+from ..kernels.cover import grid_cover, grid_cover_compact, hex_cover
 from ..kernels.pip import (
     build_edge_matrix,
     points_in_polygon,
@@ -77,6 +77,54 @@ def points_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         key.alias("point_id"),
         S.lon_col(key).alias("lon"),
         S.lat_col(key).alias("lat"),
+    )
+
+
+COVER_COMPACT_SCHEMA = "parcel_id long, cell long, is_full boolean, lvl int"
+
+
+def polyfill_compact(
+    parcels: DataFrame, level: int = C.DEFAULT_LEVEL, d: int = 3
+) -> DataFrame:
+    """Multi-resolution polygon cover (H3 'compact' analog): interior
+    blocks collapse to coarse cells, boundary stays fine — shrinks the
+    build side for large polygons (dense-urban skew) without losing
+    exactness. Rows: (parcel_id, cell, is_full, lvl)."""
+    sc = parcels.sparkSession.sparkContext
+    parcels = parcels.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cells_out, fulls, lvls = [], [], [], []
+            for pid, xs, ys, offs in zip(
+                pdf["parcel_id"].values,
+                pdf["xs"].values,
+                pdf["ys"].values,
+                pdf["ring_offsets"].values,
+            ):
+                cc, ff, ll = grid_cover_compact(
+                    np.asarray(xs, dtype=np.float64),
+                    np.asarray(ys, dtype=np.float64),
+                    np.asarray(offs, dtype=np.int64),
+                    level,
+                    d,
+                )
+                ids.append(np.full(len(cc), pid, dtype=np.int64))
+                cells_out.append(cc)
+                fulls.append(ff)
+                lvls.append(ll)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "parcel_id": np.concatenate(ids),
+                        "cell": np.concatenate(cells_out),
+                        "is_full": np.concatenate(fulls),
+                        "lvl": np.concatenate(lvls).astype(np.int32),
+                    }
+                )
+
+    return parcels.select("parcel_id", "xs", "ys", "ring_offsets").mapInPandas(
+        gen, schema=COVER_COMPACT_SCHEMA
     )
 
 
@@ -133,34 +181,36 @@ def choose_strategy(n_cover_rows: int, limit: int = BROADCAST_CELL_LIMIT) -> str
     return "broadcast" if n_cover_rows <= limit else "shuffle"
 
 
-def hot_cells(cover: DataFrame, threshold: int) -> DataFrame:
+def hot_cells(cover: DataFrame, threshold: int, keys=("cell",)) -> DataFrame:
     """Cells whose build-side fan-out exceeds `threshold` (dense urban
     parcels) — measured from the cover histogram, not guessed."""
+    keys = list(keys)
     return (
-        cover.groupBy("cell")
+        cover.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > threshold)
-        .select("cell")
+        .select(*keys)
     )
 
 
 def salted_cell_join(
-    pts: DataFrame, cover: DataFrame, salt: int, hot: DataFrame
+    pts: DataFrame, cover: DataFrame, salt: int, hot: DataFrame, keys=("cell",)
 ) -> DataFrame:
     """Explicit skew salting for the shuffle path: probe rows in hot
     cells get a deterministic salt from their point id; build rows in
     hot cells are replicated across all `salt` buckets. Cold cells join
     on salt=0 with no replication. Exact — every (point, parcel) pair
     meets in exactly one (cell, salt) bucket."""
+    keys = list(keys)
     hot = F.broadcast(hot.withColumn("is_hot", F.lit(True)))
-    p = pts.join(hot, "cell", "left").withColumn(
+    p = pts.join(hot, keys, "left").withColumn(
         "salt",
         F.when(
             F.col("is_hot").isNotNull(), F.pmod(F.hash("point_id"), F.lit(salt))
         ).otherwise(F.lit(0)),
     ).drop("is_hot")
     c = (
-        cover.join(hot, "cell", "left")
+        cover.join(hot, keys, "left")
         .withColumn(
             "salts",
             F.when(
@@ -170,35 +220,7 @@ def salted_cell_join(
         .withColumn("salt", F.explode("salts"))
         .drop("salts", "is_hot")
     )
-    return p.join(c, ["cell", "salt"]).drop("salt")
-
-
-def _refine_batches(batches, ring_lookup):
-    """Shared PIP loop: batches carry (point_id, lon, lat, parcel_id);
-    ring arrays come from `ring_lookup(parcel_id, batch)`."""
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        keep_point, keep_parcel = [], []
-        for pid, g in pdf.groupby("parcel_id", sort=False):
-            xs, ys, offs = ring_lookup(pid, g)
-            inside = points_in_polygon(
-                g["lon"].to_numpy(np.float64),
-                g["lat"].to_numpy(np.float64),
-                xs,
-                ys,
-                offs,
-            )
-            pts = g["point_id"].to_numpy(np.int64)[inside]
-            keep_point.append(pts)
-            keep_parcel.append(np.full(len(pts), pid, dtype=np.int64))
-        if keep_point:
-            yield pd.DataFrame(
-                {
-                    "point_id": np.concatenate(keep_point),
-                    "parcel_id": np.concatenate(keep_parcel),
-                }
-            )
+    return p.join(c, [*keys, "salt"]).drop("salt")
 
 
 def _pip_refine(
@@ -266,14 +288,38 @@ def _pip_refine(
     )
 
     def refine_joined(batches):
-        def lookup(pid, g):
-            return (
-                np.asarray(g["xs"].iloc[0], dtype=np.float64),
-                np.asarray(g["ys"].iloc[0], dtype=np.float64),
-                np.asarray(g["ring_offsets"].iloc[0], dtype=np.int64),
+        # same row-vectorized kernel as the broadcast path: build the
+        # padded edge matrices from the batch's distinct parcels, then
+        # one NumPy pass over all rows
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            firsts = pdf.drop_duplicates("parcel_id")
+            pids = firsts["parcel_id"].to_numpy(np.int64)
+            X1, Y1, X2, Y2 = build_edge_matrix(
+                zip(
+                    firsts["xs"].values,
+                    firsts["ys"].values,
+                    firsts["ring_offsets"].values,
+                )
             )
-
-        yield from _refine_batches(batches, lookup)
+            idx_map = {int(p): i for i, p in enumerate(pids)}
+            pid = pdf["parcel_id"].to_numpy(np.int64)
+            pidx = np.fromiter(
+                (idx_map[int(p)] for p in pid), dtype=np.int64, count=len(pid)
+            )
+            inside = points_in_polygons_rowwise(
+                pdf["lon"].to_numpy(np.float64),
+                pdf["lat"].to_numpy(np.float64),
+                pidx,
+                X1,
+                Y1,
+                X2,
+                Y2,
+            )
+            out = pdf.loc[inside, ["point_id", "parcel_id"]]
+            if len(out):
+                yield out
 
     return with_rings.mapInPandas(refine_joined, schema="point_id long, parcel_id long")
 
@@ -290,6 +336,7 @@ def cell_spatial_join(
     cover: DataFrame | None = None,
     salt_hot: int = 8,
     hot_threshold: int = 256,
+    compact_d: int = 0,
 ) -> DataFrame:
     """points (point_id, lon, lat) x parcels (parcel_id, rings) ->
     (point_id, parcel_id) pairs where the point is strictly inside.
@@ -301,33 +348,70 @@ def cell_spatial_join(
     Strategy (explicit, from measured build size — north rule):
     'broadcast' broadcasts the cell cover to the probe side and ships
     ring arrays as a task broadcast; 'shuffle' hash-joins on cell with
-    AQE skew-split and attaches rings by a parcel-id join."""
+    AQE skew-split and attaches rings by a parcel-id join.
+
+    compact_d > 0 enables the multi-resolution cover (H3 'compact'
+    analog): interior blocks collapse d levels coarser and each point
+    probes both resolutions. Wins when polygons span many cells
+    (cover shrinks ~x4 for dense urban parcels); for small-polygon
+    mixes the doubled probe outweighs it — hence opt-in (measured:
+    3.77M -> 2.11M cover rows but +40% wall on the sf0.1 rect mix)."""
     parcels = parcels.persist()
     if strategy == "auto":
         strategy = "broadcast" if parcels.count() <= BROADCAST_PARCEL_LIMIT else "shuffle"
 
+    compacted = scheme == "grid" and compact_d > 0 and cover is None
     if cover is None:
         # persist: the full-hit and partial branches of the union both
         # consume the cover — without this the polyfill kernel (and its
         # broadcast build) runs once per branch (seen in .explain)
-        cover = polyfill(parcels, level=level, scheme=scheme).persist()
+        if compacted:
+            cover = polyfill_compact(parcels, level=level, d=compact_d).persist()
+        else:
+            cover = polyfill(parcels, level=level, scheme=scheme).persist()
 
-    if scheme == "grid":
+    if compacted:
+        # probe each point at BOTH resolutions (explode of 2 structs —
+        # pure JVM); join key is (lvl, cell) so ids can't collide
+        coarse = level - compact_d
+        pts = points.withColumn(
+            "lc",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(level).cast("int").alias("lvl"),
+                        S.grid_cell_col(F.col("lon"), F.col("lat"), level).alias(
+                            "cell"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit(coarse).cast("int").alias("lvl"),
+                        S.grid_cell_col(F.col("lon"), F.col("lat"), coarse).alias(
+                            "cell"
+                        ),
+                    ),
+                )
+            ),
+        ).select(*points.columns, "lc.lvl", "lc.cell")
+        keys = ["lvl", "cell"]
+    elif scheme == "grid":
         pts = points.withColumn(
             "cell", S.grid_cell_col(F.col("lon"), F.col("lat"), level)
         )
+        keys = ["cell"]
     else:
         pts = _with_hex_cell(points, level)
+        keys = ["cell"]
 
     if strategy == "broadcast":
-        cand = pts.join(F.broadcast(cover), "cell")
+        cand = pts.join(F.broadcast(cover), keys)
     elif salt_hot > 1:
         # explicit skew handling: measured hot cells get salted
         cand = salted_cell_join(
-            pts, cover, salt_hot, hot_cells(cover, hot_threshold)
+            pts, cover, salt_hot, hot_cells(cover, hot_threshold, keys), keys
         )
     else:
-        cand = pts.join(cover, "cell")
+        cand = pts.join(cover, keys)
 
     # refinement ladder rung 1 (JVM, codegen): bbox prefilter via a tiny
     # per-parcel broadcast (array_min/max over the rings — no kernel).
