@@ -66,6 +66,93 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got == exp
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """Stateful streaming dedup: unique shas across TWO micro-batches
+    of the same file == batch-exact dedup (second batch all dupes)."""
+    import shutil
+
+    from cadastre_pg_spark.streaming.dedup import streaming_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{SF_UNIT}/documents.parquet", src / "a.parquet")
+    q = streaming_dedup(spark, str(src), query_name="sd_test")
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) FROM sd_test").head()[0]
+        # second batch: identical content again -> zero new survivors
+        shutil.copy(f"{SF_UNIT}/documents.parquet", src / "b.parquet")
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT count(*) FROM sd_test").head()[0]
+    finally:
+        q.stop()
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    n_unique = docs.select("text").distinct().count()
+    assert n1 == n_unique
+    assert n2 == n1  # every row of batch 2 was a known hash
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark: a second file whose events are far behind
+    the advanced watermark must NOT create new finalized windows."""
+    import pandas as pd
+
+    early = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-06-01 00:01:00", "2024-06-01 00:02:00"]),
+            "user_id": [1, 2],
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    late = early.assign(
+        event_id=[3, 4],
+        ts=pd.to_datetime(["2024-01-01 00:01:00", "2024-01-01 00:02:00"]),
+    )
+    much_later = early.assign(
+        event_id=[5, 6],
+        ts=pd.to_datetime(["2024-06-02 00:01:00", "2024-06-02 00:02:00"]),
+    )
+    src = tmp_path / "ev"
+    src.mkdir()
+    early.to_parquet(src / "1.parquet", coerce_timestamps="us")
+    from cadastre_pg_spark.streaming.events import windowed_counts_stream
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .load(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .count()
+        .select(F.col("w.start").alias("win_start"), "event_type", "count")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        much_later.to_parquet(src / "2.parquet", coerce_timestamps="us")  # advances the watermark
+        q.processAllAvailable()
+        n_before = spark.sql(
+            "SELECT count(*) FROM wm_test WHERE win_start < '2024-02-01'"
+        ).head()[0]
+        late.to_parquet(src / "3.parquet", coerce_timestamps="us")  # months behind the watermark
+        q.processAllAvailable()
+        n_after = spark.sql(
+            "SELECT count(*) FROM wm_test WHERE win_start < '2024-02-01'"
+        ).head()[0]
+    finally:
+        q.stop()
+    assert n_before == 0 and n_after == 0  # late data dropped
+
+
 def test_sessionize(spark):
     events = spark.read.parquet(f"{SF_UNIT}/events.parquet")
     out = sessionize(events, gap_minutes=30)
