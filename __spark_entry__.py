@@ -100,6 +100,20 @@ def q_grid_cell_assign(spark, sf_dir):
     )
 
 
+def q_morton_cell(spark, sf_dir):
+    """Z-order cell id per doc — the storage-clustering code, computed
+    with identical bit-interleave arithmetic in Spark codegen, the
+    NumPy kernel, and the DuckDB oracle."""
+    from cadastre_pg_spark.functions.zorder import morton_col
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    return docs.select(
+        "doc_id",
+        morton_col(S.lon_col(key), S.lat_col(key), LEVEL).alias("zcell"),
+    )
+
+
 def q_cell_histogram(spark, sf_dir):
     return (
         q_grid_cell_assign(spark, sf_dir)
@@ -537,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_cell_join": q_flagship,
         "spatial_join_scale": q_spatial_join_scale,
         "grid_cell_assign": q_grid_cell_assign,
+        "morton_cell": q_morton_cell,
         "cell_histogram": q_cell_histogram,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -603,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": f"""
             SELECT {cell} AS cell, count(*) AS n_docs FROM documents GROUP BY 1
         """,
+        "morton_cell": _morton_sql_oracle(),
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
@@ -806,6 +822,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+def _morton_sql_oracle() -> str:
+    from cadastre_pg_spark.functions.zorder import morton_sql
+
+    return f"""
+        SELECT doc_id,
+               {morton_sql(S.lon_sql('doc_id'), S.lat_sql('doc_id'), LEVEL)} AS zcell
+        FROM documents
+    """
 
 
 def _parcel_cte() -> str:
