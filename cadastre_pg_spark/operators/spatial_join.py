@@ -356,6 +356,17 @@ def cell_spatial_join(
     (cover shrinks ~x4 for dense urban parcels); for small-polygon
     mixes the doubled probe outweighs it — hence opt-in (measured:
     3.77M -> 2.11M cover rows but +40% wall on the sf0.1 rect mix)."""
+    for col, df, side in (
+        ("point_id", points, "points"),
+        ("lon", points, "points"),
+        ("lat", points, "points"),
+        ("parcel_id", parcels, "parcels"),
+        ("xs", parcels, "parcels"),
+        ("ys", parcels, "parcels"),
+        ("ring_offsets", parcels, "parcels"),
+    ):
+        if col not in df.columns:
+            raise ValueError(f"{side} side is missing required column {col!r}")
     parcels = parcels.persist()
     if strategy == "auto":
         strategy = "broadcast" if parcels.count() <= BROADCAST_PARCEL_LIMIT else "shuffle"

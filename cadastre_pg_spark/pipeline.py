@@ -37,11 +37,14 @@ def run_import(
     n_pages: int = 2000,
     n_parcels: int = 100,
     level: int = 10,
+    pages_df=None,
 ) -> dict:
-    """Returns {stage: rows_committed} plus placement output path."""
+    """Returns {stage: rows_committed} plus placement output path.
+    pass `pages_df` to import a pre-materialized pages table (e.g. a
+    parquet scan) instead of generating synthetically."""
     report = {}
 
-    pages = generate_pages(spark, n_pages).withColumn(
+    pages = (pages_df if pages_df is not None else generate_pages(spark, n_pages)).withColumn(
         "dep_part", F.pmod(F.xxhash64("dep"), F.lit(16)).cast("int")
     )
     extract = extract_text_udf("8859-15")
@@ -53,11 +56,10 @@ def run_import(
             "url",
             "dep",
             "dep_part",
-            extract(F.col("html")).alias("text"),
-            F.sha2(extract(F.col("html")), 256).alias("text_sha"),
+            extract(F.col("html")).alias("text"),  # the Arrow kernel runs ONCE
             lon_col(key).alias("lon"),
             lat_col(key).alias("lat"),
-        )
+        ).withColumn("text_sha", F.sha2("text", 256))
 
     out_extract, m1 = run_stage(
         spark,
