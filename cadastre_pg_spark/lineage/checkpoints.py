@@ -52,12 +52,24 @@ class CheckpointLog:
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
 
     def committed(self, stage: str) -> DataFrame:
-        """(partition_id, content_hash) pairs already committed."""
+        """(partition_id, content_hash) of the LATEST committed row per
+        partition. The log is append-only, so a partition re-committed
+        with new content supersedes its old rows — only the current
+        hash counts as done (matching the reference's ON CONFLICT DO
+        UPDATE upsert, postgres.rs:98-168). Without this, a partition
+        whose content *reverts* to any previously committed hash would
+        be skipped while the output dir still holds the newer data."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("partition_id").orderBy(
+            F.col("committed_at").desc(), F.col("run_id").desc()
+        )
         return (
             self.read()
             .filter((F.col("stage") == stage) & (F.col("status") == "committed"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
             .select("partition_id", "content_hash")
-            .distinct()
         )
 
     def append(self, rows_df: DataFrame) -> None:
@@ -124,16 +136,29 @@ def run_stage(
         "_pid", F.col(partition_col).cast("int")
     )
 
-    # data files first (idempotent: per-partition dirs, dynamic overwrite)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    processed.write.mode("overwrite").partitionBy("_pid").parquet(out_dir)
+    # data files first (idempotent: per-partition dirs, dynamic overwrite).
+    # Save/restore the session conf — leaking 'dynamic' would silently
+    # change the semantics of unrelated overwrite-partitioned writes.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        processed.write.mode("overwrite").partitionBy("_pid").parquet(out_dir)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
 
     # metrics from what landed, then the commit-point append (an empty
-    # stage may write no files at all — read with the known schema)
+    # stage may write no files at all — read with the known schema).
+    # Only the partition column is read: counting a parquet scan pruned
+    # to the directory-derived column is served from file footers, so
+    # this is a metadata pass, NOT a re-scan of the stage output.
     try:
-        landed_raw = spark.read.schema(processed.schema).parquet(out_dir)
+        landed_raw = spark.read.schema(processed.schema).parquet(out_dir).select("_pid")
     except Exception:
-        landed_raw = spark.createDataFrame([], processed.schema)
+        landed_raw = spark.createDataFrame([], processed.schema).select("_pid")
     landed = landed_raw.join(
         F.broadcast(todo.select(F.col("partition_id").alias("_pid"))),
         "_pid",

@@ -219,8 +219,7 @@ def embedding_neardup_pairs(
     slower for 64-dim arrays). Joins stay JVM-side."""
     from .similarity import _unit_and_bucket
 
-    dim = len(embeddings.select("embedding").head()[0])
-    sig = _unit_and_bucket(embeddings, n_planes, dim)
+    sig = _unit_and_bucket(embeddings, n_planes)
     a = sig.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "bucket"
     )

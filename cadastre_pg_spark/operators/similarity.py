@@ -15,16 +15,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _unit_and_bucket(df: DataFrame, n_planes: int, dim: int) -> DataFrame:
+def _unit_and_bucket(df: DataFrame, n_planes: int) -> DataFrame:
     """(vec_id, embedding) -> (vec_id, u array<double>, bucket long),
-    vectorized NumPy: one matrix multiply per Arrow batch."""
-    planes = _planes(n_planes, dim)
+    vectorized NumPy: one matrix multiply per Arrow batch. The plane
+    matrix is derived lazily from the first batch's vector width — no
+    driver-side head() job, and an empty input yields an empty result
+    instead of raising."""
 
     def gen(batches):
+        planes = None
         for pdf in batches:
             if pdf.empty:
                 continue
             m = np.stack(pdf["embedding"].values).astype(np.float64)
+            if planes is None:
+                planes = _planes(n_planes, m.shape[1])
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             u = m / norms[:, None]
@@ -120,7 +125,6 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(embeddings.select("embedding").head()[0])
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("arr")
     ).withColumn("features", array_to_vector("arr"))
@@ -204,13 +208,12 @@ def ann_topk(
     exact NumPy re-rank within candidates."""
     from itertools import combinations
 
-    dim = len(embeddings.select("embedding").head()[0])
-    e = _unit_and_bucket(embeddings, n_planes, dim).select(
+    e = _unit_and_bucket(embeddings, n_planes).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("u").alias("nu"),
         "bucket",
     )
-    qb = _unit_and_bucket(queries, n_planes, dim).select(
+    qb = _unit_and_bucket(queries, n_planes).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu"), "bucket"
     )
     # multi-probe: every mask with <= probe_bits bits set

@@ -36,7 +36,10 @@ from ..kernels.pip import (
 PARCEL_FLAT_SCHEMA = (
     "parcel_id long, xs array<double>, ys array<double>, ring_offsets array<int>"
 )
-COVER_SCHEMA = "parcel_id long, cell long, is_full boolean"
+COVER_SCHEMA = (
+    "parcel_id long, cell long, is_full boolean, "
+    "x0 double, x1 double, y0 double, y1 double"
+)
 
 # cover rows (~20 B/row -> ~160 MB ceiling); above this the probe-side
 # join shuffles on cell with AQE skew-split instead of broadcasting
@@ -80,7 +83,10 @@ def points_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-COVER_COMPACT_SCHEMA = "parcel_id long, cell long, is_full boolean, lvl int"
+COVER_COMPACT_SCHEMA = (
+    "parcel_id long, cell long, is_full boolean, lvl int, "
+    "x0 double, x1 double, y0 double, y1 double"
+)
 
 
 def polyfill_compact(
@@ -96,23 +102,27 @@ def polyfill_compact(
     def gen(batches):
         for pdf in batches:
             ids, cells_out, fulls, lvls = [], [], [], []
+            bx0, bx1, by0, by1 = [], [], [], []
             for pid, xs, ys, offs in zip(
                 pdf["parcel_id"].values,
                 pdf["xs"].values,
                 pdf["ys"].values,
                 pdf["ring_offsets"].values,
             ):
+                xa = np.asarray(xs, dtype=np.float64)
+                ya = np.asarray(ys, dtype=np.float64)
                 cc, ff, ll = grid_cover_compact(
-                    np.asarray(xs, dtype=np.float64),
-                    np.asarray(ys, dtype=np.float64),
-                    np.asarray(offs, dtype=np.int64),
-                    level,
-                    d,
+                    xa, ya, np.asarray(offs, dtype=np.int64), level, d
                 )
-                ids.append(np.full(len(cc), pid, dtype=np.int64))
+                k = len(cc)
+                ids.append(np.full(k, pid, dtype=np.int64))
                 cells_out.append(cc)
                 fulls.append(ff)
                 lvls.append(ll)
+                bx0.append(np.full(k, xa.min()))
+                bx1.append(np.full(k, xa.max()))
+                by0.append(np.full(k, ya.min()))
+                by1.append(np.full(k, ya.max()))
             if ids:
                 yield pd.DataFrame(
                     {
@@ -120,6 +130,10 @@ def polyfill_compact(
                         "cell": np.concatenate(cells_out),
                         "is_full": np.concatenate(fulls),
                         "lvl": np.concatenate(lvls).astype(np.int32),
+                        "x0": np.concatenate(bx0),
+                        "x1": np.concatenate(bx1),
+                        "y0": np.concatenate(by0),
+                        "y1": np.concatenate(by1),
                     }
                 )
 
@@ -147,27 +161,39 @@ def polyfill(
     def gen(batches):
         for pdf in batches:
             ids, cells_out, fulls = [], [], []
+            bx0, bx1, by0, by1 = [], [], [], []
             for pid, xs, ys, offs in zip(
                 pdf["parcel_id"].values,
                 pdf["xs"].values,
                 pdf["ys"].values,
                 pdf["ring_offsets"].values,
             ):
+                xa = np.asarray(xs, dtype=np.float64)
+                ya = np.asarray(ys, dtype=np.float64)
                 cc, ff = cover_fn(
-                    np.asarray(xs, dtype=np.float64),
-                    np.asarray(ys, dtype=np.float64),
-                    np.asarray(offs, dtype=np.int64),
-                    res,
+                    xa, ya, np.asarray(offs, dtype=np.int64), res
                 )
-                ids.append(np.full(len(cc), pid, dtype=np.int64))
+                k = len(cc)
+                ids.append(np.full(k, pid, dtype=np.int64))
                 cells_out.append(cc)
                 fulls.append(ff)
+                # per-parcel bbox carried AS COLUMNS on the cover rows so
+                # the bbox prefilter rung is join-free on the shuffle path
+                # (no broadcast that scales with parcel count)
+                bx0.append(np.full(k, xa.min()))
+                bx1.append(np.full(k, xa.max()))
+                by0.append(np.full(k, ya.min()))
+                by1.append(np.full(k, ya.max()))
             if ids:
                 yield pd.DataFrame(
                     {
                         "parcel_id": np.concatenate(ids),
                         "cell": np.concatenate(cells_out),
                         "is_full": np.concatenate(fulls),
+                        "x0": np.concatenate(bx0),
+                        "x1": np.concatenate(bx1),
+                        "y0": np.concatenate(by0),
+                        "y1": np.concatenate(by1),
                     }
                 )
 
@@ -414,8 +440,31 @@ def cell_spatial_join(
         pts = _with_hex_cell(points, level)
         keys = ["cell"]
 
+    # refinement ladder rung 1 (JVM, codegen): bbox prefilter. The cover
+    # rows built by polyfill CARRY the per-parcel bbox as columns, so the
+    # rung is join-free — critical on the shuffle path, where a separate
+    # bbox broadcast would scale with parcel count (the exact regime the
+    # shuffle strategy exists for). Points in full cells trivially
+    # satisfy it (cell ⊂ polygon ⊂ bbox), so it only prunes partial-cell
+    # candidates — before any Python runs. A caller-provided cover
+    # without bbox columns falls back to a parcels-derived broadcast.
+    has_bbox = "x0" in cover.columns
+    bbox_filter = (
+        (F.col("lon") >= F.col("x0"))
+        & (F.col("lon") <= F.col("x1"))
+        & (F.col("lat") >= F.col("y0"))
+        & (F.col("lat") <= F.col("y1"))
+    )
     if strategy == "broadcast":
-        cand = pts.join(F.broadcast(cover), keys)
+        # the broadcast cover stays narrow (bbox columns quadruple its
+        # width); the bbox rung instead joins a per-PARCEL broadcast,
+        # which is small by the same measured gate that chose broadcast
+        if has_bbox:
+            cover_bc = cover.drop("x0", "x1", "y0", "y1")
+            has_bbox = False
+        else:
+            cover_bc = cover
+        cand = pts.join(F.broadcast(cover_bc), keys)
     elif salt_hot > 1:
         # explicit skew handling: measured hot cells get salted
         cand = salted_cell_join(
@@ -424,29 +473,39 @@ def cell_spatial_join(
     else:
         cand = pts.join(cover, keys)
 
-    # refinement ladder rung 1 (JVM, codegen): bbox prefilter via a tiny
-    # per-parcel broadcast (array_min/max over the rings — no kernel).
-    # Points in full cells trivially satisfy it (cell ⊂ polygon ⊂ bbox),
-    # so it only prunes partial-cell candidates — before any Python runs.
-    bbox = parcels.select(
-        "parcel_id",
-        F.array_min("xs").alias("x0"),
-        F.array_max("xs").alias("x1"),
-        F.array_min("ys").alias("y0"),
-        F.array_max("ys").alias("y1"),
-    )
-    cand = cand.join(F.broadcast(bbox), "parcel_id").filter(
-        (F.col("lon") >= F.col("x0"))
-        & (F.col("lon") <= F.col("x1"))
-        & (F.col("lat") >= F.col("y0"))
-        & (F.col("lat") <= F.col("y1"))
-    )
+    if has_bbox:
+        cand = cand.filter(bbox_filter)
+    else:
+        small_bbox = parcels.select(
+            "parcel_id",
+            F.array_min("xs").alias("x0"),
+            F.array_max("xs").alias("x1"),
+            F.array_min("ys").alias("y0"),
+            F.array_max("ys").alias("y1"),
+        )
+        cand = cand.join(F.broadcast(small_bbox), "parcel_id").filter(bbox_filter)
     full_hits = cand.filter(F.col("is_full")).select("point_id", "parcel_id")
     partial = cand.filter(~F.col("is_full")).select(
         "point_id", "lon", "lat", "parcel_id"
     )
     partial_hits = _pip_refine(partial, parcels, strategy)
-    return full_hits.unionByName(partial_hits)
+    out = full_hits.unionByName(partial_hits)
+    # memory hygiene: the persisted build-side inputs are attached so a
+    # long-lived session can release them once the join materializes
+    # (release_cached(out)) — persist() without unpersist() accumulates
+    # cache across repeated calls (bench loops, multi-stage pipelines).
+    out._cadastre_cached = [parcels, cover]
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the build-side DataFrames cell_spatial_join cached for
+    `df`. Call after the join's terminal action; safe to call twice."""
+    for cached in getattr(df, "_cadastre_cached", []):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
 
 
 def _with_hex_cell(points: DataFrame, res: int) -> DataFrame:

@@ -74,15 +74,29 @@ def run_import(
 
     extracted = spark.read.parquet(out_extract)
 
-    # stage 2: content dedup (J3) — exact sha, keep first url
-    deduped = extracted.dropDuplicates(["text_sha"])
+    # stage 2: content dedup (J3) — exact sha; the survivor is the
+    # min-url row, NOT an arbitrary dropDuplicates pick, so placement
+    # output (lon/lat derive from the surviving url) and the stage
+    # content hashes stay deterministic across runs/partitionings —
+    # required by the resume protocol's skip-on-identical-input check
+    from pyspark.sql import Window
+
+    w_sha = Window.partitionBy("text_sha").orderBy(F.col("url").asc())
+    deduped = (
+        extracted.withColumn("_rn", F.row_number().over(w_sha))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     # stage 3: spatial placement (J9) against the parcel build side
     parcels = generate_parcels(spark, n_parcels, size_scale=20.0).select(
         F.xxhash64("parcel_id").alias("parcel_id"), "xs", "ys", "ring_offsets"
     )
+    # join identity: full xxhash64 (collision-free in practice; no abs —
+    # F.abs(Long.MIN_VALUE) would ANSI-overflow). The 22-bit capped key
+    # is used only for the lon/lat derivation in stage 1.
     points = deduped.select(
-        F.abs(F.xxhash64("url")).alias("point_id"), "url", "dep_part", "lon", "lat"
+        F.xxhash64("url").alias("point_id"), "url", "dep_part", "lon", "lat"
     )
     placed = cell_spatial_join(
         points.select("point_id", "lon", "lat"), parcels, level=level

@@ -28,7 +28,9 @@ def audit(df: DataFrame) -> dict:
     )
     return {
         "broadcast_join": "BroadcastHashJoin" in s,
-        "shuffle_exchange": "Exchange hashpartitioning" in s,
+        # simple/extended modes print "Exchange hashpartitioning(...)",
+        # formatted mode prints "Exchange (n)" + "Arguments: hashpartitioning"
+        "shuffle_exchange": "hashpartitioning(" in s,
         "codegen": has_codegen,
         "pushed_filters": "PushedFilters: [" in s and not _only_empty_filters(s),
         "columnar_scan": "Scan parquet" in s,

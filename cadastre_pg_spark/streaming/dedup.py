@@ -5,6 +5,16 @@ The streaming form of the reference's in-memory hash-set probe
 of content hashes already emitted; only first-seen rows pass. Buckets
 (pmod of the hash) bound per-group state and parallelize the probe —
 the same sharding a 1000-executor cluster would use.
+
+SCALE CAVEAT (deliberate demo simplification): per-bucket state is an
+ever-growing exact seen-set, rebuilt as a Python set each micro-batch.
+A production 100-TB stream needs bounded state — either a TTL via
+GroupStateTimeout (drop hashes not seen for N days: occasional
+re-emission of ancient dups, bounded memory) or a counting/bloom
+filter per bucket (fixed memory, tunable false-positive drop rate).
+The sharding and applyInPandasWithState plumbing stay identical; only
+the state payload changes, which is why the exact-set version is the
+one tested for stream==batch equality.
 """
 
 import pandas as pd

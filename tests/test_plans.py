@@ -57,6 +57,35 @@ def test_probe_side_has_no_pre_join_shuffle(spark):
     assert not audit(out)["shuffle_exchange"]
 
 
+def test_shuffle_path_bbox_is_join_free(spark):
+    """On the shuffle strategy (build side too big to broadcast) the
+    bbox prefilter must come from columns carried on the cover rows —
+    a bbox broadcast there would scale with parcel count, i.e. blow up
+    exactly when the shuffle path was chosen to avoid that."""
+    from cadastre_pg_spark.operators.spatial_join import (
+        cell_spatial_join,
+        parcels_from_parts,
+        points_from_docs,
+    )
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    parts = spark.read.parquet(f"{SF_UNIT}/part.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = cell_spatial_join(
+            points_from_docs(docs),
+            parcels_from_parts(parts),
+            strategy="shuffle",
+            salt_hot=0,
+        )
+        a = audit(out)
+        assert not a["broadcast_join"], "shuffle path must not broadcast bbox"
+        assert a["shuffle_exchange"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_tpch_q1_partial_aggregation(spark):
     df = E.queries()["tpch_q1"](spark, SF_UNIT)
     # map-side partial agg before the exchange (HashAggregate x2)
