@@ -594,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from cadastre_pg_spark.functions.hexsql import hex_cell_sql
+
     lon = S.lon_sql("doc_id")
     lat = S.lat_sql("doc_id")
     cell = S.grid_cell_sql(lon, lat, LEVEL)
@@ -605,6 +607,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE {S.lon_sql('d.doc_id')} BETWEEN {cx} - {hw} AND {cx} + {hw}
               AND {S.lat_sql('d.doc_id')} BETWEEN {cy} - {hh} AND {cy} + {hh}
         """,
+        # the hex-indexed join is exact (cell cover + PIP refine), so its
+        # output is the identical containment pair set — same oracle
+        "hex_spatial_join": f"""
+            SELECT d.doc_id AS doc_id, p.p_partkey AS parcel_id
+            FROM documents d, part p
+            WHERE {S.lon_sql('d.doc_id')} BETWEEN {cx} - {hw} AND {cx} + {hw}
+              AND {S.lat_sql('d.doc_id')} BETWEEN {cy} - {hh} AND {cy} + {hh}
+        """,
+        "hex_cell_assign": f"""
+            SELECT doc_id, {hex_cell_sql(lon, lat, 9)} AS cell FROM documents
+        """,
+        "reproject_points": _reproject_sql_oracle(),
         "spatial_join_scale": f"""
             SELECT t.i AS point_id, p.p_partkey AS parcel_id
             FROM range(0, {int(SCALE_POINTS_PER_SF * 0.01)}) t(i), part p
@@ -822,6 +836,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+def _reproject_sql_oracle() -> str:
+    """Unrolled 10-iteration Lambert-93 inverse in pure SQL (reference
+    math lambert.rs:68-112) — independent of the NumPy kernel."""
+    from cadastre_pg_spark.functions.projsql import lambert93_point_query_sql
+
+    x_expr = f"(100000.0 + 1100000.0 * ({S.u_sql('doc_id', S.MULT_LON)}))"
+    y_expr = f"(6000000.0 + 1200000.0 * ({S.u_sql('doc_id', S.MULT_LAT)}))"
+    return lambert93_point_query_sql("documents", "doc_id", x_expr, y_expr)
 
 
 def _morton_sql_oracle() -> str:

@@ -54,7 +54,10 @@ def lambert93_to_wgs84(x, y):
     y = np.asarray(y, dtype=np.float64)
     dx = x - _X0
     dy = _R0 - (y - _Y0)
-    rho = np.sign(_N) * np.hypot(dx, dy)
+    # sqrt(dx^2+dy^2) instead of np.hypot: same value to ~1 ulp, and
+    # exactly reproducible in ANSI SQL (the DuckDB oracle unrolls this
+    # whole inverse — hypot has no SQL twin with matching bits)
+    rho = np.sign(_N) * np.sqrt(dx * dx + dy * dy)
     theta = np.arctan2(dx, dy)
     lon = theta / _N + _LON0
     t = (rho / (_A * _F)) ** (1.0 / _N)
