@@ -527,11 +527,16 @@ def q_hex_cell_assign(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4)
+    """hash_fn='md5': the 32-bit md5-prefix shingle hash is exactly
+    reproducible in DuckDB SQL, so the WHOLE pipeline (signatures,
+    banding, bucket cap, estimate prefilter, exact hashed-set Jaccard)
+    has an independent oracle. The xxhash64 default stays the scale
+    path."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
 
 
 def q_simhash(spark, sf_dir):
-    return D.simhash(_docs(spark, sf_dir))
+    return D.simhash(_docs(spark, sf_dir), hash_fn="md5")
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -619,6 +624,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {hex_cell_sql(lon, lat, 9)} AS cell FROM documents
         """,
         "reproject_points": _reproject_sql_oracle(),
+        "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
+        "simhash": _simhash_sql_oracle(),
         "spatial_join_scale": f"""
             SELECT t.i AS point_id, p.p_partkey AS parcel_id
             FROM range(0, {int(SCALE_POINTS_PER_SF * 0.01)}) t(i), part p
@@ -836,6 +843,113 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+def _hex32_sql(m: str) -> str:
+    """First-8-hex-chars of an md5 VARCHAR -> BIGINT (the SQL twin of
+    dedup.shingle_hash32(hash_fn='md5'))."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substring({m}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+def _minhash_sql_oracle(threshold: float = 0.4) -> str:
+    """Full independent MinHash+LSH pipeline in DuckDB SQL: md5-prefix
+    shingle hashes, 32 affine-mix minima, 8-band keys, bucket cap,
+    signature-estimate prefilter, exact hashed-set Jaccard — mirroring
+    operators/dedup.minhash_lsh_pairs parameter for parameter."""
+    import math
+
+    rows_per_band = D.N_HASHES // D.BANDS
+    est_min = int(math.ceil((threshold - 0.25) * D.N_HASHES - 1e-9))
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {D._A[i]} + {D._B[i]}) % {D.MINHASH_PRIME}))"
+        for i in range(D.N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM ss".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 [array_to_string(t[i+1:i+3], ' ')
+                  for i in range(0, greatest(len(t) - 2, 0))] AS sg
+          FROM tok
+        ),
+        ss AS MATERIALIZED (
+          SELECT doc_id, list_distinct(sh) AS sset, [{sig_exprs}] AS sig
+          FROM (
+            SELECT doc_id,
+                   list_transform(list_transform(sg, s -> md5(s)),
+                                  m -> {_hex32_sql('m')}) AS sh
+            FROM sh0 WHERE len(sg) > 0
+          )
+        ),
+        banded AS MATERIALIZED ({band_selects}),
+        sizes AS (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2),
+        bok AS (
+          SELECT b.doc_id, b.band, b.key FROM banded b
+          JOIN sizes s ON b.band = s.band AND b.key = s.key AND s.n <= 4096
+        ),
+        cand AS (
+          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bok l JOIN bok r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_filter(range(1, {D.N_HASHES + 1}),
+                                 i -> a.sig[i] = b.sig[i])) AS est,
+                 CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE)
+                   AS jac
+          FROM cand c
+          JOIN ss a ON a.doc_id = c.doc_a
+          JOIN ss b ON b.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM v
+        WHERE est >= {est_min} AND jac >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _simhash_sql_oracle(bits: int = 32) -> str:
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    repack = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, {_hex32_sql('m')} AS h
+          FROM (SELECT doc_id, md5(tk) AS m FROM tok)
+        ),
+        bitsum AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({repack} AS BIGINT) AS simhash FROM bitsum
+    """
 
 
 def _reproject_sql_oracle() -> str:

@@ -62,84 +62,177 @@ def shingles(text_col, n: int = 3):
     ).otherwise(F.array())
 
 
-def minhash_signatures(docs: DataFrame, n_shingle: int = 3) -> DataFrame:
-    """(doc_id, sig array<long>[N_HASHES]) computed SHUFFLE-FREE per
-    row: shingle hashes once into an array column, then N_HASHES
-    array_min(transform(...)) expressions. 11x faster than the
-    explode + groupBy + N min-aggregates plan (no 100x row blow-up,
-    no hash-aggregate shuffle) with bit-identical output; docs with no
-    shingles are dropped, matching the aggregate plan's semantics."""
+def shingle_hash32(col, hash_fn: str = "xxhash64"):
+    """32-bit hash of a string column, JVM-side. 'xxhash64' (default,
+    fastest) or 'md5' — the md5 variant takes the first 8 hex chars of
+    the digest, exactly reproducible in DuckDB SQL for the independent
+    oracle (DuckDB has no xxhash64)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 32))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
-    def mix(i):
-        a, b = _A[i], _B[i]
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
 
+def _sig_cols(sh_col):
+    """N_HASHES minhash values from a hashed-shingle array column —
+    SHUFFLE-FREE per row (array_min over affine mixes). 11x faster than
+    the explode + groupBy + N min-aggregates plan (no 100x row blow-up,
+    no hash-aggregate shuffle) with bit-identical output. The mixes are
+    one nested transform over literal coefficient ARRAYS rather than 32
+    unrolled expressions — 32x smaller codegen, same arithmetic (janino
+    compile of the unrolled form dominated first-run latency)."""
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b"))
+            for i in range(N_HASHES)
+        ]
+    )
+    # the coefficient array is built once per ROW (outer transform);
+    # indexing literal arrays inside the INNER lambda would rebuild
+    # them once per shingle*hash — measured 3x slower
+    return F.transform(
+        coeffs,
+        lambda ab: F.array_min(
+            F.transform(
+                sh_col,
+                lambda h: F.pmod(h * ab.a + ab.b, F.lit(MINHASH_PRIME)),
+            )
+        ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_shingle: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sig array<long>[N_HASHES]); docs with no shingles are
+    dropped (matching the aggregate plan's semantics)."""
     with_hashes = docs.select(
         "doc_id",
         F.transform(
             shingles(F.col("text"), n_shingle),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
+            lambda s: shingle_hash32(s, hash_fn),
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
-    return with_hashes.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform(F.col("sh"), mix(i))) for i in range(N_HASHES)]
-        ).alias("sig"),
-    )
+    return with_hashes.select("doc_id", _sig_cols(F.col("sh")).alias("sig"))
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_shingle: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 4096,
+    est_margin: float = 0.25,
 ) -> DataFrame:
-    """Candidate pairs via LSH banding, verified with exact Jaccard on
-    distinct shingle sets: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """Candidate pairs via LSH banding, verified with exact Jaccard over
+    the 32-bit-hashed distinct shingle sets: (doc_a, doc_b, jaccard)
+    with doc_a < doc_b. Jaccard is computed in hashed-shingle space
+    (identical to string-shingle Jaccard up to 2^-32 hash collisions) —
+    the verify shuffle then carries ~8 B per shingle instead of the
+    full shingle strings, the round-1 cost center.
 
-    Scale shape: band-bucket equi-join (shuffle on bucket hash), exact
-    verify only within buckets — the shuffle never sees the full
-    pairwise cross product."""
-    sigs = minhash_signatures(docs, n_shingle)
+    Scale shape:
+    - signatures + distinct hash sets in ONE pass over the text
+      (shared `sh` array), persisted for the 3 downstream consumers;
+    - band-bucket equi-join (shuffle on (band, key)) — never all-pairs;
+    - degenerate-bucket cap: buckets with > max_bucket members
+      (boilerplate/empty-doc mega-buckets that would go quadratic) are
+      SKIPPED, and the skipped buckets are attached as a metric
+      DataFrame on the result (`result._skipped_buckets`: band, key, n)
+      — no silent caps;
+    - verify rung 1 (JVM): signature-estimated Jaccard (matching
+      minhash fraction) must reach threshold - est_margin before the
+      exact set intersection runs. A band match already implies >= 4/32
+      agreement; the margin keeps the drop probability for a pair at
+      the threshold below ~1e-3 while pruning boilerplate-bucket junk
+      at higher thresholds.
+    """
+    # a small single-file scan arrives as ONE task; the signature
+    # projection is CPU-bound, so spread it first. At scale the input
+    # already has >= parallelism partitions and this is a no-op.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            shingles(F.col("text"), n_shingle),
+            lambda s: shingle_hash32(s, hash_fn),
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ss = base.select(
+        "doc_id",
+        _sig_cols(F.col("sh")).alias("sig"),
+        F.array_distinct("sh").alias("sset"),
+    ).persist()
+
     rows_per_band = N_HASHES // BANDS
-    banded = sigs.select(
+    banded = ss.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
                     )
                     for b in range(BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    ).select("doc_id", "bb.band", "bb.key")
+
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    skipped = sizes.filter(F.col("n") > max_bucket)
+    banded_ok = banded.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+        "left_semi",
+    )
+
+    left = banded_ok.alias("l")
+    right = banded_ok.alias("r")
     cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = docs.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"), n_shingle)).alias("sset")
+
+    # integer cutoff so engine and SQL oracle compare identically
+    import math as _math
+
+    est_min = int(_math.ceil((threshold - est_margin) * N_HASHES - 1e-9))
+    a_side = ss.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sset").alias("set_a"),
+    )
+    b_side = ss.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sset").alias("set_b"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
     )
     verified = (
-        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
-        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .filter(est >= F.lit(est_min))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("set_a", "set_b")).cast("double")
@@ -148,6 +241,8 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    verified._skipped_buckets = skipped
+    verified._cadastre_cached = [ss]
     return verified
 
 
@@ -179,12 +274,19 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash long): sign-sum of token-hash bits, JVM-side —
-    explode tokens, per-bit conditional +-1 sums, repack."""
+    explode tokens, per-bit conditional +-1 sums, repack. hash_fn='md5'
+    uses the 32-bit md5 prefix (SQL-oracle-reproducible); bits must be
+    <= 32 in that mode."""
+    if hash_fn == "md5" and bits > 32:
+        raise ValueError("md5 hash mode carries 32 bits")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        F.xxhash64("tok") if hash_fn == "xxhash64" else shingle_hash32(F.col("tok"), "md5"),
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
