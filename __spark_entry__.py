@@ -626,6 +626,25 @@ def oracle_sql() -> dict[str, str]:
         "reproject_points": _reproject_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
         "simhash": _simhash_sql_oracle(),
+        # all-pairs ground truth: every cosine >= threshold pair must be
+        # found by the hyperplane buckets (identical planted copies have
+        # identical sign vectors, so bucket recall is structural, not
+        # probabilistic); engine and oracle round their own cosines —
+        # values coincide at 6 decimals (planted pairs sit at 1.0, the
+        # next-closest pair is below 0.5, so the threshold cannot flip)
+        "embedding_neardup": """
+            WITH both_t AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                     AS cosine
+            FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= CAST('0.999' AS DOUBLE)
+        """,
         "spatial_join_scale": f"""
             SELECT t.i AS point_id, p.p_partkey AS parcel_id
             FROM range(0, {int(SCALE_POINTS_PER_SF * 0.01)}) t(i), part p
