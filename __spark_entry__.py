@@ -461,42 +461,42 @@ def q_tile_extract(spark, sf_dir):
 # ------------------------------------------- engine-only (rows-only check)
 
 
+PAGES_PER_SF = 200_000
+STAR_PARCELS_PER_SF = 20_000
+STAR_SCALE = 20.0  # densifies the tiny polygons so sparse points still hit
+
+
 def q_pages_pipeline(spark, sf_dir):
     """End-to-end web-page slice: deterministic pages table -> byte-
-    identical text extraction (pandas UDF kernel) -> hashed page points
-    -> cell join against GENERAL polygon parcels (holes + stitched
-    rings from the generator). Engine-only; pytest holds the NumPy
-    brute-force oracle."""
+    identical text extraction (pandas UDF kernel, reference decode
+    semantics edigeo/src/lib.rs:171-174) -> page points keyed by the
+    page index parsed from the url (collision-free join identity) ->
+    cell join against GENERAL star polygons (concave, periodic holes).
+    Fully oracled: DuckDB rebuilds the pages (sha256 chains), the
+    extracted-text sha, the star vertices, and ray-casts the PIP."""
     from cadastre_pg_spark.data.pages import extract_text_udf, generate_pages
-    from cadastre_pg_spark.data.parcels import generate_parcels
+    from cadastre_pg_spark.data.parcels import generate_star_parcels
 
-    n_pages = max(200, int(200_000 * _sf_of(sf_dir)))
-    n_parcels = max(50, int(20_000 * _sf_of(sf_dir)))
+    n_pages = max(200, int(PAGES_PER_SF * _sf_of(sf_dir)))
+    n_parcels = max(50, int(STAR_PARCELS_PER_SF * _sf_of(sf_dir)))
     pages = generate_pages(spark, n_pages)
-    # size_scale densifies the tiny cadastral polygons so the sparse
-    # synthetic point set still produces joined pairs at test scale
-    parcels = generate_parcels(spark, n_parcels, size_scale=20.0).withColumn(
-        "pid", F.xxhash64("parcel_id")
-    )
+    parcels = generate_star_parcels(spark, n_parcels, size_scale=STAR_SCALE)
     extract_udf = extract_text_udf("8859-15")
 
-    # cap the key so key * MULT stays inside int64 (ANSI mode errors
-    # on overflow): 2^22 * 2654435761 < 2^54
-    key = F.abs(F.xxhash64("url")) % F.lit(1 << 22)
+    # the page index (last 8 url chars) is the point key: unique by
+    # construction — a hashed key would collide by birthday math and
+    # fan out duplicate rows through the join
+    key = F.substring("url", -8, 8).cast("long")
     points = pages.select(
         F.col("url"),
         F.sha2(extract_udf(F.col("html")), 256).alias("text_sha"),
-        key.alias("pkey"),
-    ).select(
-        F.col("pkey").alias("point_id"),
-        "url",
-        "text_sha",
-        S.lon_col(F.col("pkey")).alias("lon"),
-        S.lat_col(F.col("pkey")).alias("lat"),
+        key.alias("point_id"),
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
     )
     joined = cell_spatial_join(
         points.select("point_id", "lon", "lat"),
-        parcels.select(F.col("pid").alias("parcel_id"), "xs", "ys", "ring_offsets"),
+        parcels,
         level=LEVEL,
     )
     return joined.join(
@@ -624,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {hex_cell_sql(lon, lat, 9)} AS cell FROM documents
         """,
         "reproject_points": _reproject_sql_oracle(),
+        "pages_pipeline": _pages_pipeline_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
         "simhash": _simhash_sql_oracle(),
         # all-pairs ground truth: every cosine >= threshold pair must be
@@ -968,6 +969,61 @@ def _simhash_sql_oracle(bits: int = 32) -> str:
         ),
         bitsum AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({repack} AS BIGINT) AS simhash FROM bitsum
+    """
+
+
+def _pages_pipeline_sql_oracle() -> str:
+    """Independent rebuild of the whole pages pipeline in DuckDB SQL:
+    pages (sha256 chains -> url + canonical-extraction sha), points
+    (LCG lon/lat from the page index), star-parcel vertices (exact
+    square-perimeter arithmetic), and even-odd ray-cast PIP over
+    exterior + hole edges — mirrors kernels/pip.py crossing rule."""
+    from cadastre_pg_spark.data.pages_sql import pages_cte_sql
+
+    n_pages = max(200, int(PAGES_PER_SF * 0.01))
+    n_parcels = max(50, int(STAR_PARCELS_PER_SF * 0.01))
+    m, cx, cy, hw, hh, vx, vy = S.star_vertices_sql("j", STAR_SCALE)
+    hole = f"(j % {S.STAR_HOLE_PERIOD} = {S.STAR_HOLE_RESIDUE})"
+
+    def edge_list(x_of: str, y_of: str) -> str:
+        # x_of/y_of: templates with {k} for the 0-based vertex index
+        return (
+            "[{"
+            f"'x1': {x_of.format(k='k')}, 'y1': {y_of.format(k='k')}, "
+            f"'x2': {x_of.format(k='((k+1) % m)')}, "
+            f"'y2': {y_of.format(k='((k+1) % m)')}"
+            "} for k in range(0, m)]"
+        )
+
+    ext = edge_list("vx[{k}+1]", "vy[{k}+1]")
+    hx = f"(cx + {S.STAR_HOLE_SCALE} * (vx[{{k}}+1] - cx))"
+    hy = f"(cy + {S.STAR_HOLE_SCALE} * (vy[{{k}}+1] - cy))"
+    hol = edge_list(hx, hy)
+    return f"""
+        WITH {pages_cte_sql(n_pages)},
+        pts AS (
+          SELECT i, url, text_sha,
+                 {S.lon_sql('i')} AS px, {S.lat_sql('i')} AS py
+          FROM pg
+        ),
+        parc AS (
+          SELECT j, {m} AS m, {cx} AS cx, {cy} AS cy,
+                 {hw} AS hw, {hh} AS hh, {vx} AS vx, {vy} AS vy
+          FROM range(0, {n_parcels}) s(j)
+        ),
+        pedges AS (
+          SELECT j, cx, cy, hw, hh,
+                 list_concat({ext},
+                   CASE WHEN {hole} THEN {hol} ELSE ({ext})[1:0] END) AS eds
+          FROM parc
+        )
+        SELECT p.url AS url, p.text_sha AS text_sha, e.j AS parcel_id
+        FROM pts p, pedges e
+        WHERE abs(p.px - e.cx) <= e.hw AND abs(p.py - e.cy) <= e.hh
+          AND len(list_filter(e.eds, ed ->
+                ((ed.y1 > p.py) <> (ed.y2 > p.py))
+                AND p.px < ed.x1 + (p.py - ed.y1) / (ed.y2 - ed.y1)
+                                   * (ed.x2 - ed.x1))) % 2 = 1
     """
 
 

@@ -108,3 +108,25 @@ def generate_parcels(
             )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PARCEL_SCHEMA)
+
+
+def generate_star_parcels(
+    spark: SparkSession, n: int, partitions: int = 16, size_scale: float = 1.0
+) -> DataFrame:
+    """General star polygons (concave, periodic holes) built ENTIRELY
+    JVM-side from exact arithmetic (data/synthetic.py star_parcel_cols)
+    — unlike make_parcel's np.random rings these are reproducible in
+    plain SQL, so pipelines over them get a full DuckDB oracle.
+    Columns: (parcel_id, xs, ys, ring_offsets)."""
+    from pyspark.sql import functions as F
+
+    from .synthetic import star_parcel_cols
+
+    key = F.col("id").cast("long")
+    xs, ys, offs = star_parcel_cols(key, size_scale)
+    return spark.range(0, n, 1, partitions).select(
+        key.alias("parcel_id"),
+        xs.alias("xs"),
+        ys.alias("ys"),
+        offs.alias("ring_offsets"),
+    )

@@ -99,6 +99,124 @@ def parcel_box_cols(key: Column):
     return cx, cy, hw, hh
 
 
+# ------------------------------------------------- star parcels (general)
+
+# General star-shaped polygons (concave, optional hole) parameterized on
+# the SQUARE perimeter instead of trig: vertex direction is a piecewise-
+# linear walk of the unit square, so the whole construction is +,-,*,/
+# and floor — bit-identical between Spark codegen, NumPy, and DuckDB SQL
+# (cos/sin differ by ~1 ulp between libms, which PIP boundary tests
+# can't tolerate). Radius jitter makes ~half the shapes concave; every
+# 20th parcel gets a 0.3-scaled interior hole (even-odd PIP).
+STAR_SIZE0, STAR_SIZE_SPAN = 0.002, 0.018
+STAR_HOLE_PERIOD = 20
+STAR_HOLE_RESIDUE = 3
+STAR_HOLE_SCALE = 0.3
+
+
+def _star_m_col(key: Column) -> Column:
+    return key % F.lit(4) + F.lit(4)  # 4..7 vertices
+
+
+def star_parcel_cols(key: Column, size_scale: float = 1.0):
+    """(xs, ys, ring_offsets) Columns for the star parcel of `key` —
+    pure JVM arithmetic (transform over sequence; no Python, no trig).
+    Rings are closed (first vertex repeated), matching PARCEL_SCHEMA."""
+    cx, cy, _, _ = parcel_box_cols(key)
+    hw = (F.lit(STAR_SIZE0) + F.lit(STAR_SIZE_SPAN) * u_col(key, MULT_W)) * F.lit(
+        float(size_scale)
+    )
+    hh = (F.lit(STAR_SIZE0) + F.lit(STAR_SIZE_SPAN) * u_col(key, MULT_H)) * F.lit(
+        float(size_scale)
+    )
+    m = _star_m_col(key)
+    ks = F.sequence(F.lit(0).cast("long"), m - 1)
+
+    def sxy(k):
+        vkey = key * F.lit(8) + k + F.lit(1)
+        t = (
+            k.cast("double")
+            + F.lit(0.5)
+            + F.lit(0.8) * (u_col(vkey, MULT_HOT) - F.lit(0.5))
+        ) / m.cast("double")
+        s = t * F.lit(4.0)
+        side = F.floor(s)
+        f = s - side.cast("double")
+        sx = (
+            F.when(side == 0, F.lit(1.0))
+            .when(side == 1, F.lit(1.0) - F.lit(2.0) * f)
+            .when(side == 2, F.lit(-1.0))
+            .otherwise(F.lit(-1.0) + F.lit(2.0) * f)
+        )
+        sy = (
+            F.when(side == 0, F.lit(-1.0) + F.lit(2.0) * f)
+            .when(side == 1, F.lit(1.0))
+            .when(side == 2, F.lit(1.0) - F.lit(2.0) * f)
+            .otherwise(F.lit(-1.0))
+        )
+        r = F.lit(0.4) + F.lit(0.6) * u_col(vkey, MULT_W)
+        return cx + r * hw * sx, cy + r * hh * sy
+
+    xs_open = F.transform(ks, lambda k: sxy(k)[0])
+    ys_open = F.transform(ks, lambda k: sxy(k)[1])
+    xs_ext = F.concat(xs_open, F.slice(xs_open, 1, 1))
+    ys_ext = F.concat(ys_open, F.slice(ys_open, 1, 1))
+    has_hole = (key % F.lit(STAR_HOLE_PERIOD)) == F.lit(STAR_HOLE_RESIDUE)
+    hx = F.transform(xs_ext, lambda x: cx + F.lit(STAR_HOLE_SCALE) * (x - cx))
+    hy = F.transform(ys_ext, lambda y: cy + F.lit(STAR_HOLE_SCALE) * (y - cy))
+    xs = F.when(has_hole, F.concat(xs_ext, hx)).otherwise(xs_ext)
+    ys = F.when(has_hole, F.concat(ys_ext, hy)).otherwise(ys_ext)
+    n_ext = (m + 1).cast("int")
+    offsets = F.when(
+        has_hole,
+        F.array(F.lit(0), n_ext, n_ext + n_ext),
+    ).otherwise(F.array(F.lit(0), n_ext))
+    return xs, ys, offsets
+
+
+def star_box_cols(key: Column, size_scale: float = 1.0):
+    """(cx, cy, hw, hh) — the star parcel is contained in this box
+    (|perimeter point| <= 1 per axis, radius factor <= 1)."""
+    cx, cy, _, _ = parcel_box_cols(key)
+    hw = (F.lit(STAR_SIZE0) + F.lit(STAR_SIZE_SPAN) * u_col(key, MULT_W)) * F.lit(
+        float(size_scale)
+    )
+    hh = (F.lit(STAR_SIZE0) + F.lit(STAR_SIZE_SPAN) * u_col(key, MULT_H)) * F.lit(
+        float(size_scale)
+    )
+    return cx, cy, hw, hh
+
+
+def star_vertices_sql(expr: str, size_scale: float = 1.0):
+    """SQL fragments mirroring star_parcel_cols: returns
+    (m, cx, cy, hw, hh, vx, vy) where vx/vy are list expressions of the
+    OPEN ring vertices (1-based indexing in DuckDB)."""
+    cx, cy, _, _ = parcel_box_sql(expr)
+    hw = f"(({STAR_SIZE0} + {STAR_SIZE_SPAN} * ({u_sql(expr, MULT_W)})) * CAST('{float(size_scale)!r}' AS DOUBLE))"
+    hh = f"(({STAR_SIZE0} + {STAR_SIZE_SPAN} * ({u_sql(expr, MULT_H)})) * CAST('{float(size_scale)!r}' AS DOUBLE))"
+    m = f"(({expr}) % 4 + 4)"
+    vkey = f"(({expr}) * 8 + k + 1)"
+    t = (
+        f"((CAST(k AS DOUBLE) + 0.5 + 0.8 * (({u_sql(vkey, MULT_HOT)}) - 0.5))"
+        f" / CAST({m} AS DOUBLE))"
+    )
+    s = f"({t} * 4.0)"
+    side = f"floor({s})"
+    f_ = f"({s} - {side})"
+    sx = (
+        f"(CASE {side} WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 - 2.0 * {f_} "
+        f"WHEN 2 THEN -1.0 ELSE -1.0 + 2.0 * {f_} END)"
+    )
+    sy = (
+        f"(CASE {side} WHEN 0 THEN -1.0 + 2.0 * {f_} WHEN 1 THEN 1.0 "
+        f"WHEN 2 THEN 1.0 - 2.0 * {f_} ELSE -1.0 END)"
+    )
+    r = f"(0.4 + 0.6 * ({u_sql(vkey, MULT_W)}))"
+    vx = f"[{cx} + {r} * {hw} * {sx} for k in range(0, {m})]"
+    vy = f"[{cy} + {r} * {hh} * {sy} for k in range(0, {m})]"
+    return m, cx, cy, hw, hh, vx, vy
+
+
 # --------------------------------------------------------------- SQL side
 
 

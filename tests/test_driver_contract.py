@@ -14,11 +14,16 @@ ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(ORACLED))
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
-    # spatial_join_scale's oracle pins N to the sf0.01 point count
-    # (the driver only runs oracles there), so test it at that sf
+    # spatial_join_scale / pages_pipeline oracles pin their row counts
+    # to the sf0.01 sizes (the driver only runs oracles there), so
+    # test those at that sf
     from conftest import SF_CORRECT
 
-    sf = SF_CORRECT if name == "spatial_join_scale" else SF_UNIT
+    sf = (
+        SF_CORRECT
+        if name in ("spatial_join_scale", "pages_pipeline")
+        else SF_UNIT
+    )
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
     got = q(spark, sf)
