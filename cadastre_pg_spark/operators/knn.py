@@ -2,23 +2,31 @@
 the PostGIS KNN `<->` GIST workload (postgres.rs:320-329) is the
 downstream analog — designed fresh here, SURVEY.md §7.3 step 5).
 
-Exact algorithm, two phases, all JVM-side (no Python anywhere):
+Exact algorithm, all JVM-side (no Python anywhere):
 
-1. **Density-derived cell level.** From the measured point count,
-   estimate the radius that holds ~`expansion * k` neighbors and pick
-   the grid level whose cell width is >= that radius. Points are
-   replicated to their 3x3 cell neighborhood (constant 9x blow-up —
-   scale-independent, unlike per-query ring explosion); queries join
-   on their single cell. Any point within one cell-width of a query is
-   guaranteed captured, so a query whose k-th candidate distance is
-   <= min(cell_w, cell_h) is provably final.
-
-2. **Exact fallback for sparse tails.** Queries not settled by phase 1
-   (sparse regions, bbox corners) are brute-forced against the full
-   point table — few by construction, so the cross join stays small.
+1. **Measured cell level.** Start from the uniform-density estimate of
+   the radius holding ~`expansion * k` neighbors, then REFINE against
+   the data: while the measured max cell occupancy exceeds `occ_cap`,
+   go finer (a pathological all-points-in-one-city distribution would
+   otherwise turn the 3x3 join quadratic — the level is chosen from
+   statistics, not assumption, like the join-strategy gate).
+2. **3x3 cell join.** Points replicate to their 3x3 neighborhood
+   (constant 9x build-side blow-up); queries join on their single
+   cell. A query whose k-th candidate distance is <= one cell width is
+   provably final (anything closer must lie in the 3x3 window).
+3. **Iterative ring expansion for sparse tails.** Unsettled queries
+   re-join at a 4x coarser level (window widens 4x per round) until
+   settled — stragglers shrink geometrically instead of brute-forcing
+   against the full point table. Every round only ships points whose
+   coarse cell is actually probed (semi-join on the straggler cells).
+4. **Loud budget, no silent blowup.** Before any terminal full-scan
+   round, the candidate volume is checked against `budget_pairs`; a
+   distribution that would still go quadratic raises with the measured
+   numbers instead of melting the cluster.
 
 Ties broken by neighbor_id; output matches brute force exactly (the
-DuckDB oracle is the full O(n^2) scan).
+DuckDB oracle is the full O(n^2) scan; the adversarial concentration
+test in tests/test_knn.py pins the sub-quadratic path to the oracle).
 """
 
 import math
@@ -27,6 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernels import cells as C
+
+HARD_MAX_LEVEL = 22  # ix*n+iy stays < 2^45
 
 
 def _with_cell_xy(df, level, lon="lon", lat="lat"):
@@ -60,27 +70,9 @@ def _topk(cand: DataFrame, k: int) -> DataFrame:
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def knn_grid(
-    points: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    expansion: float = 3.0,
-    max_level: int = 12,
-) -> DataFrame:
-    """points: (point_id, lon, lat); queries: (query_id, lon, lat) ->
-    (query_id, neighbor_id, dist_sq, rank<=k). Exact (== brute force);
-    rows with point_id == query_id are excluded as self-matches."""
-    n_pts = points.count()
-    area = (C.GRID_LON1 - C.GRID_LON0) * (C.GRID_LAT1 - C.GRID_LAT0)
-    density = max(n_pts, 1) / area
-    radius = math.sqrt(expansion * k / (math.pi * density))
-    lx = math.floor(math.log2((C.GRID_LON1 - C.GRID_LON0) / radius)) if radius > 0 else max_level
-    ly = math.floor(math.log2((C.GRID_LAT1 - C.GRID_LAT0) / radius)) if radius > 0 else max_level
-    level = max(0, min(max_level, lx, ly))
+def _neigh3x3(points: DataFrame, level: int) -> DataFrame:
+    """Points replicated to their 3x3 cell neighborhood at `level`."""
     n = 1 << level
-    wx, wy = C.grid_cell_size(level)
-    w_min = min(wx, wy)
-
     pts = _with_cell_xy(points, level).select(
         F.col("point_id").alias("neighbor_id"),
         F.col("lon").alias("nlon"),
@@ -88,8 +80,7 @@ def knn_grid(
         "ix",
         "iy",
     )
-    # replicate each point into its 3x3 neighborhood (build side, 9x)
-    neigh = pts.select(
+    return pts.select(
         "neighbor_id",
         "nlon",
         "nlat",
@@ -111,17 +102,23 @@ def knn_grid(
             )
         ).alias("cell"),
     )
-    qs = _with_cell_xy(queries, level).select(
+
+
+def _q_cells(queries: DataFrame, level: int) -> DataFrame:
+    n = 1 << level
+    return _with_cell_xy(queries, level).select(
         "query_id",
         "lon",
         "lat",
         (F.col("ix") * F.lit(n) + F.col("iy")).alias("cell"),
     )
-    cand = (
-        qs.join(neigh, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "lon", "lat", "neighbor_id", _dist_sq().alias("dist_sq"))
-    )
+
+
+def _settle(cand: DataFrame, k: int, level: int):
+    """(settled rows, settled query ids) for one round: top-k whose
+    k-th distance is certified by the 3x3 window at `level`."""
+    wx, wy = C.grid_cell_size(level)
+    w_min = min(wx, wy)
     ranked = _topk(cand, k).persist()
     settled_ids = (
         ranked.filter(F.col("rank") == k)
@@ -131,19 +128,109 @@ def knn_grid(
     settled = ranked.join(settled_ids, "query_id", "left_semi").select(
         "query_id", "neighbor_id", "dist_sq", "rank"
     )
+    return settled, settled_ids, ranked
 
-    # exact fallback for the sparse tail
-    stragglers = queries.join(settled_ids, "query_id", "left_anti")
-    brute = (
-        stragglers.crossJoin(
-            points.select(
-                F.col("point_id").alias("neighbor_id"),
-                F.col("lon").alias("nlon"),
-                F.col("lat").alias("nlat"),
+
+def pick_level(
+    n_pts: int,
+    points: DataFrame,
+    k: int,
+    expansion: float,
+    max_level: int,
+    occ_cap: int,
+) -> int:
+    """Density-estimate start, then refine FINER until the measured max
+    cell occupancy is under occ_cap (bounded by HARD_MAX_LEVEL)."""
+    area = (C.GRID_LON1 - C.GRID_LON0) * (C.GRID_LAT1 - C.GRID_LAT0)
+    density = max(n_pts, 1) / area
+    radius = math.sqrt(expansion * k / (math.pi * density))
+    lx = math.floor(math.log2((C.GRID_LON1 - C.GRID_LON0) / radius)) if radius > 0 else max_level
+    ly = math.floor(math.log2((C.GRID_LAT1 - C.GRID_LAT0) / radius)) if radius > 0 else max_level
+    level = max(0, min(max_level, lx, ly))
+    while level < HARD_MAX_LEVEL:
+        n = 1 << level
+        occ = (
+            _with_cell_xy(points, level)
+            .groupBy((F.col("ix") * F.lit(n) + F.col("iy")).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        if occ is None or occ <= occ_cap:
+            break
+        level += 2  # 4x smaller cells per refinement round
+    return level
+
+
+def knn_grid(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    expansion: float = 3.0,
+    max_level: int = 12,
+    occ_cap: int | None = None,
+    budget_pairs: int = 50_000_000,
+) -> DataFrame:
+    """points: (point_id, lon, lat); queries: (query_id, lon, lat) ->
+    (query_id, neighbor_id, dist_sq, rank<=k). Exact (== brute force);
+    rows with point_id == query_id are excluded as self-matches."""
+    n_pts = points.count()
+    occ_cap = occ_cap if occ_cap is not None else max(64, 8 * k)
+    level = pick_level(n_pts, points, k, expansion, max_level, occ_cap)
+
+    points = points.persist()
+    out_parts = []
+    pending = queries
+    cached = [points]
+    round_idx = 0
+    while True:
+        qc = _q_cells(pending, level)
+        neigh = _neigh3x3(points, level)
+        if round_idx > 0:
+            # later rounds have few stragglers: only ship points whose
+            # coarse cell is actually probed (map-side broadcast semi —
+            # the 9x replica of non-matching points never shuffles)
+            neigh = neigh.join(
+                F.broadcast(qc.select("cell").distinct()), "cell", "left_semi"
+            )
+        cand = (
+            qc.join(neigh, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "lon", "lat", "neighbor_id", _dist_sq().alias("dist_sq")
             )
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "lon", "lat", "neighbor_id", _dist_sq().alias("dist_sq"))
-    )
-    brute_topk = _topk(brute, k).select("query_id", "neighbor_id", "dist_sq", "rank")
-    return settled.unionByName(brute_topk)
+        settled, settled_ids, ranked = _settle(cand, k, level)
+        cached.append(ranked)
+        out_parts.append(settled)
+        pending = pending.join(settled_ids, "query_id", "left_anti").persist()
+        cached.append(pending)
+        n_pending = pending.count()
+        if n_pending == 0:
+            break
+        if level == 0:
+            # 3x3 at level 0 is already the whole grid: every remaining
+            # query saw ALL points, so rank k exists only if the table
+            # itself has < k+1 rows — emit what there is and stop.
+            out_parts.append(
+                _topk(cand, k)
+                .join(settled_ids, "query_id", "left_anti")
+                .select("query_id", "neighbor_id", "dist_sq", "rank")
+            )
+            break
+        next_level = max(0, level - 2)
+        if next_level == 0 and n_pending * n_pts > budget_pairs:
+            raise RuntimeError(
+                f"knn_grid: terminal round would compare {n_pending} "
+                f"stragglers x {n_pts} points > budget_pairs="
+                f"{budget_pairs}; raise the budget or occ_cap explicitly"
+            )
+        level = next_level
+        round_idx += 1
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    # persisted intermediates attached for release after the terminal
+    # action (spatial_join.release_cached works here too)
+    out._cadastre_cached = cached
+    return out
