@@ -108,6 +108,51 @@ def assemble_polygons(
     )
 
 
+LINES_SCHEMA = (
+    "feature_id string, geom_type string, xs array<double>, ys array<double>, "
+    "part_offsets array<int>, n_parts int, status string"
+)
+
+
+def assemble_lines(arcs: DataFrame) -> DataFrame:
+    """G5 line builder (reference edigeo/src/repair/mod.rs:123-153):
+    one PAR arc -> LineString, several -> MultiLineString; parts with
+    < 2 coordinates are dropped, a feature with no usable part is
+    quarantined (status='error:empty') instead of killing the run.
+
+    Spark-first: the whole build is JVM expressions — sort_array over
+    collected (arc_id, xs, ys) structs, flatten for the coordinates,
+    and an aggregate fold for the part offsets. No Python anywhere
+    (the Rust reference loops per feature; Catalyst's array algebra
+    replaces the loop)."""
+    parts = F.filter(
+        F.sort_array(F.collect_list(F.struct("arc_id", "xs", "ys"))),
+        lambda p: F.size(p.xs) >= 2,
+    )
+    grouped = arcs.groupBy("feature_id").agg(parts.alias("parts"))
+    offsets = F.aggregate(
+        F.col("parts"),
+        F.array(F.lit(0)),
+        lambda acc, p: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.size(p.xs))
+        ),
+    )
+    return grouped.select(
+        "feature_id",
+        F.when(F.size("parts") == 0, F.lit(None))
+        .when(F.size("parts") == 1, F.lit("LineString"))
+        .otherwise(F.lit("MultiLineString"))
+        .alias("geom_type"),
+        F.flatten(F.transform("parts", lambda p: p.xs)).alias("xs"),
+        F.flatten(F.transform("parts", lambda p: p.ys)).alias("ys"),
+        F.transform(offsets, lambda o: o.cast("int")).alias("part_offsets"),
+        F.size("parts").cast("int").alias("n_parts"),
+        F.when(F.size("parts") == 0, F.lit("error:empty"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 def assembly_report(assembled: DataFrame) -> DataFrame:
     """A4-style ImportReport: counts by status + derived run status
     (Success / Partial / Failed — report.rs:211-226)."""

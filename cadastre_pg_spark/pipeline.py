@@ -132,3 +132,36 @@ def import_metrics(spark: SparkSession, base_dir: str):
             F.max("committed_at").alias("last_commit"),
         )
     )
+
+
+def derive_status(has_fatal: bool, has_errors: bool, has_success: bool) -> str:
+    """The reference's report finalization matrix, verbatim
+    (cadastre-pg/src/report.rs:211-226): fatal always fails; errors
+    alongside successful entities demote to PartialSuccess; errors with
+    nothing imported fail; clean runs succeed."""
+    if has_fatal:
+        return "Failed"
+    if has_errors and has_success:
+        return "PartialSuccess"
+    if has_errors:
+        return "Failed"
+    return "Success"
+
+
+def finalize_report(spark: SparkSession, base_dir: str, errors_df=None):
+    """A4 typed ImportReport: per-stage metrics plus the run-level
+    status. `errors_df` (level string, message string) carries run
+    errors; level 'Fatal' maps to the reference's ErrorLevel::Fatal.
+    Returns (metrics_df, status_str)."""
+    metrics = import_metrics(spark, base_dir)
+    agg = metrics.agg(F.coalesce(F.sum("rows"), F.lit(0)).alias("rows")).first()
+    has_success = (agg["rows"] or 0) > 0
+    has_fatal = has_errors = False
+    if errors_df is not None:
+        counts = errors_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("level") == "Fatal", 1).otherwise(0)).alias("fatal"),
+        ).first()
+        has_errors = (counts["n"] or 0) > 0
+        has_fatal = (counts["fatal"] or 0) > 0
+    return metrics, derive_status(has_fatal, has_errors, has_success)

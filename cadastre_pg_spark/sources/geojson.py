@@ -44,6 +44,119 @@ def polygon_geojson_col(xs="xs", ys="ys", ring_offsets="ring_offsets") -> Column
     )
 
 
+def _coords_pairs(xs, ys) -> Column:
+    return F.zip_with(F.col(xs), F.col(ys), lambda x, y: F.array(x, y))
+
+
+def _parts(xs, ys, offsets) -> Column:
+    """Slice flat arrays into parts by an offsets array (shared by
+    MultiLineString parts and Polygon rings)."""
+    n = F.size(offsets) - F.lit(1)
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    return F.transform(
+        idx,
+        lambda i: F.zip_with(
+            F.slice(
+                F.col(xs),
+                F.col(offsets)[i] + 1,
+                F.col(offsets)[i + 1] - F.col(offsets)[i],
+            ),
+            F.slice(
+                F.col(ys),
+                F.col(offsets)[i] + 1,
+                F.col(offsets)[i + 1] - F.col(offsets)[i],
+            ),
+            lambda x, y: F.array(x, y),
+        ),
+    )
+
+
+def geometry_geojson_col(
+    geom_type="geom_type",
+    xs="xs",
+    ys="ys",
+    offsets="ring_offsets",
+    poly_offsets="poly_offsets",
+) -> Column:
+    """Geometry JSON STRING for a heterogeneous feature table — the
+    engine's S9 twin of the reference's all-types writer
+    (cadastre-pg/src/export/geojson.rs:14-97, geozero process_geom).
+    Dispatches on `geom_type` (Point, MultiPoint, LineString,
+    MultiLineString, Polygon, MultiPolygon); every branch is a JVM
+    to_json, the when-chain just picks the string. MultiPolygon needs
+    `poly_offsets` (indices into the offsets array per polygon)."""
+
+    def gj(typ, coords):
+        return F.to_json(
+            F.struct(F.lit(typ).alias("type"), coords.alias("coordinates"))
+        )
+
+    t = F.col(geom_type)
+    pairs = _coords_pairs(xs, ys)
+    parts = _parts(xs, ys, offsets)
+    out = (
+        F.when(t == "Point", gj("Point", F.array(F.col(xs)[0], F.col(ys)[0])))
+        .when(t == "MultiPoint", gj("MultiPoint", pairs))
+        .when(t == "LineString", gj("LineString", pairs))
+        .when(t == "MultiLineString", gj("MultiLineString", parts))
+        .when(t == "Polygon", gj("Polygon", parts))
+    )
+    if poly_offsets is not None:
+        po = F.col(poly_offsets)
+        npoly = F.size(po) - F.lit(1)
+        polys = F.transform(
+            F.sequence(F.lit(0), npoly - F.lit(1)),
+            lambda p: F.slice(parts, po[p] + 1, po[p + 1] - po[p]),
+        )
+        out = out.when(t == "MultiPolygon", gj("MultiPolygon", polys))
+    return out
+
+
+def feature_geojson_col(
+    id_col: str,
+    properties: list[str],
+    geometry_json: Column,
+) -> Column:
+    """One Feature as a JSON string: id/properties via to_json (Spark
+    owns escaping — the reference hand-rolls escape_json), geometry
+    spliced in as the pre-rendered string so heterogeneous nesting
+    depths coexist in one column."""
+    head = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.col(id_col).cast("string").alias("id"),
+        )
+    )
+    props = F.to_json(F.struct(*[F.col(p) for p in properties])) if properties else F.lit("{}")
+    return F.concat(
+        head.substr(F.lit(1), F.length(head) - F.lit(1)),
+        F.lit(',"geometry":'),
+        geometry_json,
+        F.lit(',"properties":'),
+        props,
+        F.lit("}"),
+    )
+
+
+def write_geojson_mixed(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "feature_id",
+    properties: list[str] | None = None,
+    geom_type: str = "geom_type",
+    offsets: str = "ring_offsets",
+    poly_offsets: str | None = None,
+) -> str:
+    """Newline-delimited GeoJSON for a table mixing geometry types."""
+    feature = feature_geojson_col(
+        id_col,
+        properties or [],
+        geometry_geojson_col(geom_type, "xs", "ys", offsets, poly_offsets),
+    )
+    df.select(feature.alias("value")).write.mode("overwrite").text(out_dir)
+    return out_dir
+
+
 def feature_collection_header(srid: int = 4326) -> str:
     """CRS header matching the reference's framing (geojson.rs:14-43)."""
     return json.dumps(

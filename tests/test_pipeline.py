@@ -35,3 +35,40 @@ def test_import_extraction_invariant(spark, tmp_path):
     assert len(rows) == 100
     for r in rows[:20]:
         assert hashlib.sha256(r.text.encode()).hexdigest() == r.text_sha
+
+
+def test_derive_status_reference_matrix():
+    """Truth table of report.rs:211-226 finalize()."""
+    from cadastre_pg_spark.pipeline import derive_status
+
+    # (has_fatal, has_errors, has_success) -> status
+    assert derive_status(True, True, True) == "Failed"
+    assert derive_status(True, True, False) == "Failed"
+    assert derive_status(True, False, True) == "Failed"
+    assert derive_status(True, False, False) == "Failed"
+    assert derive_status(False, True, True) == "PartialSuccess"
+    assert derive_status(False, True, False) == "Failed"
+    assert derive_status(False, False, True) == "Success"
+    assert derive_status(False, False, False) == "Success"
+
+
+def test_finalize_report_statuses(spark, tmp_path):
+    from cadastre_pg_spark.pipeline import finalize_report, run_import
+
+    base = str(tmp_path / "imp")
+    run_import(spark, base, "runA", n_pages=60, n_parcels=20)
+    m, status = finalize_report(spark, base)
+    assert status == "Success"
+    errs = spark.createDataFrame(
+        [("Error", "bad row")], "level string, message string"
+    )
+    _, status = finalize_report(spark, base, errs)
+    assert status == "PartialSuccess"
+    fatal = spark.createDataFrame(
+        [("Fatal", "boom")], "level string, message string"
+    )
+    _, status = finalize_report(spark, base, fatal)
+    assert status == "Failed"
+    # a base dir with nothing committed + errors -> Failed
+    _, status = finalize_report(spark, str(tmp_path / "empty"), errs)
+    assert status == "Failed"
