@@ -36,14 +36,27 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _carry_cache(out: DataFrame, src: DataFrame) -> DataFrame:
+    """Propagate the persisted-inputs list through projections so
+    release_cached(result) can unpersist the build sides (the attribute
+    lives on the Python wrapper, not the plan)."""
+    cached = getattr(src, "_cadastre_cached", None)
+    if cached:
+        out._cadastre_cached = cached
+    return out
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     parts = spark.read.parquet(f"{sf_dir}/part.parquet")
     points = points_from_docs(docs)
     parcels = parcels_from_parts(parts)
     out = cell_spatial_join(points, parcels, level=LEVEL)
-    return out.select(
-        F.col("point_id").alias("doc_id"), F.col("parcel_id").alias("parcel_id")
+    return _carry_cache(
+        out.select(
+            F.col("point_id").alias("doc_id"), F.col("parcel_id").alias("parcel_id")
+        ),
+        out,
     )
 
 
@@ -80,9 +93,8 @@ def q_spatial_join_scale(spark, sf_dir):
         S.lat_col(key).alias("lat"),
     )
     parcels = parcels_from_parts(parts)
-    return cell_spatial_join(points, parcels, level=LEVEL).select(
-        F.col("point_id"), F.col("parcel_id")
-    )
+    out = cell_spatial_join(points, parcels, level=LEVEL)
+    return _carry_cache(out.select(F.col("point_id"), F.col("parcel_id")), out)
 
 
 # --------------------------------------------------------------- queries
@@ -499,9 +511,12 @@ def q_pages_pipeline(spark, sf_dir):
         parcels,
         level=LEVEL,
     )
-    return joined.join(
-        points.select("point_id", "url", "text_sha"), "point_id"
-    ).select("url", "text_sha", "parcel_id")
+    return _carry_cache(
+        joined.join(
+            points.select("point_id", "url", "text_sha"), "point_id"
+        ).select("url", "text_sha", "parcel_id"),
+        joined,
+    )
 
 
 def q_hex_spatial_join(spark, sf_dir):
@@ -511,8 +526,11 @@ def q_hex_spatial_join(spark, sf_dir):
     points = points_from_docs(docs)
     parcels = parcels_from_parts(parts)
     out = cell_spatial_join(points, parcels, level=9, scheme="hex")
-    return out.select(
-        F.col("point_id").alias("doc_id"), F.col("parcel_id").alias("parcel_id")
+    return _carry_cache(
+        out.select(
+            F.col("point_id").alias("doc_id"), F.col("parcel_id").alias("parcel_id")
+        ),
+        out,
     )
 
 

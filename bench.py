@@ -91,11 +91,16 @@ def _warm(it):
         yield pdf
 spark.range(0, cores * 4, 1, cores).mapInPandas(_warm, schema="id long").count()
 
+from cadastre_pg_spark.operators.spatial_join import release_cached
+
 out = {{}}
 rows = {{}}
 for name in {names!r}:
-    if name.startswith("__scale:"):
+    if name.startswith("__scale"):
+        # "__scale:N" broadcast path | "__scale_shuffle:N" forced
+        # shuffle strategy + hot-cell salting (the >300k-parcel regime)
         n_points = int(name.split(":")[1])
+        shuffle = name.startswith("__scale_shuffle")
         import pyspark.sql.functions as F
         from cadastre_pg_spark.data import synthetic as S
         from cadastre_pg_spark.operators.spatial_join import (
@@ -106,14 +111,18 @@ for name in {names!r}:
             S.lon_col(key).alias("lon"), S.lat_col(key).alias("lat"))
         parcels = parcels_from_parts(
             spark.read.parquet(f"{{sf_dir}}/part.parquet"))
+        kw = dict(strategy="shuffle", salt_hot=8) if shuffle else {{}}
         t0 = time.time()
-        n = cell_spatial_join(points, parcels).count()
+        df = cell_spatial_join(points, parcels, **kw)
+        n = df.count()
     else:
         fn = qs[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        n = df.count()
     out[name] = round(time.time() - t0, 3)
     rows[name] = n
+    release_cached(df)  # cache hygiene: 24 queries share one session
 print("BENCHJSON:" + json.dumps({{"times": out, "rows": rows}}))
 spark.stop()
 """
@@ -165,6 +174,14 @@ def main():
     )
     eff = round((t_lo / t_hi) / (SCALE_HI / SCALE_LO), 3) if t_hi > 0 else None
 
+    # forced-shuffle strategy with hot-cell salting, recorded so the
+    # skew machinery has a measured number, not just a test
+    shuffle_n = int(os.environ.get("SPARK_GRAFT_SHUFFLE_N", "50000000"))
+    shuffle_job = f"__scale_shuffle:{shuffle_n}"
+    sh = run_child(CPUS, [shuffle_job], SF_DIR)
+    sh_sec = sh["times"][shuffle_job]
+    sh_rows = sh["rows"][shuffle_job]
+
     print(
         json.dumps(
             {
@@ -185,6 +202,13 @@ def main():
                     "sec_lo": t_lo,
                     "sec_hi": t_hi,
                     "efficiency": eff,
+                },
+                "spatial_join_shuffle": {
+                    "points": shuffle_n,
+                    "rows": sh_rows,
+                    "sec": sh_sec,
+                    "rows_per_sec": round(sh_rows / sh_sec, 1) if sh_sec else None,
+                    "strategy": "shuffle+salt8",
                 },
                 "loadavg_external": round(os.getloadavg()[0], 2),
             }

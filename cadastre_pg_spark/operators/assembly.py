@@ -153,6 +153,88 @@ def assemble_lines(arcs: DataFrame) -> DataFrame:
     )
 
 
+def repair_flat_polygons(df: DataFrame) -> DataFrame:
+    """ST_MakeValid analog at the MERGE boundary (reference repairs as
+    it writes: cadastre-pg/src/export/postgres.rs:229-234). Upstream
+    assembly already runs the repair ladder; this rung re-validates
+    whatever reaches a sink/merge, because merged inputs may come from
+    other writers:
+
+    - unclosed rings are auto-closed (first vertex appended),
+    - degenerate rings (< 3 distinct vertices, i.e. closed length < 4)
+      are dropped,
+    - a feature left with no ring is quarantined, not crashed.
+
+    Pure JVM expressions (transform/filter/flatten/aggregate) — the
+    repair runs inside whole-stage codegen, no Python. Adds
+    repair_status: 'ok' | 'auto_closed' | 'dropped_ring' |
+    'auto_closed+dropped_ring' | 'error:empty'."""
+    n_rings = F.size("ring_offsets") - F.lit(1)
+    idx = F.sequence(F.lit(0), n_rings - F.lit(1))
+
+    def ring_slice(col, i):
+        return F.slice(
+            F.col(col),
+            F.col("ring_offsets")[i] + 1,
+            F.col("ring_offsets")[i + 1] - F.col("ring_offsets")[i],
+        )
+
+    rings = F.transform(
+        idx, lambda i: F.struct(ring_slice("xs", i).alias("x"), ring_slice("ys", i).alias("y"))
+    )
+    closed = F.transform(
+        rings,
+        lambda r: F.when(
+            (F.element_at(r.x, 1) == F.element_at(r.x, -1))
+            & (F.element_at(r.y, 1) == F.element_at(r.y, -1)),
+            r,
+        ).otherwise(
+            F.struct(
+                F.concat(r.x, F.slice(r.x, 1, 1)).alias("x"),
+                F.concat(r.y, F.slice(r.y, 1, 1)).alias("y"),
+            )
+        ),
+    )
+    kept = F.filter(closed, lambda r: F.size(r.x) >= 4)
+    out = df.withColumn("_rings", rings).withColumn("_closed", closed).withColumn(
+        "_kept", kept
+    )
+    offsets = F.aggregate(
+        F.col("_kept"),
+        F.array(F.lit(0)),
+        lambda acc, r: F.concat(acc, F.array(F.element_at(acc, -1) + F.size(r.x))),
+    )
+    # auto_closed reported only for rings that SURVIVE (a degenerate
+    # ring that was closed and then dropped is just dropped_ring)
+    n_autoclosed = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("_rings"),
+                F.col("_closed"),
+                lambda a, b: (F.size(a.x) != F.size(b.x)) & (F.size(b.x) >= 4),
+            ),
+            lambda v: v,
+        )
+    )
+    n_dropped = F.size("_closed") - F.size("_kept")
+    status = (
+        F.when(F.size("_kept") == 0, F.lit("error:empty"))
+        .when(
+            (n_autoclosed > 0) & (n_dropped > 0), F.lit("auto_closed+dropped_ring")
+        )
+        .when(n_autoclosed > 0, F.lit("auto_closed"))
+        .when(n_dropped > 0, F.lit("dropped_ring"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.select(
+        *[c for c in df.columns if c not in ("xs", "ys", "ring_offsets")],
+        F.flatten(F.transform("_kept", lambda r: r.x)).alias("xs"),
+        F.flatten(F.transform("_kept", lambda r: r.y)).alias("ys"),
+        F.transform(offsets, lambda o: o.cast("int")).alias("ring_offsets"),
+        status.alias("repair_status"),
+    )
+
+
 def assembly_report(assembled: DataFrame) -> DataFrame:
     """A4-style ImportReport: counts by status + derived run status
     (Success / Partial / Failed — report.rs:211-226)."""

@@ -27,7 +27,7 @@ from .data.pages import extract_text_udf, generate_pages
 from .data.parcels import generate_parcels
 from .data.synthetic import lat_col, lon_col
 from .lineage.checkpoints import CheckpointLog, run_stage
-from .operators.spatial_join import cell_spatial_join
+from .operators.spatial_join import cell_spatial_join, release_cached
 
 
 def run_import(
@@ -98,9 +98,10 @@ def run_import(
     points = deduped.select(
         F.xxhash64("url").alias("point_id"), "url", "dep_part", "lon", "lat"
     )
-    placed = cell_spatial_join(
+    joined = cell_spatial_join(
         points.select("point_id", "lon", "lat"), parcels, level=level
-    ).join(points.select("point_id", "url", "dep_part"), "point_id")
+    )
+    placed = joined.join(points.select("point_id", "url", "dep_part"), "point_id")
 
     def do_place(df):
         return df
@@ -116,6 +117,7 @@ def run_import(
     )
     report["placement"] = sum(r.rows for r in m2.collect())
     report["out_dir"] = out_place
+    release_cached(joined)  # build-side caches die with the stage
     return report
 
 

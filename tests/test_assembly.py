@@ -76,3 +76,49 @@ def test_hull_fallback_and_report(spark):
     )
     r = report.head()
     assert r.total == 2 and r.errors == 1 and r.run_status == "Partial"
+
+
+def test_repair_flat_polygons_merge_rung(spark):
+    """J4 merge-boundary validity rung (postgres.rs:229-234 analog):
+    auto-close, degenerate-ring drop, empty quarantine — and a no-op on
+    already-valid input."""
+    from cadastre_pg_spark.operators.assembly import repair_flat_polygons
+
+    rows = [
+        # valid closed square
+        ("ok", [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0], [0, 5]),
+        # unclosed square -> auto_closed
+        ("open", [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], [0, 4]),
+        # valid shell + degenerate 2-point ring -> dropped_ring
+        (
+            "degen",
+            [0.0, 1.0, 1.0, 0.0, 0.0, 5.0, 6.0],
+            [0.0, 0.0, 1.0, 1.0, 0.0, 5.0, 6.0],
+            [0, 5, 7],
+        ),
+        # nothing valid -> quarantined
+        ("empty", [5.0, 6.0], [5.0, 6.0], [0, 2]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "feature_id string, xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    got = {r.feature_id: r for r in repair_flat_polygons(df).collect()}
+    assert got["ok"].repair_status == "ok"
+    assert got["ok"].xs == [0.0, 1.0, 1.0, 0.0, 0.0]
+    assert got["open"].repair_status == "auto_closed"
+    assert got["open"].xs == [0.0, 1.0, 1.0, 0.0, 0.0]
+    assert got["open"].ring_offsets == [0, 5]
+    assert got["degen"].repair_status == "dropped_ring"
+    assert got["degen"].ring_offsets == [0, 5]
+    assert got["empty"].repair_status == "error:empty"
+    assert got["empty"].xs == []
+    # auto-closed geometry still contains its points (PIP sanity)
+    import numpy as np
+    from cadastre_pg_spark.kernels.pip import points_in_polygon
+
+    r = got["open"]
+    assert points_in_polygon(
+        np.array([0.5]), np.array([0.5]),
+        np.array(r.xs), np.array(r.ys), np.array(r.ring_offsets),
+    )[0]
