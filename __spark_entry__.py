@@ -557,6 +557,77 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir), hash_fn="md5")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup (the non-probabilistic sibling of
+    minhash_lsh): candidates bucketed by identical token count."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def q_line_assembly(spark, sf_dir):
+    """G5 line builders over a deterministic arc table derived from doc
+    ids: 3 arcs per feature with LCG vertices; every 5th feature's
+    middle arc is degenerate (1 point, must be dropped), every 7th
+    feature keeps only one usable arc (LineString, not Multi). Output
+    is exploded to one row per vertex (scalar columns — the driver's
+    value-hash compare sorts rows by every column); quarantined empty
+    features are covered by pytest, not this surface."""
+    from cadastre_pg_spark.operators.assembly import assemble_lines
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("long")
+    feature = ((i - F.pmod(i, F.lit(3))) / F.lit(3)).cast("long")
+    arc = F.pmod(i, F.lit(3))
+    # arc vertex count: 2 + (i % 2), except the planted degenerates
+    npts = (
+        F.when((F.pmod(feature, F.lit(5)) == 0) & (arc == 1), F.lit(1))
+        .when((F.pmod(feature, F.lit(7)) == 0) & (arc != 0), F.lit(1))
+        .otherwise(F.lit(2) + F.pmod(i, F.lit(2)))
+    )
+    ks = F.sequence(F.lit(0).cast("long"), (npts - 1).cast("long"))
+    xs = F.transform(ks, lambda k: S.lon_col(i * F.lit(8) + k + F.lit(1)))
+    ys = F.transform(ks, lambda k: S.lat_col(i * F.lit(8) + k + F.lit(1)))
+    arcs = docs.select(
+        feature.cast("string").alias("feature_id"),
+        arc.alias("arc_id"),
+        xs.alias("xs"),
+        ys.alias("ys"),
+    )
+    lines = assemble_lines(arcs).filter(F.col("n_parts") > 0)
+    off = F.col("part_offsets")
+    with_p = lines.select(
+        "feature_id",
+        "geom_type",
+        "n_parts",
+        "xs",
+        "ys",
+        "part_offsets",
+        F.explode(F.sequence(F.lit(0), F.size(off) - 2)).alias("pidx"),
+    )
+    verts = F.arrays_zip(
+        F.slice(
+            "xs", off[F.col("pidx")] + 1, off[F.col("pidx") + 1] - off[F.col("pidx")]
+        ).alias("x"),
+        F.slice(
+            "ys", off[F.col("pidx")] + 1, off[F.col("pidx") + 1] - off[F.col("pidx")]
+        ).alias("y"),
+    )
+    return with_p.select(
+        "feature_id",
+        "geom_type",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("pidx").cast("long").alias("pidx"),
+        F.posexplode(verts).alias("vidx", "v"),
+    ).select(
+        "feature_id",
+        "geom_type",
+        "n_parts",
+        "pidx",
+        F.col("vidx").cast("long").alias("vidx"),
+        F.col("v.x").alias("x"),
+        F.col("v.y").alias("y"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     # the synthetic embeddings have no natural near-dups, so union a
     # perturbed copy (vec_id offset by 10^6) — the op must find each
@@ -610,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "line_assembly": q_line_assembly,
     }
 
 
@@ -645,6 +718,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_pipeline": _pages_pipeline_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
         "simhash": _simhash_sql_oracle(),
+        "ngram_jaccard": _ngram_jaccard_sql_oracle(threshold=0.4),
+        "line_assembly": _line_assembly_sql_oracle(),
         # all-pairs ground truth: every cosine >= threshold pair must be
         # found by the hyperplane buckets (identical planted copies have
         # identical sign vectors, so bucket recall is structural, not
@@ -965,6 +1040,80 @@ def _minhash_sql_oracle(threshold: float = 0.4) -> str:
         )
         SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM v
         WHERE est >= {est_min} AND jac >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _ngram_jaccard_sql_oracle(threshold: float = 0.4) -> str:
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        ss AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST((len(t) - len(t) % 8) / 8 AS BIGINT) AS band,
+                 list_distinct([array_to_string(t[i+1:i+3], ' ')
+                                for i in range(0, greatest(len(t) - 2, 0))]) AS sg
+          FROM tok
+        ),
+        v AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE),
+                   6) AS jaccard
+          FROM ss a JOIN ss b ON a.band = b.band AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM v
+        WHERE jaccard >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _line_assembly_sql_oracle() -> str:
+    """Rebuild of q_line_assembly: arcs from doc ids, ordered-collect
+    per feature, <2-point parts dropped, exploded per vertex."""
+    lonk = S.lon_sql("(i * 8 + k + 1)")
+    latk = S.lat_sql("(i * 8 + k + 1)")
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS i,
+                 CAST((doc_id - doc_id % 3) / 3 AS BIGINT) AS f,
+                 doc_id % 3 AS arc
+          FROM documents
+        ),
+        a AS (
+          SELECT i, f, arc,
+                 CASE WHEN f % 5 = 0 AND arc = 1 THEN 1
+                      WHEN f % 7 = 0 AND arc <> 0 THEN 1
+                      ELSE 2 + i % 2 END AS npts
+          FROM d
+        ),
+        arcs AS (
+          SELECT CAST(f AS VARCHAR) AS feature_id, arc,
+                 [{lonk} for k in range(0, npts)] AS xs,
+                 [{latk} for k in range(0, npts)] AS ys
+          FROM a
+        ),
+        g AS (
+          SELECT feature_id,
+                 list_filter(
+                   list(struct_pack(xs := xs, ys := ys) ORDER BY arc),
+                   p -> len(p.xs) >= 2) AS parts
+          FROM arcs GROUP BY feature_id
+        ),
+        g2 AS (SELECT * FROM g WHERE len(parts) > 0),
+        ex AS (
+          SELECT feature_id,
+                 CASE WHEN len(parts) = 1 THEN 'LineString'
+                      ELSE 'MultiLineString' END AS geom_type,
+                 CAST(len(parts) AS BIGINT) AS n_parts,
+                 unnest(range(len(parts))) AS pidx, parts
+          FROM g2
+        )
+        SELECT feature_id, geom_type, n_parts, CAST(pidx AS BIGINT) AS pidx,
+               CAST(unnest(range(len(parts[pidx + 1].xs))) AS BIGINT) AS vidx,
+               unnest(parts[pidx + 1].xs) AS x,
+               unnest(parts[pidx + 1].ys) AS y
+        FROM ex
     """
 
 

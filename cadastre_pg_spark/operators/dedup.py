@@ -247,21 +247,27 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n_shingle: int = 3, threshold: float = 0.5, bucket_col=None
+    docs: DataFrame, n_shingle: int = 3, threshold: float = 0.5, band_width: int = 8
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs bucketed by a cheap
-    key (default: identical token count band) — the non-probabilistic
-    sibling of minhash_lsh_pairs, SQL-oracle-friendly."""
+    """Exact n-gram Jaccard over candidate pairs bucketed by token-count
+    band (width `band_width`) — the non-probabilistic sibling of
+    minhash_lsh_pairs, SQL-oracle-friendly. The band is the candidate-
+    generation contract: pairs whose token counts fall in different
+    bands are not candidates (documents at jaccard >= 0.5 rarely differ
+    by more than ~2x the band in length; widen band_width to trade
+    recall for join fan-out)."""
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    band = ((ntok - F.pmod(ntok, F.lit(band_width))) / F.lit(band_width)).cast("long")
     sets = docs.select(
         "doc_id",
         F.array_distinct(shingles(F.col("text"), n_shingle)).alias("sset"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+        band.alias("band"),
     )
     a = sets.alias("a")
     b = sets.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.ntok") == F.col("b.ntok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),

@@ -62,6 +62,13 @@ def topk_cosine(
     dot and norms use DECIMAL(28,18)-cast partial products so the
     aggregation order cannot perturb the result.
 
+    API CONTRACT — this is the EXACT/ORACLE variant: the crossJoin is
+    O(|Q| x |E|) by construction and must never be the scale path.
+    Route production workloads to ann_topk (hyperplane multi-probe) or
+    ivf_topk (k-means lists), which bucket candidates and rerank
+    exactly inside buckets; use topk_cosine for small query sets,
+    recall measurement, and the DuckDB-oracle comparison.
+
     embeddings/queries: (vec_id, embedding array<float>). Self-matches
     excluded. Returns (query_id, neighbor_id, cosine, rank)."""
     def dec_dot(a, b):
