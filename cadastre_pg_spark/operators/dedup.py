@@ -189,13 +189,15 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
 
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-    skipped = sizes.filter(F.col("n") > max_bucket)
-    banded_ok = banded.join(
-        sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
-        ["band", "key"],
-        "left_semi",
-    )
+    # bucket sizes via one window over the SAME (band, key) partitioning
+    # the self-join shuffles on — one exchange instead of a groupBy +
+    # semi-join pair (fewer AQE stages; identical cap semantics)
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band", "key")
+    sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+    skipped = sized.filter(F.col("n") > max_bucket).select("band", "key", "n").distinct()
+    banded_ok = sized.filter(F.col("n") <= max_bucket).drop("n")
 
     left = banded_ok.alias("l")
     right = banded_ok.alias("r")

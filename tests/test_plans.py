@@ -99,3 +99,21 @@ def test_tpch_q1_partial_aggregation(spark):
 def test_dedup_anti_is_broadcast(spark):
     df = E.queries()["dedup_anti"](spark, SF_UNIT)
     assert plan_has(df, "BroadcastHashJoin") or plan_has(df, "BroadcastNestedLoop")
+
+
+def test_line_assembly_is_pure_jvm(spark):
+    """G5 line building must stay inside Catalyst (collect/flatten/
+    aggregate folds) — no Python evaluation node anywhere."""
+    df = E.queries()["line_assembly"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["arrow_eval"], "line assembly must not touch Python"
+
+
+def test_repair_rung_is_pure_jvm(spark):
+    from cadastre_pg_spark.operators.assembly import repair_flat_polygons
+
+    df = spark.createDataFrame(
+        [("f", [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], [0, 4])],
+        "feature_id string, xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    assert not audit(repair_flat_polygons(df))["arrow_eval"]
