@@ -559,8 +559,9 @@ def q_simhash(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup (the non-probabilistic sibling of
-    minhash_lsh): candidates bucketed by identical token count."""
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+    minhash_lsh): candidates bucketed by token-count band; md5-mode
+    hashed shingle sets so DuckDB replicates the arithmetic exactly."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
 
 
 def q_line_assembly(spark, sf_dir):
@@ -1052,8 +1053,11 @@ def _ngram_jaccard_sql_oracle(threshold: float = 0.4) -> str:
         ss AS MATERIALIZED (
           SELECT doc_id,
                  CAST((len(t) - len(t) % 8) / 8 AS BIGINT) AS band,
-                 list_distinct([array_to_string(t[i+1:i+3], ' ')
-                                for i in range(0, greatest(len(t) - 2, 0))]) AS sg
+                 list_distinct(
+                   list_transform(
+                     [md5(array_to_string(t[i+1:i+3], ' '))
+                      for i in range(0, greatest(len(t) - 2, 0))],
+                     m -> {_hex32_sql('m')})) AS sg
           FROM tok
         ),
         v AS (

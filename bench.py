@@ -35,9 +35,13 @@ SCALE_LO, SCALE_HI = int(_pair[0]), int(_pair[1])
 BENCH_QUERIES = [
     "spatial_join_scale",
     "flagship_cell_join",
+    "hex_spatial_join",
+    "pages_pipeline",
     "grid_cell_assign",
     "cell_histogram",
     "hex_cell_assign",
+    "line_assembly",
+    "ngram_jaccard",
     "dedup_exact",
     "doc_fingerprint",
     "token_count",
