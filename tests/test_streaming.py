@@ -165,3 +165,54 @@ def test_sessionize(spark):
         .count()
         == 0
     )
+
+
+def test_streaming_dedup_bounded_bloom(spark, tmp_path):
+    """Bounded-state (Bloom + TTL) dedup: same two-micro-batch contract
+    as the exact variant. At 500 docs / 32 buckets the filter is at
+    ~1/4000 of design load, so FP ~ 0 and the output must equal the
+    exact dedup; state stays 16 KiB/bucket regardless of input size."""
+    import shutil
+
+    from cadastre_pg_spark.streaming.dedup import streaming_dedup_bounded
+
+    src = tmp_path / "docs_b"
+    src.mkdir()
+    shutil.copy(f"{SF_UNIT}/documents.parquet", src / "a.parquet")
+    q = streaming_dedup_bounded(spark, str(src), query_name="sdb_test")
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) FROM sdb_test").head()[0]
+        shutil.copy(f"{SF_UNIT}/documents.parquet", src / "b.parquet")
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT count(*) FROM sdb_test").head()[0]
+    finally:
+        q.stop()
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    n_unique = docs.select("text").distinct().count()
+    assert n1 == n_unique
+    assert n2 == n1  # batch 2 rows are all known hashes (no FP resets)
+
+
+def test_bloom_fn_timeout_branch():
+    """TTL expiry drops the bucket state (pure-python: the streaming
+    runtime schedules continuous timeout batches, so the branch is
+    exercised on the state function directly)."""
+    import pandas as pd
+
+    from cadastre_pg_spark.streaming.dedup import make_dedup_bloom_fn
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.removed = False
+            self.exists = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(make_dedup_bloom_fn(1000)("k", iter([]), st))
+    assert st.removed
+    assert len(out) == 1 and len(out[0]) == 0
+    assert list(out[0].columns) == ["doc_id", "text_sha"]
