@@ -641,6 +641,37 @@ def q_embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(both, threshold=0.999)
 
 
+MEDIA_PER_SF = 30_000
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing surfaced as a verified query: synthetic
+    media table -> image rows -> metadata (byte length) + the
+    deterministic fake decode (sha256 expansion of the payload hex —
+    the codec stand-in; real pillow/ffmpeg codecs drop into the same
+    mapInPandas batch shape). Features exploded to scalar rows."""
+    from cadastre_pg_spark.operators.multimodal import (
+        attach_media_metadata,
+        generate_media,
+        image_features,
+    )
+
+    n = max(150, int(MEDIA_PER_SF * _sf_of(sf_dir)))
+    media = generate_media(spark, n)
+    imgs = attach_media_metadata(media.filter(F.col("kind") == "image"))
+    feats = image_features(imgs)
+    return (
+        feats.join(imgs.select("media_id", "n_bytes"), "media_id")
+        .select("media_id", "n_bytes", F.posexplode("features").alias("pos", "feat"))
+        .select(
+            "media_id",
+            "n_bytes",
+            F.col("pos").cast("long").alias("pos"),
+            "feat",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_cell_join": q_flagship,
@@ -684,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "line_assembly": q_line_assembly,
+        "media_features": q_media_features,
     }
 
 
@@ -721,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql_oracle(),
         "ngram_jaccard": _ngram_jaccard_sql_oracle(threshold=0.4),
         "line_assembly": _line_assembly_sql_oracle(),
+        "media_features": _media_features_sql_oracle(),
         # all-pairs ground truth: every cosine >= threshold pair must be
         # found by the hyperplane buckets (identical planted copies have
         # identical sign vectors, so bucket recall is structural, not
@@ -1041,6 +1074,49 @@ def _minhash_sql_oracle(threshold: float = 0.4) -> str:
         )
         SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM v
         WHERE est >= {est_min} AND jac >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _media_features_sql_oracle() -> str:
+    """DuckDB replay of generate_media payload bytes + the fake decode
+    (operators/multimodal.py): digest = sha256(lower-hex(payload));
+    feature j = uint32-LE at digest byte offset (4j) % 32, / 2^32."""
+    from cadastre_pg_spark.operators.multimodal import IMAGE_FEATURE_DIM
+
+    n = max(150, int(MEDIA_PER_SF * 0.01))
+
+    def u32(off: int) -> str:
+        terms = []
+        for j in range(4):
+            c = 2 * (off + j)
+            pair = (
+                f"((strpos('0123456789abcdef', substring(hx, {c + 1}, 1)) - 1) * 16"
+                f" + (strpos('0123456789abcdef', substring(hx, {c + 2}, 1)) - 1))"
+            )
+            terms.append(f"{pair} * {256 ** j}")
+        return "(" + " + ".join(terms) + ")"
+
+    feats = ", ".join(
+        f"{u32((4 * j) % 32)} / CAST(4294967296 AS DOUBLE)"
+        for j in range(IMAGE_FEATURE_DIM)
+    )
+    return f"""
+        WITH m AS (
+          SELECT i AS media_id,
+                 repeat(from_hex(sha256('media:' || CAST(i AS VARCHAR))),
+                        CAST(4 + i % 5 AS INT)) AS payload
+          FROM range(0, {n}) t(i) WHERE i % 3 = 0
+        ),
+        d AS (
+          SELECT media_id,
+                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                 sha256(lower(hex(payload))) AS hx
+          FROM m
+        )
+        SELECT media_id, n_bytes,
+               CAST(unnest(range({IMAGE_FEATURE_DIM})) AS BIGINT) AS pos,
+               unnest([{feats}]) AS feat
+        FROM d
     """
 
 

@@ -33,8 +33,11 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic fake 'decode': bytes -> feature vector via sha256
-    expansion. STAND-IN for a real codec (pillow/ffmpeg absent)."""
-    h = hashlib.sha256(payload).digest()
+    expansion of the payload's lowercase hex (the hex detour keeps the
+    derivation reproducible in plain SQL — DuckDB cannot sha256 a BLOB,
+    so the DRIVER ORACLE for media_features replays exactly this).
+    STAND-IN for a real codec (pillow/ffmpeg absent)."""
+    h = hashlib.sha256(payload.hex().encode()).digest()
     raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
     return (
         np.frombuffer(raw, dtype=np.uint32).astype(np.float64) / 2**32

@@ -21,7 +21,7 @@ def test_query_matches_oracle(spark, name):
 
     sf = (
         SF_CORRECT
-        if name in ("spatial_join_scale", "pages_pipeline")
+        if name in ("spatial_join_scale", "pages_pipeline", "media_features")
         else SF_UNIT
     )
     q = entrymod.queries()[name]
