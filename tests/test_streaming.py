@@ -216,3 +216,37 @@ def test_bloom_fn_timeout_branch():
     assert st.removed
     assert len(out) == 1 and len(out[0]) == 0
     assert list(out[0].columns) == ["doc_id", "text_sha"]
+
+
+def test_streaming_placement_equals_batch(spark, tmp_path):
+    """Stream-static spatial placement == the batch cell join on the
+    same points file (the north-star workload under Structured
+    Streaming semantics)."""
+    from cadastre_pg_spark.operators.spatial_join import (
+        cell_spatial_join,
+        parcels_from_parts,
+        points_from_docs,
+    )
+    from cadastre_pg_spark.streaming.placement import placement_stream
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    parts = spark.read.parquet(f"{SF_UNIT}/part.parquet")
+    points = points_from_docs(docs)
+    parcels = parcels_from_parts(parts)
+
+    src = tmp_path / "pts"
+    points.coalesce(1).write.parquet(str(src))
+    q = placement_stream(spark, str(src), parcels, level=10, query_name="pl_test")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.point_id, r.parcel_id)
+            for r in spark.sql("SELECT * FROM pl_test").collect()
+        }
+    finally:
+        q.stop()
+    exp = {
+        (r.point_id, r.parcel_id)
+        for r in cell_spatial_join(points, parcels, level=10).collect()
+    }
+    assert got == exp and len(got) > 0
