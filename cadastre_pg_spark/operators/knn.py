@@ -131,6 +131,9 @@ def _settle(cand: DataFrame, k: int, level: int):
     return settled, settled_ids, ranked
 
 
+OCC_SAMPLE_ROWS = 1_000_000
+
+
 def pick_level(
     n_pts: int,
     points: DataFrame,
@@ -140,25 +143,37 @@ def pick_level(
     occ_cap: int,
 ) -> int:
     """Density-estimate start, then refine FINER until the measured max
-    cell occupancy is under occ_cap (bounded by HARD_MAX_LEVEL)."""
+    cell occupancy is under occ_cap (bounded by HARD_MAX_LEVEL).
+
+    The occupancy probe runs on a SAMPLE capped at ~1M rows (a full
+    scan per refinement round would read the whole table at 100 TB);
+    the sampled max count is scaled back by 1/fraction. Level choice
+    only affects performance, never exactness — the settle criterion
+    and ring expansion stay correct at any level."""
     area = (C.GRID_LON1 - C.GRID_LON0) * (C.GRID_LAT1 - C.GRID_LAT0)
     density = max(n_pts, 1) / area
     radius = math.sqrt(expansion * k / (math.pi * density))
     lx = math.floor(math.log2((C.GRID_LON1 - C.GRID_LON0) / radius)) if radius > 0 else max_level
     ly = math.floor(math.log2((C.GRID_LAT1 - C.GRID_LAT0) / radius)) if radius > 0 else max_level
     level = max(0, min(max_level, lx, ly))
-    while level < HARD_MAX_LEVEL:
-        n = 1 << level
-        occ = (
-            _with_cell_xy(points, level)
-            .groupBy((F.col("ix") * F.lit(n) + F.col("iy")).alias("cell"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c"))
-            .first()[0]
-        )
-        if occ is None or occ <= occ_cap:
-            break
-        level += 2  # 4x smaller cells per refinement round
+    fraction = min(1.0, OCC_SAMPLE_ROWS / max(n_pts, 1))
+    probe = points if fraction >= 1.0 else points.sample(fraction, seed=7)
+    probe = probe.persist()
+    try:
+        while level < HARD_MAX_LEVEL:
+            n = 1 << level
+            occ = (
+                _with_cell_xy(probe, level)
+                .groupBy((F.col("ix") * F.lit(n) + F.col("iy")).alias("cell"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c"))
+                .first()[0]
+            )
+            if occ is None or occ / fraction <= occ_cap:
+                break
+            level += 2  # 4x smaller cells per refinement round
+    finally:
+        probe.unpersist()
     return level
 
 
