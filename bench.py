@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "hex_cell_assign",
     "line_assembly",
     "ngram_jaccard",
+    "media_features",
     "dedup_exact",
     "doc_fingerprint",
     "token_count",
