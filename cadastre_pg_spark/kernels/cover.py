@@ -171,14 +171,13 @@ def hex_cover(xs, ys, ring_offsets, res: int):
     all_in = inside.all(axis=1)
 
     is_full = np.zeros(len(cell_ids), dtype=bool)
+    touched = np.zeros(len(cell_ids), dtype=bool)
     if len(cell_ids):
-        full_candidates = all_in
-        is_full = full_candidates & _no_edge_overlap(
-            xs_m, ys_m, offs, hx - a, hy - a, hx + a, hy + a
-        )
-    touched = inside.any(axis=1) | center_in | ~_no_edge_overlap(
-        xs_m, ys_m, offs, hx - a, hy - a, hx + a, hy + a
-    )
+        # one overlap matrix serves both classifications (it was
+        # computed twice before — the dominant cost of hex polyfill)
+        no_ov = _no_edge_overlap(xs_m, ys_m, offs, hx - a, hy - a, hx + a, hy + a)
+        is_full = all_in & no_ov
+        touched = inside.any(axis=1) | center_in | ~no_ov
     return cell_ids[touched], is_full[touched]
 
 
