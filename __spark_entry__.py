@@ -2,13 +2,18 @@
 
 entry(spark)      -> flagship cell-bucketed spatial join at sf0.001
 queries()         -> one callable per implemented operator (SURVEY.md §2)
-oracle_sql()      -> DuckDB-equivalent ANSI SQL per query (where
-                     expressible; engine-only ops are verified
-                     engine-vs-NumPy-oracle in tests/ instead)
+oracle_sql()      -> DuckDB-equivalent ANSI SQL per query: 40 of the 42
+                     queries carry EXACT oracles; only the
+                     approximate-by-design ann_topk/ivf_topk are
+                     rows-only (recall is pytest-measured instead —
+                     an exact oracle would misstate their semantics)
 
 Column names are aliased identically on both sides; aggregate values
 that depend on floating summation order are computed through DECIMAL
 casts so they are order-independent and bit-identical across engines.
+Probabilistic/hashed operators (minhash, simhash, ngram, media fake
+decode) run in md5-prefix mode here because DuckDB can replay that
+hash exactly; xxhash64 stays the engine default scale path.
 """
 
 from __future__ import annotations
