@@ -233,6 +233,32 @@ def knn_grid(
                 .select("query_id", "neighbor_id", "dist_sq", "rank")
             )
             break
+        if n_pending * n_pts <= budget_pairs:
+            # the straggler set is small enough that one GUARDED exact
+            # pass is cheaper than more coarsening rounds (each round
+            # costs a settle job + count); the budget makes this the
+            # bounded version of the round-1 fallback, not a blowup
+            brute = (
+                pending.crossJoin(
+                    points.select(
+                        F.col("point_id").alias("neighbor_id"),
+                        F.col("lon").alias("nlon"),
+                        F.col("lat").alias("nlat"),
+                    )
+                )
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    "lon",
+                    "lat",
+                    "neighbor_id",
+                    _dist_sq().alias("dist_sq"),
+                )
+            )
+            out_parts.append(
+                _topk(brute, k).select("query_id", "neighbor_id", "dist_sq", "rank")
+            )
+            break
         next_level = max(0, level - 2)
         if next_level == 0 and n_pending * n_pts > budget_pairs:
             raise RuntimeError(
