@@ -504,24 +504,26 @@ def q_pages_pipeline(spark, sf_dir):
     # construction — a hashed key would collide by birthday math and
     # fan out duplicate rows through the join
     key = F.substring("url", -8, 8).cast("long")
+    # persist: the join probe and the url/text_sha join-back both
+    # consume points — without it the page generation AND the Arrow
+    # extraction kernel run twice (visible as a doubled python stage)
     points = pages.select(
         F.col("url"),
         F.sha2(extract_udf(F.col("html")), 256).alias("text_sha"),
         key.alias("point_id"),
         S.lon_col(key).alias("lon"),
         S.lat_col(key).alias("lat"),
-    )
+    ).persist()
     joined = cell_spatial_join(
         points.select("point_id", "lon", "lat"),
         parcels,
         level=LEVEL,
     )
-    return _carry_cache(
-        joined.join(
-            points.select("point_id", "url", "text_sha"), "point_id"
-        ).select("url", "text_sha", "parcel_id"),
-        joined,
-    )
+    out = joined.join(
+        points.select("point_id", "url", "text_sha"), "point_id"
+    ).select("url", "text_sha", "parcel_id")
+    out._cadastre_cached = getattr(joined, "_cadastre_cached", []) + [points]
+    return out
 
 
 def q_hex_spatial_join(spark, sf_dir):
