@@ -358,7 +358,9 @@ def embedding_neardup_pairs(
     slower for 64-dim arrays). Joins stay JVM-side."""
     from .similarity import _unit_and_bucket
 
-    sig = _unit_and_bucket(embeddings, n_planes)
+    # persist: both self-join sides consume the bucketed signatures —
+    # without it the normalize+bucket mapInPandas runs once per side
+    sig = _unit_and_bucket(embeddings, n_planes).persist()
     a = sig.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "bucket"
     )
@@ -384,6 +386,8 @@ def embedding_neardup_pairs(
                     }
                 )
 
-    return cand.select("vec_a", "ua", "vec_b", "ub").mapInPandas(
+    out = cand.select("vec_a", "ua", "vec_b", "ub").mapInPandas(
         verify, schema="vec_a long, vec_b long, cosine double"
     )
+    out._cadastre_cached = [sig]
+    return out
