@@ -121,3 +121,25 @@ def test_merge_snapshot_matrix(spark):
     assert upd.valid_to is None and str(upd.valid_from) == "2026-02-01"
     closed = by_change["closed"][0]
     assert str(closed.valid_to) == "2026-02-01"
+
+
+def test_release_cached_unpersists_build_side(spark):
+    """cell_spatial_join persists parcels+cover; release_cached(result)
+    must free them (long sessions otherwise accumulate cache)."""
+    from cadastre_pg_spark.operators.spatial_join import (
+        cell_spatial_join,
+        parcels_from_parts,
+        points_from_docs,
+        release_cached,
+    )
+    from conftest import SF_UNIT
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    parts = spark.read.parquet(f"{SF_UNIT}/part.parquet")
+    out = cell_spatial_join(points_from_docs(docs), parcels_from_parts(parts))
+    out.count()
+    cached = out._cadastre_cached
+    assert cached and all(df.storageLevel.useMemory for df in cached)
+    release_cached(out)
+    assert all(not df.storageLevel.useMemory for df in cached)
+    release_cached(out)  # idempotent
