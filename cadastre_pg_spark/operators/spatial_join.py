@@ -352,6 +352,24 @@ def _pip_refine(
 
 BROADCAST_PARCEL_LIMIT = 300_000  # rings dict ~<150 MB broadcast ceiling
 
+# compact-cover auto gate: measured round 1, the multi-resolution cover
+# loses on small-polygon mixes (~64 cells/parcel at sf0.1: +40% wall
+# from the doubled probe) and wins when interiors span many cells
+COMPACT_CELLS_THRESHOLD = 256.0
+COMPACT_D = 3
+
+
+def estimate_cells_per_parcel(parcels: DataFrame, level: int) -> float:
+    """Average cells a parcel's bbox spans at `level` — one tiny
+    aggregate over bbox extents (no polyfill needed)."""
+    wx, wy = C.grid_cell_size(level)
+    est = (
+        ((F.array_max("xs") - F.array_min("xs")) / F.lit(wx) + F.lit(1.0))
+        * ((F.array_max("ys") - F.array_min("ys")) / F.lit(wy) + F.lit(1.0))
+    )
+    row = parcels.agg(F.avg(est)).first()
+    return float(row[0]) if row and row[0] is not None else 0.0
+
 
 def cell_spatial_join(
     points: DataFrame,
@@ -362,7 +380,7 @@ def cell_spatial_join(
     cover: DataFrame | None = None,
     salt_hot: int = 8,
     hot_threshold: int = 256,
-    compact_d: int = 0,
+    compact_d: int | str = "auto",
 ) -> DataFrame:
     """points (point_id, lon, lat) x parcels (parcel_id, rings) ->
     (point_id, parcel_id) pairs where the point is strictly inside.
@@ -380,8 +398,11 @@ def cell_spatial_join(
     analog): interior blocks collapse d levels coarser and each point
     probes both resolutions. Wins when polygons span many cells
     (cover shrinks ~x4 for dense urban parcels); for small-polygon
-    mixes the doubled probe outweighs it — hence opt-in (measured:
-    3.77M -> 2.11M cover rows but +40% wall on the sf0.1 rect mix)."""
+    mixes the doubled probe outweighs it (measured: 3.77M -> 2.11M
+    cover rows but +40% wall on the sf0.1 rect mix). 'auto' (default)
+    decides from MEASURED parcel statistics — one tiny aggregate of
+    bbox-derived cells/parcel against COMPACT_CELLS_THRESHOLD — the
+    same statistics-first rule as the broadcast gate."""
     for col, df, side in (
         ("point_id", points, "points"),
         ("lon", points, "points"),
@@ -396,6 +417,14 @@ def cell_spatial_join(
     parcels = parcels.persist()
     if strategy == "auto":
         strategy = "broadcast" if parcels.count() <= BROADCAST_PARCEL_LIMIT else "shuffle"
+    if compact_d == "auto":
+        compact_d = (
+            COMPACT_D
+            if scheme == "grid"
+            and cover is None
+            and estimate_cells_per_parcel(parcels, level) > COMPACT_CELLS_THRESHOLD
+            else 0
+        )
 
     compacted = scheme == "grid" and compact_d > 0 and cover is None
     if cover is None:

@@ -77,3 +77,43 @@ def test_compact_join_matches_flat(spark):
         for r in cell_spatial_join(points, parcels, level=10, compact_d=3).collect()
     }
     assert flat == compact and len(flat) > 0
+
+
+def test_compact_auto_gate(spark):
+    """The auto gate picks compact only for large-polygon regimes
+    (measured statistics, not guesswork) — and both decisions produce
+    the exact same join output."""
+    from pyspark.sql import functions as F
+
+    from cadastre_pg_spark.operators.spatial_join import (
+        COMPACT_CELLS_THRESHOLD,
+        cell_spatial_join,
+        estimate_cells_per_parcel,
+        parcels_from_parts,
+        points_from_docs,
+    )
+    from conftest import SF_UNIT
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    parts = spark.read.parquet(f"{SF_UNIT}/part.parquet")
+    points = points_from_docs(docs)
+    small = parcels_from_parts(parts)
+    # the sf test mix is small-polygon: auto must stay flat
+    assert estimate_cells_per_parcel(small, 10) < COMPACT_CELLS_THRESHOLD
+    # inflate the same parcels 8x: bbox spans >> threshold -> compact
+    big = small.select(
+        "parcel_id",
+        F.transform("xs", lambda x: F.element_at("xs", 1) + (x - F.element_at("xs", 1)) * 8).alias("xs"),
+        F.transform("ys", lambda y: F.element_at("ys", 1) + (y - F.element_at("ys", 1)) * 8).alias("ys"),
+        "ring_offsets",
+    )
+    assert estimate_cells_per_parcel(big, 10) > COMPACT_CELLS_THRESHOLD
+    auto_rows = {
+        (r.point_id, r.parcel_id)
+        for r in cell_spatial_join(points, big, level=10).collect()
+    }
+    flat_rows = {
+        (r.point_id, r.parcel_id)
+        for r in cell_spatial_join(points, big, level=10, compact_d=0).collect()
+    }
+    assert auto_rows == flat_rows and len(auto_rows) > 0
