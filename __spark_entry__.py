@@ -796,7 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "morton_cell": _morton_sql_oracle(),
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
-            FROM documents GROUP BY text
+            FROM documents GROUP BY sha256(text)
         """,
         "doc_fingerprint": """
             SELECT doc_id, sha256(text) AS text_sha FROM documents
@@ -1127,7 +1127,11 @@ def _media_features_sql_oracle() -> str:
     """
 
 
-def _ngram_jaccard_sql_oracle(threshold: float = 0.4) -> str:
+def _ngram_jaccard_sql_oracle(threshold: float = 0.4, max_band: int = 4096) -> str:
+    """Replays the band cap (bands with > max_band docs are skipped)
+    so the oracle stays faithful to the operator's candidate contract;
+    the engine's size-ratio prefilter is a pure prune (jaccard <=
+    min/max sizes) and needs no SQL twin."""
     return rf"""
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -1143,12 +1147,16 @@ def _ngram_jaccard_sql_oracle(threshold: float = 0.4) -> str:
                      m -> {_hex32_sql('m')})) AS sg
           FROM tok
         ),
+        bok AS (
+          SELECT band FROM ss GROUP BY band HAVING count(*) <= {max_band}
+        ),
         v AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  round(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
                    / CAST(len(list_distinct(list_concat(a.sg, b.sg))) AS DOUBLE),
                    6) AS jaccard
           FROM ss a JOIN ss b ON a.band = b.band AND a.doc_id < b.doc_id
+          JOIN bok ON a.band = bok.band
         )
         SELECT doc_a, doc_b, jaccard FROM v
         WHERE jaccard >= CAST('{threshold!r}' AS DOUBLE)

@@ -29,9 +29,15 @@ _B = [(2654435761 * (i + 1)) % MINHASH_PRIME for i in range(N_HASHES)]
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content: (keep_doc_id, n_copies).
     keep = min doc_id, matching the reference's 'first wins' skip
-    (cli.rs:466-474)."""
+    (cli.rs:466-474).
+
+    Groups by sha2(text) rather than the text itself so the shuffle
+    key (and the map-side partial-aggregate hash table) carries 64 hex
+    chars per group instead of whole documents — at 100 TB the raw-text
+    key would ship the full corpus through the exchange. Output is
+    identical up to sha256 collisions (~2^-128)."""
     return (
-        docs.groupBy(text_col)
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("_text_sha"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -254,6 +260,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     band_width: int = 8,
     hash_fn: str = "xxhash64",
+    max_band: int = 4096,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs bucketed by token-count
     band (width `band_width`) — the non-probabilistic sibling of
@@ -262,6 +269,19 @@ def ngram_jaccard_pairs(
     bands are not candidates (documents at jaccard >= 0.5 rarely differ
     by more than ~2x the band in length; widen band_width to trade
     recall for join fan-out).
+
+    Scale shape (mirrors minhash_lsh_pairs):
+    - bands with > max_band members are SKIPPED (the within-band pair
+      grid is O(band²) by the exact contract — a web-scale corpus puts
+      millions of docs in one length band, which no salting can shrink)
+      and reported on the result as `_skipped_bands` (band, n) — no
+      silent caps. Corpora that overflow the cap belong on the
+      probabilistic scale path (minhash_lsh_pairs: same exact verify,
+      LSH candidate generation);
+    - an EXACT size-ratio prefilter inside the join condition:
+      jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs failing
+      least >= threshold*greatest can never reach the threshold and are
+      pruned before the set intersection runs (result-identical).
 
     Jaccard runs over 32-BIT-HASHED shingle sets (== string-set Jaccard
     up to 2^-32 collisions): int intersections are ~10x cheaper than
@@ -279,6 +299,15 @@ def ngram_jaccard_pairs(
         ).alias("sset"),
         band.alias("band"),
     )
+    # band occupancy via groupBy (narrow rows) — the band-size table is
+    # tiny (one row per length band), so the anti-join below broadcasts;
+    # a window over `band` would shuffle the full sset arrays onto the
+    # very hot partitions the cap exists to avoid
+    band_sizes = sets.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    skipped = band_sizes.filter(F.col("n") > max_band)
+    sets = sets.join(
+        F.broadcast(skipped.select("band")), "band", "left_anti"
+    ).withColumn("sz", F.size("sset"))
     # the pair grid is quadratic-within-band COMPUTE over a tiny-ROWS
     # input — AQE coalesces it into one task if joined on band alone
     # (size stats can't see the fan-out). Salt the grid: each a-row
@@ -298,9 +327,17 @@ def ngram_jaccard_pairs(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.salt") == F.col("b.salt"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # exact prune: jaccard <= min/max sizes; the 1e-9 slack keeps a
+        # pair sitting exactly AT the threshold from a float-order drop
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= F.greatest(F.col("a.sz"), F.col("b.sz")).cast("double")
+            * F.lit(float(threshold))
+            - F.lit(1e-9)
+        ),
     )
-    return pairs.select(
+    out = pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.round(
@@ -309,6 +346,8 @@ def ngram_jaccard_pairs(
             6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+    out._skipped_bands = skipped
+    return out
 
 
 def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash64") -> DataFrame:
@@ -348,23 +387,62 @@ def simhash(docs: DataFrame, bits: int = 32, hash_fn: str = "xxhash64") -> DataF
     return fp
 
 
+def derive_n_planes(
+    n_vectors: int, target_occupancy: int = 128, lo: int = 4, hi: int = 24
+) -> int:
+    """Statistics-first plane count: enough sign bits that the EXPECTED
+    bucket holds ~target_occupancy vectors (2^p buckets), clamped to
+    [lo, hi]. Same measured-input gate as spatial_join.choose_strategy:
+    a fixed p=8 is 256 buckets forever — fine at 10^5 vectors,
+    quadratic death at 10^9."""
+    import math as _math
+
+    if n_vectors <= target_occupancy:
+        return lo
+    return max(lo, min(hi, int(_math.ceil(_math.log2(n_vectors / target_occupancy)))))
+
+
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold. Candidates from
     deterministic random-hyperplane sign buckets; both the bucket
     assignment and the exact verify run as NumPy matrix ops inside
     mapInPandas (Catalyst's per-element higher-order folds are ~20x
-    slower for 64-dim arrays). Joins stay JVM-side."""
+    slower for 64-dim arrays). Joins stay JVM-side.
+
+    Scale guards (same treatment as minhash_lsh_pairs):
+    - n_planes=None (default) derives the plane count from the MEASURED
+      vector count (one cheap count job) via derive_n_planes, so bucket
+      occupancy tracks the corpus instead of freezing at 2^8 buckets;
+    - buckets with > max_bucket members (zero vectors, cluster
+      collapse) are SKIPPED — the within-bucket pair join is O(n²/2^p)
+      only while buckets stay bounded — and reported on the result as
+      `_skipped_buckets` (bucket, n). No silent caps, no silent melt."""
     from .similarity import _unit_and_bucket
 
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count())
     # persist: both self-join sides consume the bucketed signatures —
     # without it the normalize+bucket mapInPandas runs once per side
     sig = _unit_and_bucket(embeddings, n_planes).persist()
-    a = sig.select(
+    # bucket sizes via a window over the join's own shuffle key — the
+    # rows move to (bucket) partitions once, sized, and join in place
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("bucket")
+    sized = sig.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+    skipped = (
+        sized.filter(F.col("n") > max_bucket).select("bucket", "n").distinct()
+    )
+    ok = sized.filter(F.col("n") <= max_bucket).drop("n")
+    a = ok.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "bucket"
     )
-    b = sig.select(
+    b = ok.select(
         F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "bucket"
     )
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
@@ -389,5 +467,6 @@ def embedding_neardup_pairs(
     out = cand.select("vec_a", "ua", "vec_b", "ub").mapInPandas(
         verify, schema="vec_a long, vec_b long, cosine double"
     )
+    out._skipped_buckets = skipped
     out._cadastre_cached = [sig]
     return out

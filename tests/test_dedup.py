@@ -109,6 +109,80 @@ def test_simhash_modes_and_hamming_locality(spark):
         assert max(near) < min(far)
 
 
+def test_ngram_band_cap_skips_and_reports(spark):
+    """A mega-band (300 same-length clones) would be a 300²/2 pair grid;
+    with max_band below the clone count the band is SKIPPED and
+    reported, while near-dups in other bands are still found exactly."""
+    # clones: 30 tokens -> band 3; planted pair: 50 tokens -> band 6
+    rows = [(i, "standard cookie banner text repeated verbatim " * 5) for i in range(300)]
+    distinct = "an actual article about cadastral parcels " + " ".join(
+        f"tok{k}" for k in range(43)
+    )
+    rows.append((1000, distinct + " trailing"))
+    rows.append((1001, distinct + " trailing!"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5, max_band=64)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    skipped = out._skipped_bands.collect()
+    assert (1000, 1001) in pairs
+    assert not any(a < 300 and b < 300 for a, b in pairs), "mega-band leaked pairs"
+    assert len(skipped) == 1 and skipped[0].n == 300
+
+
+def test_ngram_size_prefilter_is_exact(spark, near_dup_docs):
+    """The size-ratio prune inside the join condition must be
+    result-identical to the brute-force jaccard threshold filter."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    texts = {r.doc_id: r.text for r in near_dup_docs.collect()}
+    want = {p: j for p, j in _brute_jaccard(texts).items() if j >= 0.5}
+    # token-count bands: every planted pair differs by ONE word, so the
+    # pair can straddle a band edge — restrict the check to same-band
+    def band(t):
+        return len(t.split()) // 8
+
+    want = {
+        (i, j): v for (i, j), v in want.items() if band(texts[i]) == band(texts[j])
+    }
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert got[p] == pytest.approx(j, abs=1e-6)
+
+
+def test_embedding_neardup_mega_bucket_capped(spark):
+    """Adversarial cluster collapse: 500 near-identical vectors land in
+    ONE sign bucket. With max_bucket below that, the bucket is skipped
+    and reported instead of running a 500²/2 verify; pairs outside the
+    collapsed bucket are still found."""
+    import numpy as np
+
+    base = np.linspace(0.1, 1.0, 8)
+    rows = [(i, (base + 1e-6 * (i % 3)).tolist()) for i in range(500)]
+    # a distinct pair in a different orthant (negate half the dims)
+    flip = base.copy()
+    flip[::2] *= -1
+    rows.append((1000, flip.tolist()))
+    rows.append((1001, (flip * 1.0001).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D.embedding_neardup_pairs(emb, threshold=0.999, n_planes=4, max_bucket=64)
+    pairs = {(r.vec_a, r.vec_b) for r in out.collect()}
+    skipped = out._skipped_buckets.collect()
+    assert (1000, 1001) in pairs
+    assert not any(a < 500 and b < 500 for a, b in pairs), "mega-bucket leaked"
+    assert len(skipped) == 1 and skipped[0].n == 500
+
+
+def test_derive_n_planes_tracks_count():
+    assert D.derive_n_planes(0) == 4
+    assert D.derive_n_planes(100) == 4
+    assert D.derive_n_planes(1_000) == 4  # ceil(log2(1000/128)) = 3 -> lo
+    assert D.derive_n_planes(20_000) == 8
+    assert D.derive_n_planes(1_000_000) == 13
+    assert D.derive_n_planes(10**12) == 24  # clamped: caller must shard
+
+
 def test_md5_hash32_matches_python(spark):
     """The md5-prefix 32-bit hash (oracle-parity mode) equals Python's
     hashlib on the same strings."""
