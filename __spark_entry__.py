@@ -8,9 +8,16 @@ oracle_sql()      -> DuckDB-equivalent ANSI SQL per query: 40 of the 42
                      rows-only (recall is pytest-measured instead —
                      an exact oracle would misstate their semantics)
 
-Column names are aliased identically on both sides; aggregate values
-that depend on floating summation order are computed through DECIMAL
-casts so they are order-independent and bit-identical across engines.
+Column names are aliased identically on both sides. Parity policy by
+query family:
+- AGGREGATE queries (tpch_q1, rollup/cube/pivot, events_windowed,
+  topk_similarity dots/norms) sum through DECIMAL casts — order-
+  independent, bit-identical across engines.
+- COSINE queries (topk_similarity output, embedding_neardup, ann/ivf)
+  use float64 matmuls rounded to 6 decimals on BOTH sides; vs the
+  oracle the unrounded difference is ~1e-15, ~9 orders below the
+  rounding grid (straddle probability ~1e-8/value, empirically exact
+  on the fixed test data; ties at the grid break by id identically).
 Probabilistic/hashed operators (minhash, simhash, ngram, media fake
 decode) run in md5-prefix mode here because DuckDB can replay that
 hash exactly; xxhash64 stays the engine default scale path.

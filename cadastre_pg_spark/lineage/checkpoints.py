@@ -20,11 +20,27 @@ Schema (FIXTURES.md §3): run_id, stage, partition_id, content_hash,
 rows, bytes, status, committed_at.
 """
 
+import itertools
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_RUN_SEQ = itertools.count()
+
+
+def new_run_id() -> str:
+    """Sortable monotonic run id: zero-padded nanosecond timestamp +
+    in-process counter + random suffix. committed() breaks equal
+    committed_at timestamps on run_id DESC, so ids from here make
+    latest-wins exact even for commits inside the same clock tick
+    (current_timestamp is per-query constant at microseconds). Callers
+    minting their own run_ids must keep them chronologically sortable
+    to retain that guarantee."""
+    return f"{time.time_ns():020d}-{next(_RUN_SEQ):06d}-{uuid.uuid4().hex[:8]}"
 
 CHECKPOINT_SCHEMA = T.StructType(
     [
@@ -58,7 +74,12 @@ class CheckpointLog:
         hash counts as done (matching the reference's ON CONFLICT DO
         UPDATE upsert, postgres.rs:98-168). Without this, a partition
         whose content *reverts* to any previously committed hash would
-        be skipped while the output dir still holds the newer data."""
+        be skipped while the output dir still holds the newer data.
+
+        Ties on committed_at (two commits inside one clock tick) break
+        on run_id DESC — chronological ONLY if run_ids sort by creation
+        time. new_run_id() mints ids with that property; use it (or an
+        equally sortable scheme) when runs can commit back-to-back."""
         from pyspark.sql import Window
 
         w = Window.partitionBy("partition_id").orderBy(

@@ -184,11 +184,17 @@ def repair_flat_polygons(df: DataFrame) -> DataFrame:
     )
     closed = F.transform(
         rings,
-        lambda r: F.when(
+        # rings with < 2 vertices pass through unchanged (ANSI
+        # element_at on an empty array would raise; they are dropped by
+        # the size>=4 keep filter below and counted as dropped_ring —
+        # quarantined, not crashed, per this rung's contract)
+        lambda r: F.when(F.size(r.x) < 2, r)
+        .when(
             (F.element_at(r.x, 1) == F.element_at(r.x, -1))
             & (F.element_at(r.y, 1) == F.element_at(r.y, -1)),
             r,
-        ).otherwise(
+        )
+        .otherwise(
             F.struct(
                 F.concat(r.x, F.slice(r.x, 1, 1)).alias("x"),
                 F.concat(r.y, F.slice(r.y, 1, 1)).alias("y"),

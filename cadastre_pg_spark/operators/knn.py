@@ -192,6 +192,17 @@ def knn_grid(
     n_pts = points.count()
     occ_cap = occ_cap if occ_cap is not None else max(64, 8 * k)
     level = pick_level(n_pts, points, k, expansion, max_level, occ_cap)
+    if level <= 1:
+        # the FIRST round would already be (nearly) the full grid —
+        # apply the same budget gate before running it (the count is
+        # cheap and only happens in this degenerate-density corner)
+        n_q = queries.count()
+        if n_q * n_pts > budget_pairs:
+            raise RuntimeError(
+                f"knn_grid: level-{level} start would compare {n_q} "
+                f"queries x {n_pts} points > budget_pairs={budget_pairs}; "
+                f"raise the budget or occ_cap explicitly"
+            )
 
     points = points.persist()
     out_parts = []
@@ -260,10 +271,14 @@ def knn_grid(
             )
             break
         next_level = max(0, level - 2)
-        if next_level == 0 and n_pending * n_pts > budget_pairs:
+        # the 3x3 window at level 1 (a 2x2 grid) already spans the WHOLE
+        # grid, so the budget must gate any round at level <= 1 — not
+        # just the level-0 terminal pass — or the full quadratic join
+        # runs once before the raise could fire
+        if next_level <= 1 and n_pending * n_pts > budget_pairs:
             raise RuntimeError(
-                f"knn_grid: terminal round would compare {n_pending} "
-                f"stragglers x {n_pts} points > budget_pairs="
+                f"knn_grid: level-{next_level} round would compare "
+                f"{n_pending} stragglers x {n_pts} points > budget_pairs="
                 f"{budget_pairs}; raise the budget or occ_cap explicitly"
             )
         level = next_level

@@ -76,15 +76,17 @@ def geometry_geojson_col(
     xs="xs",
     ys="ys",
     offsets="ring_offsets",
-    poly_offsets="poly_offsets",
+    poly_offsets=None,
 ) -> Column:
     """Geometry JSON STRING for a heterogeneous feature table — the
     engine's S9 twin of the reference's all-types writer
     (cadastre-pg/src/export/geojson.rs:14-97, geozero process_geom).
     Dispatches on `geom_type` (Point, MultiPoint, LineString,
     MultiLineString, Polygon, MultiPolygon); every branch is a JVM
-    to_json, the when-chain just picks the string. MultiPolygon needs
-    `poly_offsets` (indices into the offsets array per polygon)."""
+    to_json, the when-chain just picks the string. The MultiPolygon
+    branch is OPT-IN: pass poly_offsets (indices into the offsets
+    array per polygon) to enable it — the default None keeps the
+    column resolvable on tables without that column."""
 
     def gj(typ, coords):
         return F.to_json(

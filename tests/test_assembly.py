@@ -98,6 +98,19 @@ def test_repair_flat_polygons_merge_rung(spark):
         ),
         # nothing valid -> quarantined
         ("empty", [5.0, 6.0], [5.0, 6.0], [0, 2]),
+        # ZERO-LENGTH ring (consecutive equal offsets, plausible from
+        # merged foreign writers): must quarantine, not raise ANSI
+        # INVALID_ARRAY_INDEX in the close step
+        ("zero_ring", [], [], [0, 0]),
+        # valid shell + zero-length ring -> the empty ring is dropped
+        (
+            "shell_plus_zero",
+            [0.0, 1.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 1.0, 0.0],
+            [0, 5, 5],
+        ),
+        # single-vertex ring -> dropped, not crashed
+        ("one_pt", [3.0], [3.0], [0, 1]),
     ]
     df = spark.createDataFrame(
         rows,
@@ -113,6 +126,11 @@ def test_repair_flat_polygons_merge_rung(spark):
     assert got["degen"].ring_offsets == [0, 5]
     assert got["empty"].repair_status == "error:empty"
     assert got["empty"].xs == []
+    assert got["zero_ring"].repair_status == "error:empty"
+    assert got["zero_ring"].xs == []
+    assert got["shell_plus_zero"].repair_status == "dropped_ring"
+    assert got["shell_plus_zero"].ring_offsets == [0, 5]
+    assert got["one_pt"].repair_status == "error:empty"
     # auto-closed geometry still contains its points (PIP sanity)
     import numpy as np
     from cadastre_pg_spark.kernels.pip import points_in_polygon

@@ -5,12 +5,21 @@ processing — reference postgres.rs:122-168, cli.rs:321-356)."""
 import pyspark.sql.functions as F
 import pytest
 
-from cadastre_pg_spark.lineage.checkpoints import CheckpointLog, run_stage
+from cadastre_pg_spark.lineage.checkpoints import CheckpointLog, new_run_id, run_stage
 
 
 @pytest.fixture
 def base(tmp_path):
     return str(tmp_path / "lake")
+
+
+def test_new_run_id_is_sortable_monotonic():
+    """committed() tie-breaks equal committed_at on run_id DESC; ids
+    minted back-to-back (same clock tick territory) must still sort in
+    generation order."""
+    ids = [new_run_id() for _ in range(200)]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == 200
 
 
 def _input(spark):
