@@ -2,11 +2,14 @@
 
 entry(spark)      -> flagship cell-bucketed spatial join at sf0.001
 queries()         -> one callable per implemented operator (SURVEY.md §2)
-oracle_sql()      -> DuckDB-equivalent ANSI SQL per query: 40 of the 42
-                     queries carry EXACT oracles; only the
-                     approximate-by-design ann_topk/ivf_topk are
-                     rows-only (recall is pytest-measured instead —
-                     an exact oracle would misstate their semantics)
+oracle_sql()      -> DuckDB-equivalent ANSI SQL per query: ALL queries
+                     carry EXACT oracles, including the ANN pair —
+                     ann_topk's hyperplanes are closed-form integer
+                     arithmetic and ivf_topk runs the deterministic
+                     sampled-centroid quantizer, so both pipelines
+                     (buckets/lists, probes, rerank, rank) replay
+                     exactly in SQL; the seeded-k-means IVF remains
+                     pytest-recall-tested as the quality path
 
 Column names are aliased identically on both sides. Parity policy by
 query family:
@@ -401,11 +404,16 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    from cadastre_pg_spark.operators.similarity import ivf_topk
+    """IVF with the deterministic sampled quantizer (md5-ordered member
+    vectors as centroids) — bit-reproducible, so the whole pipeline
+    (assignment, n_probe lists, rerank, rank) has an exact DuckDB
+    oracle. The seeded-k-means ivf_topk stays the quality path with a
+    pytest recall gate (tests/test_similarity.py)."""
+    from cadastre_pg_spark.operators.similarity import ivf_topk_sampled
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries_df, k=5)
+    return ivf_topk_sampled(emb, queries_df, k=5)
 
 
 def q_sales_cube(spark, sf_dir):
@@ -763,6 +771,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reproject_points": _reproject_sql_oracle(),
         "pages_pipeline": _pages_pipeline_sql_oracle(),
+        "ann_topk": _ann_topk_sql_oracle(),
+        "ivf_topk": _ivf_topk_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
         "simhash": _simhash_sql_oracle(),
         "ngram_jaccard": _ngram_jaccard_sql_oracle(threshold=0.4),
@@ -1004,6 +1014,123 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md), all SFs
+
+
+def _ann_topk_sql_oracle(
+    k: int = 5, n_planes: int = 6, probe_bits: int = 2, dim: int = EMB_DIM
+) -> str:
+    """Full independent replay of ann_topk in DuckDB SQL. The
+    hyperplanes are closed-form integer arithmetic
+    (similarity._planes: ((p*1315423911 + d*2654435761) % 1000003) /
+    1000003 - 0.5), so the bucket assignment, the Hamming<=probe_bits
+    multi-probe, the candidate join, and the exact rerank are all
+    SQL-expressible. Sign parity: Spark buckets on normalized u but
+    sign(u . plane) == sign(raw . plane) for any nonzero norm (and a
+    zero vector yields dot 0 -> bit unset on both sides); cosines are
+    rounded to 6 decimals on both sides per the engine parity policy."""
+    from itertools import combinations
+
+    def plane_lit(p: int) -> str:
+        vals = [
+            ((p * 1315423911 + d * 2654435761) % 1000003) / 1000003.0 - 0.5
+            for d in range(dim)
+        ]
+        return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    masks = [
+        sum(1 << b for b in bits)
+        for r in range(probe_bits + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+    probe_list = ", ".join(f"xor(bucket, {m})" for m in masks)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+        qp AS (
+          SELECT vec_id AS query_id, unnest([{probe_list}]) AS bucket
+          FROM b WHERE vec_id % 50 = 0
+        ),
+        cand AS (
+          SELECT DISTINCT qp.query_id, n.vec_id AS neighbor_id
+          FROM qp JOIN b n ON qp.bucket = n.bucket
+          WHERE n.vec_id <> qp.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(qe.v, ne.v), 6) AS cosine
+          FROM cand c
+          JOIN e qe ON qe.vec_id = c.query_id
+          JOIN e ne ON ne.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _ivf_topk_sql_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str:
+    """Replay of ivf_topk_sampled: centroids = the n_lists member
+    vectors ordered by md5(vec_id) (list_id = rank in that order);
+    assignment/probes by squared-L2 rounded to 6 decimals with ties on
+    list_id ASC (argmin-first / stable-argsort on the Spark side)."""
+    sq = (
+        "round(list_sum([ (t.v[i+1]-cent.c[i+1])*(t.v[i+1]-cent.c[i+1])"
+        " for i in range(0, len(t.v)) ]), 6)"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS INT)
+                   AS list_id, c
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v AS c
+                FROM e ORDER BY 1, 2 LIMIT {n_lists})
+        ),
+        dists AS (
+          SELECT t.vec_id, t.v, cent.list_id, {sq} AS d
+          FROM e t CROSS JOIN cent
+        ),
+        asn AS (
+          SELECT vec_id AS neighbor_id, list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d ASC, list_id ASC) AS rn
+            FROM dists) WHERE rn = 1
+        ),
+        qp AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d ASC, list_id ASC) AS rn
+            FROM dists WHERE vec_id % 50 = 0) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT DISTINCT qp.query_id, a.neighbor_id
+          FROM qp JOIN asn a ON qp.list_id = a.list_id
+          WHERE a.neighbor_id <> qp.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(qe.v, ne.v), 6) AS cosine
+          FROM cand c
+          JOIN e qe ON qe.vec_id = c.query_id
+          JOIN e ne ON ne.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
 
 
 def _hex32_sql(m: str) -> str:

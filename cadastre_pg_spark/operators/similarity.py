@@ -212,6 +212,129 @@ def ivf_topk(
     )
 
 
+def ivf_topk_sampled(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a deterministic SAMPLED coarse quantizer: the list
+    centroids are the n_lists member vectors whose md5(vec_id) sorts
+    first (list_id = position in that order). Random data sampling is
+    the standard k-means initializer — skipping the Lloyd refinement
+    trades a little list balance for a BIT-REPRODUCIBLE layout an
+    independent SQL engine can replay exactly, which gives this query
+    an exact DuckDB oracle (the seeded-k-means ivf_topk keeps the
+    quality crown and its pytest recall gate).
+
+    Parity contract (mirrors the engine-wide rounded-float64 policy):
+    squared-L2 centroid distances and rerank cosines are rounded to 6
+    decimals on both sides; all ties break by (list_id | neighbor_id)
+    ascending. Assignment and probes are NumPy matmuls in mapInPandas;
+    the candidate join stays JVM-side."""
+    sc = embeddings.sparkSession.sparkContext
+    cpdf = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("c")
+        )
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_lists)
+        .toPandas()
+    )
+    if len(cpdf) == 0:
+        return embeddings.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    centroids = np.stack(cpdf["c"].values)
+    n_probe = min(n_probe, len(cpdf))
+    bc = sc.broadcast(centroids)
+
+    def dist_to_lists(m: np.ndarray) -> np.ndarray:
+        d = ((m[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2)
+        return np.round(d, 6)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["arr"].values)
+            # argmin returns the FIRST minimum -> ties break by list_id
+            lid = np.argmin(dist_to_lists(v), axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(np.int64),
+                    "nu": pdf["arr"].values,
+                    "list_id": lid.astype(np.int32),
+                }
+            )
+
+    lists = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    ).mapInPandas(assign, schema="neighbor_id long, nu array<double>, list_id int")
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf["qu"].values)
+            # stable sort -> equal distances keep ascending list_id
+            near = np.argsort(dist_to_lists(q), axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(np.int64), n_probe
+                    ),
+                    "qu": [q[i] for i in range(n) for _ in range(n_probe)],
+                    "list_id": near.ravel().astype(np.int32),
+                }
+            )
+
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qu"),
+    ).mapInPandas(probe, schema="query_id long, qu array<double>, list_id int")
+    cand = probes.join(lists, "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qu = np.stack(pdf["qu"].values)
+            nu = np.stack(pdf["nu"].values)
+            qn = np.linalg.norm(qu, axis=1)
+            nn = np.linalg.norm(nu, axis=1)
+            qn[qn == 0] = 1.0
+            nn[nn == 0] = 1.0
+            cos = np.einsum("ij,ij->i", qu, nu) / (qn * nn)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    scored = (
+        cand.select("query_id", "qu", "neighbor_id", "nu")
+        .mapInPandas(rerank, schema="query_id long, neighbor_id long, cosine double")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -2,7 +2,12 @@
 
 import pyspark.sql.functions as F
 
-from cadastre_pg_spark.operators.similarity import ann_topk, ivf_topk, topk_cosine
+from cadastre_pg_spark.operators.similarity import (
+    ann_topk,
+    ivf_topk,
+    ivf_topk_sampled,
+    topk_cosine,
+)
 from conftest import SF_UNIT
 
 
@@ -26,3 +31,20 @@ def test_ivf_recall(spark):
     approx = _pairs(ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF ANN recall too low: {recall}"
+
+
+def test_ivf_sampled_recall_and_determinism(spark):
+    """The sampled-quantizer IVF (the oracle-able driver variant) must
+    hold comparable recall to the k-means one and be run-to-run
+    bit-deterministic (its whole point)."""
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _pairs(topk_cosine(emb, queries, k=5))
+    out = ivf_topk_sampled(emb, queries, k=5, n_lists=8, n_probe=4)
+    got = sorted((r.query_id, r.neighbor_id, r.cosine, r.rank) for r in out.collect())
+    recall = len(exact & {(q, n) for q, n, _, _ in got}) / len(exact)
+    assert recall >= 0.6, f"sampled IVF recall too low: {recall}"
+    again = ivf_topk_sampled(emb, queries, k=5, n_lists=8, n_probe=4)
+    assert got == sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in again.collect()
+    )
