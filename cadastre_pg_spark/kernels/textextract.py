@@ -13,13 +13,28 @@ dependence, explicit entity table, explicit whitespace collapse.
 
 import re
 
-# charset label -> python codec (subset of thf.rs:47-61; default 8859-15)
+# charset label -> python codec: the FULL reference map
+# (edigeo/src/parser/thf.rs:47-61). Reference quirks preserved:
+# IRV / 646-FRANCE / 8859-1 decode as Latin-9 (French EDIGEO uses
+# Latin-9 in practice) and 8859-9 decodes as windows-1254 (Turkish,
+# ISO-8859-9-compatible superset). UTF-8 / ASCII / LATIN* aliases are
+# engine extensions for the web-text graft.
 ENCODINGS = {
-    "IRV": "ascii",
-    "ASCII": "ascii",
-    "8859-1": "iso-8859-1",
-    "LATIN1": "iso-8859-1",
+    "IRV": "iso-8859-15",
+    "646-FRANCE": "iso-8859-15",
+    "8859-1": "iso-8859-15",
+    "8859-2": "iso-8859-2",
+    "8859-3": "iso-8859-3",
+    "8859-4": "iso-8859-4",
+    "8859-5": "iso-8859-5",
+    "8859-6": "iso-8859-6",
+    "8859-7": "iso-8859-7",
+    "8859-8": "iso-8859-8",
+    "8859-9": "cp1254",
     "8859-15": "iso-8859-15",
+    # web-text extensions (not in thf.rs)
+    "ASCII": "ascii",
+    "LATIN1": "iso-8859-1",
     "LATIN9": "iso-8859-15",
     "UTF-8": "utf-8",
     "UTF8": "utf-8",

@@ -45,24 +45,35 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def image_features(
-    media: DataFrame, strict: bool = False, dim: int = IMAGE_FEATURE_DIM
+    media: DataFrame,
+    strict: bool = False,
+    dim: int = IMAGE_FEATURE_DIM,
+    decode_fn=None,
 ) -> DataFrame:
     """(media_id, payload) -> (media_id, features array<double>).
 
-    Batch shape: one Arrow batch in, vectorized over rows; the decode
-    itself is a STUB (deterministic fake, or NotImplementedError in
-    strict mode) — the real implementation drops in per batch."""
+    Batch shape: one Arrow batch in, vectorized over rows.
+
+    decode_fn is the CODEC INJECTION POINT: a callable
+    (payload: bytes, dim: int) -> length-dim float sequence, shipped to
+    executors inside the mapInPandas closure — a pillow/opencv-equipped
+    cluster drops its real decoder into the tested batch shape without
+    editing the operator. With decode_fn=None the stub applies: the
+    deterministic fake, or NotImplementedError in strict mode."""
 
     def gen(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            if strict:
+            if decode_fn is None and strict:
                 raise NotImplementedError(
-                    "image decode requires pillow/opencv — not in this env"
+                    "image decode requires pillow/opencv — not in this env; "
+                    "inject one via decode_fn"
                 )
+            fn = decode_fn if decode_fn is not None else _fake_decode
             feats = [
-                _fake_decode(bytes(p), dim) for p in pdf["payload"].values
+                np.asarray(fn(bytes(p), dim), dtype=np.float64)
+                for p in pdf["payload"].values
             ]
             yield pd.DataFrame(
                 {
@@ -77,11 +88,13 @@ def image_features(
 
 
 def frame_sample(
-    media: DataFrame, every_ms: int = 1000, strict: bool = False
+    media: DataFrame, every_ms: int = 1000, strict: bool = False, decode_fn=None
 ) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     timestamp (duration metadata drives the explode, JVM-side); frame
-    extraction itself is the stubbed decode."""
+    extraction itself is the stubbed decode, or the injected
+    decode_fn(payload: bytes, frame_ms: int) -> float sequence (the
+    ffmpeg drop-in point, mirroring image_features.decode_fn)."""
     ts = F.explode(
         F.sequence(
             F.lit(0),
@@ -97,10 +110,15 @@ def frame_sample(
         for pdf in batches:
             if pdf.empty:
                 continue
-            if strict:
-                raise NotImplementedError("video decode not available")
+            if decode_fn is None and strict:
+                raise NotImplementedError(
+                    "video decode not available; inject one via decode_fn"
+                )
+            fn = decode_fn if decode_fn is not None else (
+                lambda p, t: _fake_decode(p + int(t).to_bytes(8, "little"), 8)
+            )
             feats = [
-                _fake_decode(bytes(p) + int(t).to_bytes(8, "little"), 8)
+                np.asarray(fn(bytes(p), int(t)), dtype=np.float64)
                 for p, t in zip(pdf["payload"].values, pdf["frame_ms"].values)
             ]
             yield pd.DataFrame(

@@ -80,6 +80,80 @@ def validate_specs(specs: list[TableSpec]) -> None:
         layouts[spec.table] = layout
 
 
+def load_preset(source) -> list[TableSpec]:
+    """Parse the reference's JSON preset shape into TableSpecs — the
+    missing mouth of the config system: a user's full.json/light.json/
+    bati.json (cadastre-pg/src/config/presets/, loaded at
+    cli.rs:677-683) feeds the engine unchanged.
+
+    `source` is a path, a file-like, or an already-parsed dict of
+    {feature_type: {table, hash_geom?, fields: [{source, target,
+    data_type?, prefix_dep?}]}}. Semantics mirror build_import_specs
+    (cli.rs:749-802):
+    - fields whose target is a RESERVED column are dropped, not
+      errored (the engine builds id/departement/geometry itself);
+    - feature types sharing a table merge into one TableSpec; a
+      different surviving field layout raises ConfigError;
+    - hash_geom is OR-ed across the merged feature types;
+    - each type is also registered without a trailing '_ID'
+      (normalize tolerance, cli.rs:797-800).
+    Defaults mirror the serde defaults (config/mod.rs:30-49):
+    data_type 'text', prefix_dep false, hash_geom false."""
+    import json
+
+    if isinstance(source, dict):
+        raw = source
+    elif hasattr(source, "read"):
+        raw = json.load(source)
+    else:
+        with open(source, encoding="utf-8") as fh:
+            raw = json.load(fh)
+    if not isinstance(raw, dict):
+        raise ConfigError("preset root must be a JSON object")
+
+    specs: list[TableSpec] = []
+    by_table: dict[str, TableSpec] = {}
+    for ftype, cfg in raw.items():
+        if not isinstance(cfg, dict) or "table" not in cfg:
+            raise ConfigError(f"preset entry {ftype!r} missing 'table'")
+        fields = []
+        for f_ in cfg.get("fields", []):
+            try:
+                fs = FieldSpec(
+                    source=f_["source"],
+                    target=f_["target"],
+                    data_type=f_.get("data_type", "text"),
+                    prefix_dep=bool(f_.get("prefix_dep", False)),
+                )
+            except (TypeError, KeyError) as exc:
+                raise ConfigError(
+                    f"preset entry {ftype!r}: field needs source+target ({exc})"
+                ) from exc
+            if fs.target.lower() not in RESERVED:
+                fields.append(fs)
+        names = [ftype.strip().upper()]
+        if names[0].endswith("_ID"):
+            names.append(names[0][: -len("_ID")])
+        table = cfg["table"]
+        hash_geom = bool(cfg.get("hash_geom", False))
+        spec = by_table.get(table)
+        if spec is None:
+            spec = TableSpec(
+                table=table, feature_types=names, fields=fields, hash_geom=hash_geom
+            )
+            by_table[table] = spec
+            specs.append(spec)
+        else:
+            if [(x.target, x.data_type, x.source, x.prefix_dep) for x in spec.fields] != [
+                (x.target, x.data_type, x.source, x.prefix_dep) for x in fields
+            ]:
+                raise ConfigError(f"conflicting layouts for table {table}")
+            spec.feature_types.extend(names)
+            spec.hash_geom = spec.hash_geom or hash_geom
+    validate_specs(specs)
+    return specs
+
+
 def lenient_numeric(col):
     """'+1895.' -> 1895, '01' -> 1 (P4; cli.rs:842-861) as SQL exprs."""
     cleaned = F.regexp_replace(

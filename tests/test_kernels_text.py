@@ -16,6 +16,36 @@ def test_resolve_encoding():
     assert resolve_encoding("UTF-8") == "utf-8"
     assert resolve_encoding("latin9") == "iso-8859-15"
     assert resolve_encoding("nonsense") == DEFAULT_ENCODING
+    # the reference quirks (thf.rs:48-50,57): French EDIGEO labels decode
+    # as Latin-9; 8859-9 is the windows-1254 Turkish superset
+    assert resolve_encoding("IRV") == "iso-8859-15"
+    assert resolve_encoding("646-france") == "iso-8859-15"
+    assert resolve_encoding("8859-1") == "iso-8859-15"
+    assert resolve_encoding("8859-9") == "cp1254"
+
+
+def test_charset_map_decode_parity():
+    """One golden byte per non-Latin charset label: the decoded char
+    must match the reference's target encoding (thf.rs:48-61), not a
+    Latin-9 fallback."""
+    goldens = {
+        # 0xA3 and friends differ across the 8859 family
+        "8859-2": (b"\xb3", "ł"),   # ł  (latin small l with stroke)
+        "8859-3": (b"\xbb", "ğ"),   # ğ (latin-3 g-breve)
+        "8859-4": (b"\xbb", "ģ"),   # ģ
+        "8859-5": (b"\xb4", "Д"),   # Д (cyrillic capital de)
+        "8859-6": (b"\xc8", "ب"),   # ب (arabic beh)
+        "8859-7": (b"\xe1", "α"),   # α (greek alpha)
+        "8859-8": (b"\xe0", "א"),   # א (hebrew alef)
+        "8859-9": (b"\xf0", "ğ"),   # ğ (turkish g-breve, cp1254)
+        "8859-15": (b"\xa4", "€"),  # € (the Latin-9 marker byte)
+        "8859-1": (b"\xa4", "€"),   # reference: 8859-1 label -> Latin-9
+        "IRV": (b"\xa4", "€"),
+        "646-FRANCE": (b"\xa4", "€"),
+    }
+    for label, (byte, want) in goldens.items():
+        got = extract_text(b"<p>" + byte + b"</p>", label)
+        assert got == want, f"{label}: {got!r} != {want!r}"
 
 
 def test_extract_basic():
