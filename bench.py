@@ -101,7 +101,35 @@ from cadastre_pg_spark.operators.spatial_join import release_cached
 out = {{}}
 rows = {{}}
 for name in {names!r}:
-    if name.startswith("__scale"):
+    if name.startswith("__stream_place"):
+        # streaming placement throughput: N synthetic points landed as
+        # parquet files, streamed through the stream-static cell join
+        # in 4-file micro-batches (the file-source analog of a feed);
+        # timing starts at stream start (generation excluded)
+        n_points = int(name.split(":")[1])
+        import shutil, tempfile
+        import pyspark.sql.functions as F
+        from cadastre_pg_spark.data import synthetic as S
+        from cadastre_pg_spark.operators.spatial_join import parcels_from_parts
+        from cadastre_pg_spark.streaming.placement import placement_stream
+        tmp = tempfile.mkdtemp(prefix="bench_stream_pts_")
+        key = F.col("id").cast("long")
+        spark.range(n_points).select(
+            F.col("id").alias("point_id"),
+            S.lon_col(key).alias("lon"), S.lat_col(key).alias("lat"),
+        ).repartition(16).write.mode("overwrite").parquet(tmp)
+        parcels = parcels_from_parts(
+            spark.read.parquet(f"{{sf_dir}}/part.parquet"))
+        t0 = time.time()
+        q = placement_stream(spark, tmp, parcels,
+                             query_name="bench_place",
+                             max_files_per_trigger=4)
+        q.processAllAvailable()
+        n = spark.table("bench_place").count()
+        q.stop()
+        df = None
+        shutil.rmtree(tmp, ignore_errors=True)
+    elif name.startswith("__scale"):
         # "__scale:N" broadcast path | "__scale_shuffle:N" forced
         # shuffle strategy + hot-cell salting (the >300k-parcel regime)
         n_points = int(name.split(":")[1])
@@ -127,7 +155,8 @@ for name in {names!r}:
         n = df.count()
     out[name] = round(time.time() - t0, 3)
     rows[name] = n
-    release_cached(df)  # cache hygiene: 24 queries share one session
+    if df is not None:
+        release_cached(df)  # cache hygiene: the queries share one session
 print("BENCHJSON:" + json.dumps({{"times": out, "rows": rows}}))
 spark.stop()
 """
@@ -187,6 +216,15 @@ def main():
     sh_sec = sh["times"][shuffle_job]
     sh_rows = sh["rows"][shuffle_job]
 
+    # streaming placement throughput (stream-static cell join over a
+    # file source in 4-file micro-batches; stream==batch equality is
+    # pytest-held, this records the measured rows/s)
+    stream_n = int(os.environ.get("SPARK_GRAFT_STREAM_N", "2000000"))
+    stream_job = f"__stream_place:{stream_n}"
+    st = run_child(CPUS, [stream_job], SF_DIR)
+    st_sec = st["times"][stream_job]
+    st_rows = st["rows"][stream_job]
+
     print(
         json.dumps(
             {
@@ -214,6 +252,13 @@ def main():
                     "sec": sh_sec,
                     "rows_per_sec": round(sh_rows / sh_sec, 1) if sh_sec else None,
                     "strategy": "shuffle+salt8",
+                },
+                "streaming_placement": {
+                    "points": stream_n,
+                    "rows": st_rows,
+                    "sec": st_sec,
+                    "points_per_sec": round(stream_n / st_sec, 1) if st_sec else None,
+                    "micro_batches": "4 files/trigger of 16",
                 },
                 "loadavg_external": round(os.getloadavg()[0], 2),
             }

@@ -30,11 +30,13 @@ def placement_stream(
     parcels: DataFrame,
     level: int = 10,
     query_name: str = "placement",
+    max_files_per_trigger: int | None = None,
 ):
     """Point parquet stream at `path` x static `parcels` -> memory sink
     `query_name` with (point_id, parcel_id) rows. Broadcast strategy
     (the static side was gated by the same measured-size rule before it
-    got here)."""
+    got here). max_files_per_trigger caps each micro-batch (None =
+    everything available in one batch)."""
     parcels = parcels.persist()
     cover = polyfill(parcels, level=level).drop("x0", "x1", "y0", "y1").persist()
     cover.count()  # materialize ONCE, not per micro-batch
@@ -46,9 +48,12 @@ def placement_stream(
         F.array_max("ys").alias("y1"),
     )
 
-    pts = (
-        spark.readStream.format("parquet").schema(POINT_SCHEMA).load(path)
-    ).withColumn("cell", S.grid_cell_col(F.col("lon"), F.col("lat"), level))
+    reader = spark.readStream.format("parquet").schema(POINT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pts = reader.load(path).withColumn(
+        "cell", S.grid_cell_col(F.col("lon"), F.col("lat"), level)
+    )
     cand = (
         pts.join(F.broadcast(cover), "cell")
         .join(F.broadcast(bbox), "parcel_id")
