@@ -77,6 +77,7 @@ def geometry_geojson_col(
     ys="ys",
     offsets="ring_offsets",
     poly_offsets=None,
+    collection=None,
 ) -> Column:
     """Geometry JSON STRING for a heterogeneous feature table — the
     engine's S9 twin of the reference's all-types writer
@@ -86,7 +87,10 @@ def geometry_geojson_col(
     to_json, the when-chain just picks the string. The MultiPolygon
     branch is OPT-IN: pass poly_offsets (indices into the offsets
     array per polygon) to enable it — the default None keeps the
-    column resolvable on tables without that column."""
+    column resolvable on tables without that column. Likewise
+    GeometryCollection: pass `collection` naming an array-of-geometry-
+    JSON-strings column (see geometry_collection_col) to enable the
+    seventh type."""
 
     def gj(typ, coords):
         return F.to_json(
@@ -111,7 +115,26 @@ def geometry_geojson_col(
             lambda p: F.slice(parts, po[p] + 1, po[p + 1] - po[p]),
         )
         out = out.when(t == "MultiPolygon", gj("MultiPolygon", polys))
+    if collection is not None:
+        out = out.when(
+            t == "GeometryCollection", geometry_collection_col(collection)
+        )
     return out
+
+
+def geometry_collection_col(geoms) -> Column:
+    """GeoJSON GeometryCollection from an ARRAY column of pre-rendered
+    geometry JSON strings (each produced by geometry_geojson_col /
+    polygon_geojson_col — composition, so members may mix types and
+    nesting depths). The reference carries GeometryCollection in its
+    geometry enum (edigeo/src/types.rs:29-41 via geo::Geometry) but
+    never constructs one (edigeo/src/repair/mod.rs:48-59); the sink
+    still accepts it so merged inputs from other writers round-trip."""
+    return F.concat(
+        F.lit('{"type":"GeometryCollection","geometries":['),
+        F.concat_ws(",", F.col(geoms) if isinstance(geoms, str) else geoms),
+        F.lit("]}"),
+    )
 
 
 def feature_geojson_col(

@@ -88,6 +88,51 @@ def test_geojson_all_types_roundtrip(spark):
     assert g["mpg1"]["coordinates"][1][0][0] == [5.0, 5.0]
 
 
+def test_geometry_collection_roundtrip(spark):
+    """The 7th type: a GeometryCollection feature whose members are
+    pre-rendered geometry strings (composition — members mix types and
+    nesting depths). Matches the reference's geometry enum coverage
+    even though the reference never constructs one itself."""
+    from cadastre_pg_spark.sources.geojson import geometry_collection_col
+
+    # render two member geometries on child rows, collect into an array
+    members = spark.createDataFrame(
+        [
+            ("gc1", "Point", [2.0], [48.0], [0, 1]),
+            ("gc1", "LineString", [0.0, 1.0], [0.0, 1.0], [0, 2]),
+        ],
+        "feature_id string, geom_type string, xs array<double>, ys array<double>, "
+        "ring_offsets array<int>",
+    ).select(
+        "feature_id", "geom_type", geometry_geojson_col().alias("gj")
+    )
+    coll = (
+        members.groupBy("feature_id")
+        .agg(F.sort_array(F.collect_list("gj")).alias("members"))
+        .withColumn("geom_type", F.lit("GeometryCollection"))
+        # unused-branch columns still need to ANALYZE (the when-chain
+        # never evaluates them for collection rows)
+        .withColumn("xs", F.array().cast("array<double>"))
+        .withColumn("ys", F.array().cast("array<double>"))
+        .withColumn("ring_offsets", F.array(F.lit(0)).cast("array<int>"))
+    )
+    feats = coll.select(
+        feature_geojson_col(
+            "feature_id", [], geometry_geojson_col(collection="members")
+        ).alias("j")
+    ).collect()
+    parsed = json.loads(feats[0].j)
+    g = parsed["geometry"]
+    assert g["type"] == "GeometryCollection"
+    types = sorted(m["type"] for m in g["geometries"])
+    assert types == ["LineString", "Point"]
+    pt = next(m for m in g["geometries"] if m["type"] == "Point")
+    assert pt["coordinates"] == [2.0, 48.0]
+    # direct column use on a members-only table
+    direct = coll.select(geometry_collection_col("members").alias("gj")).collect()
+    assert json.loads(direct[0].gj)["type"] == "GeometryCollection"
+
+
 def test_assembled_lines_export_end_to_end(spark, tmp_path):
     from cadastre_pg_spark.sources.geojson import write_geojson_mixed
 
