@@ -663,6 +663,64 @@ def q_embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(both, threshold=0.999)
 
 
+# reference-shaped preset driving q_config_route (the JSON preset
+# loader surfaced at the driver-contract level: P1/P2/P4/P10/J6)
+ROUTE_PRESET = {
+    "PARCELLE_id": {
+        "table": "parcelles",
+        "hash_geom": True,
+        "fields": [
+            {"source": "IDU", "target": "idu", "prefix_dep": True},
+            {"source": "SUPF", "target": "contenance", "data_type": "integer"},
+            {"source": "TEX", "target": "tex"},
+        ],
+    },
+    "BATIMENT_id": {
+        "table": "batiments",
+        "fields": [{"source": "TEX", "target": "tex"}],
+    },
+}
+
+
+def q_config_route(spark, sf_dir):
+    """Config-driven projection end-to-end through the JSON preset
+    loader: a deterministic feature table derived from documents
+    (feature_type by doc_id mod 3, EDIGEO-style decorated numerics in
+    the properties map) routed via load_preset(ROUTE_PRESET); the
+    parcelles projection is the verified surface (dep-prefixed id/idu,
+    lenient numeric cast P4, type filter with normalization P10,
+    unknown types skipped J6)."""
+    from cadastre_pg_spark.sources.config_projection import (
+        load_preset,
+        route_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("long")
+    ftype = (
+        F.when(i % 3 == 0, F.lit("PARCELLE_ID"))
+        .when(i % 3 == 1, F.lit(" batiment_id "))  # needs trim+upper (P10)
+        .otherwise(F.lit("UNKNOWN_TYPE"))
+    )
+    supf = F.when(
+        i % 2 == 0, F.concat(F.lit("+"), (i % 997).cast("string"), F.lit("."))
+    ).otherwise(F.lpad((i % 97).cast("string"), 3, "0"))
+    props = F.create_map(
+        F.lit("IDU"), F.concat(F.lit("idu"), i.cast("string")),
+        F.lit("SUPF"), supf,
+        F.lit("TEX"), F.concat(F.lit("label "), i.cast("string")),
+    )
+    dep = F.lpad(F.regexp_extract(F.col("source"), r"(\d+)", 1), 3, "0")
+    features = docs.select(
+        i.cast("string").alias("id"),
+        ftype.alias("feature_type"),
+        props.alias("properties"),
+        dep.alias("dep"),
+    )
+    tables, _skipped = route_features(features, load_preset(ROUTE_PRESET))
+    return tables["parcelles"]
+
+
 MEDIA_PER_SF = 30_000
 
 
@@ -738,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "line_assembly": q_line_assembly,
         "media_features": q_media_features,
+        "config_route": q_config_route,
     }
 
 
@@ -778,6 +837,25 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql_oracle(threshold=0.4),
         "line_assembly": _line_assembly_sql_oracle(),
         "media_features": _media_features_sql_oracle(),
+        # lenient numeric (P4): '+N.' strips to N, '0NN' casts to NN;
+        # both are exact integers so the DOUBLE->BIGINT cast agrees
+        # across engines (Spark truncates, DuckDB rounds — no fraction)
+        "config_route": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     lpad(regexp_extract(source, '(\d+)', 1), 3, '0') AS dep
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT dep || CAST(doc_id AS VARCHAR) AS id,
+                   dep AS departement,
+                   dep || 'idu' || CAST(doc_id AS VARCHAR) AS idu,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN CAST(doc_id % 997 AS VARCHAR)
+                        ELSE CAST(doc_id % 97 AS VARCHAR) END AS BIGINT)
+                     AS contenance,
+                   'label ' || CAST(doc_id AS VARCHAR) AS tex
+            FROM f
+        """,
         # all-pairs ground truth: every cosine >= threshold pair must be
         # found by the hyperplane buckets (identical planted copies have
         # identical sign vectors, so bucket recall is structural, not
