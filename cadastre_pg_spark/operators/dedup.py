@@ -123,6 +123,61 @@ def minhash_signatures(
     return with_hashes.select("doc_id", _sig_cols(F.col("sh")).alias("sig"))
 
 
+def _lsh_candidates(ss: DataFrame, max_bucket: int):
+    """LSH band-bucket candidate pairs from a signature table
+    ss(doc_id, sig[N_HASHES], ...): explode the BANDS band keys,
+    self-join on (band, key), cap degenerate buckets. Returns
+    (cand(doc_a, doc_b), skipped(band, key, n)). Shared by
+    minhash_lsh_pairs and ngram_jaccard_pairs(prefilter='minhash')."""
+    rows_per_band = N_HASHES // BANDS
+    banded = ss.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+
+    # bucket sizes via one window over the SAME (band, key) partitioning
+    # the self-join shuffles on — one exchange instead of a groupBy +
+    # semi-join pair (fewer AQE stages; identical cap semantics)
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band", "key")
+    sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+    skipped = (
+        sized.filter(F.col("n") > max_bucket).select("band", "key", "n").distinct()
+    )
+    banded_ok = sized.filter(F.col("n") <= max_bucket).drop("n")
+
+    left = banded_ok.alias("l")
+    right = banded_ok.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return cand, skipped
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_shingle: int = 3,
@@ -173,50 +228,7 @@ def minhash_lsh_pairs(
         F.array_distinct("sh").alias("sset"),
     ).persist()
 
-    rows_per_band = N_HASHES // BANDS
-    banded = ss.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.key")
-
-    # bucket sizes via one window over the SAME (band, key) partitioning
-    # the self-join shuffles on — one exchange instead of a groupBy +
-    # semi-join pair (fewer AQE stages; identical cap semantics)
-    from pyspark.sql import Window
-
-    w_bucket = Window.partitionBy("band", "key")
-    sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
-    skipped = sized.filter(F.col("n") > max_bucket).select("band", "key", "n").distinct()
-    banded_ok = sized.filter(F.col("n") <= max_bucket).drop("n")
-
-    left = banded_ok.alias("l")
-    right = banded_ok.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand, skipped = _lsh_candidates(ss, max_bucket)
 
     # integer cutoff so engine and SQL oracle compare identically
     import math as _math
@@ -261,6 +273,7 @@ def ngram_jaccard_pairs(
     band_width: int = 8,
     hash_fn: str = "xxhash64",
     max_band: int = 4096,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs bucketed by token-count
     band (width `band_width`) — the non-probabilistic sibling of
@@ -275,9 +288,14 @@ def ngram_jaccard_pairs(
       grid is O(band²) by the exact contract — a web-scale corpus puts
       millions of docs in one length band, which no salting can shrink)
       and reported on the result as `_skipped_bands` (band, n) — no
-      silent caps. Corpora that overflow the cap belong on the
-      probabilistic scale path (minhash_lsh_pairs: same exact verify,
-      LSH candidate generation);
+      silent caps;
+    - prefilter='minhash' is the SCALE PATH past that cap: candidates
+      come from the shared LSH band buckets (_lsh_candidates — a
+      (band,key) equi-join, never all-pairs) instead of the exact
+      within-band grid, then the SAME token-band contract and exact
+      hashed-set Jaccard verify apply. Probabilistic recall (a pair at
+      threshold j survives banding with 1-(1-j^4)^8), exact precision;
+      skipped LSH buckets reported as `_skipped_buckets`;
     - an EXACT size-ratio prefilter inside the join condition:
       jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs failing
       least >= threshold*greatest can never reach the threshold and are
@@ -289,6 +307,10 @@ def ngram_jaccard_pairs(
     cost center (measured 55 s -> seconds at sf0.1)."""
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     band = ((ntok - F.pmod(ntok, F.lit(band_width))) / F.lit(band_width)).cast("long")
+    if prefilter == "minhash":
+        return _ngram_jaccard_lsh(docs, band, n_shingle, threshold, hash_fn, max_band)
+    if prefilter is not None:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
     sets = docs.select(
         "doc_id",
         F.array_distinct(
@@ -347,6 +369,70 @@ def ngram_jaccard_pairs(
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
     out._skipped_bands = skipped
+    return out
+
+
+def _ngram_jaccard_lsh(
+    docs: DataFrame,
+    band_col,
+    n_shingle: int,
+    threshold: float,
+    hash_fn: str,
+    max_bucket: int,
+) -> DataFrame:
+    """prefilter='minhash' body: ONE pass builds (band, hashed shingle
+    set, minhash signature); candidates from the capped LSH bucket join;
+    verify = same-token-band + size-ratio prune + exact Jaccard."""
+    withsh = docs.select(
+        "doc_id",
+        band_col.alias("band"),
+        F.transform(
+            shingles(F.col("text"), n_shingle),
+            lambda s: shingle_hash32(s, hash_fn),
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ss = withsh.select(
+        "doc_id",
+        "band",
+        F.array_distinct("sh").alias("sset"),
+        _sig_cols(F.col("sh")).alias("sig"),
+    ).persist()
+    cand, skipped = _lsh_candidates(ss, max_bucket)
+    a = ss.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band").alias("band_a"),
+        F.col("sset").alias("set_a"),
+        F.size("sset").alias("sz_a"),
+    )
+    b = ss.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("sset").alias("set_b"),
+        F.size("sset").alias("sz_b"),
+    )
+    out = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("band_a") == F.col("band_b"))
+        .filter(
+            F.least(F.col("sz_a"), F.col("sz_b")).cast("double")
+            >= F.greatest(F.col("sz_a"), F.col("sz_b")).cast("double")
+            * F.lit(float(threshold))
+            - F.lit(1e-9)
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    out._skipped_buckets = skipped
+    out._cadastre_cached = [ss]
     return out
 
 

@@ -151,6 +151,21 @@ def test_ngram_size_prefilter_is_exact(spark, near_dup_docs):
         assert got[p] == pytest.approx(j, abs=1e-6)
 
 
+def test_ngram_lsh_prefilter_matches_exact_mode(spark, near_dup_docs):
+    """prefilter='minhash' (the past-the-cap scale path) must find the
+    same pairs with the same exact jaccard values as the exact
+    within-band grid on this fixture (planted pairs at j~0.89: banding
+    recall 1-(1-j^4)^8 ~ 0.9996, deterministic fixture => stable)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(near_dup_docs, threshold=0.5).collect()
+    }
+    lsh = D.ngram_jaccard_pairs(near_dup_docs, threshold=0.5, prefilter="minhash")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in lsh.collect()}
+    assert got == exact
+    assert lsh._skipped_buckets.count() == 0
+
+
 def test_embedding_neardup_mega_bucket_capped(spark):
     """Adversarial cluster collapse: 500 near-identical vectors land in
     ONE sign bucket. With max_bucket below that, the bucket is skipped
