@@ -101,6 +101,23 @@ def test_dedup_anti_is_broadcast(spark):
     assert plan_has(df, "BroadcastHashJoin") or plan_has(df, "BroadcastNestedLoop")
 
 
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """exact_dedup's exchange key must be the sha, never the document:
+    the partial HashAggregate's grouping (and therefore the shuffle)
+    carries 64 hex chars per group; `text` appears only below the scan
+    projection that feeds the hash."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["dedup_exact"](spark, SF_UNIT)
+    s_plan = explain_string(df)
+    assert s_plan.count("HashAggregate") >= 2  # map-side partial agg
+    assert "sha2" in s_plan
+    # no exchange may hash-partition on the raw text column
+    for line in s_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
 def test_line_assembly_is_pure_jvm(spark):
     """G5 line building must stay inside Catalyst (collect/flatten/
     aggregate folds) — no Python evaluation node anywhere."""
