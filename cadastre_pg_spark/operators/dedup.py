@@ -311,6 +311,16 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_lsh(docs, band, n_shingle, threshold, hash_fn, max_band)
     if prefilter is not None:
         raise ValueError(f"unknown prefilter {prefilter!r}")
+    # one CPU-bound pass builds the hashed sets; PERSIST it — three
+    # consumers (band sizes, both self-join sides) would otherwise each
+    # recompute the shingle+hash+distinct pipeline, the dominant cost.
+    # Repartition the DOCS first (narrow rows), THEN hash: a single-file
+    # scan is one task, and computing the md5 shingles upstream of the
+    # exchange would serialize the whole pass into it (playbook rule:
+    # repartition single-file scans before CPU-bound stages).
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     sets = docs.select(
         "doc_id",
         F.array_distinct(
@@ -320,16 +330,26 @@ def ngram_jaccard_pairs(
             )
         ).alias("sset"),
         band.alias("band"),
+    ).persist()
+    # band occupancy MEASURED driver-side (statistics-first, the same
+    # gate pattern as spatial_join.choose_strategy): the band-size
+    # table is one row per length band — collecting it costs one tiny
+    # TOKENIZE-ONLY job (no md5/distinct, no wait on the persist), and
+    # pruning with a LITERAL isin keeps the anti-join (and its
+    # broadcast + extra AQE stages) out of the pair-grid plan entirely
+    spark = docs.sparkSession
+    sizes = (
+        docs.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    # band occupancy via groupBy (narrow rows) — the band-size table is
-    # tiny (one row per length band), so the anti-join below broadcasts;
-    # a window over `band` would shuffle the full sset arrays onto the
-    # very hot partitions the cap exists to avoid
-    band_sizes = sets.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
-    skipped = band_sizes.filter(F.col("n") > max_band)
-    sets = sets.join(
-        F.broadcast(skipped.select("band")), "band", "left_anti"
-    ).withColumn("sz", F.size("sset"))
+    over = [(r.band, r.n) for r in sizes if r.n > max_band]
+    skipped = spark.createDataFrame(over, "band long, n long")
+    ok = sets
+    if over:
+        ok = sets.filter(~F.col("band").isin([b for b, _ in over]))
+    ok = ok.withColumn("sz", F.size("sset"))
     # the pair grid is quadratic-within-band COMPUTE over a tiny-ROWS
     # input — AQE coalesces it into one task if joined on band alone
     # (size stats can't see the fan-out). Salt the grid: each a-row
@@ -337,12 +357,8 @@ def ngram_jaccard_pairs(
     # so a band's pairs split into `salt` column-strips that parallelize
     # (every pair still meets exactly once, at a's salt).
     salt = 32
-    # the probe side of the (broadcast) join must not be one scan task:
-    # a single small parquet file would serialize the whole pair grid
-    sc = docs.sparkSession.sparkContext
-    a_base = sets.repartition(sc.defaultParallelism, "doc_id")
-    a = a_base.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salt))).alias("a")
-    b = sets.withColumn(
+    a = ok.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salt))).alias("a")
+    b = ok.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).alias("b")
     pairs = a.join(
@@ -369,6 +385,7 @@ def ngram_jaccard_pairs(
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
     out._skipped_bands = skipped
+    out._cadastre_cached = [sets]
     return out
 
 
