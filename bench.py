@@ -120,15 +120,18 @@ for name in {names!r}:
         ).repartition(16).write.mode("overwrite").parquet(tmp)
         parcels = parcels_from_parts(
             spark.read.parquet(f"{{sf_dir}}/part.parquet"))
+        out_dir = tempfile.mkdtemp(prefix="bench_stream_out_")
         t0 = time.time()
         q = placement_stream(spark, tmp, parcels,
-                             query_name="bench_place",
-                             max_files_per_trigger=4)
+                             max_files_per_trigger=4,
+                             out_path=out_dir)
         q.processAllAvailable()
-        n = spark.table("bench_place").count()
         q.stop()
+        n = spark.read.parquet(out_dir).count()
         df = None
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
     elif name.startswith("__scale"):
         # "__scale:N" broadcast path | "__scale_shuffle:N" forced
         # shuffle strategy + hot-cell salting (the >300k-parcel regime)

@@ -31,12 +31,19 @@ def placement_stream(
     level: int = 10,
     query_name: str = "placement",
     max_files_per_trigger: int | None = None,
+    out_path: str | None = None,
+    checkpoint: str | None = None,
 ):
-    """Point parquet stream at `path` x static `parcels` -> memory sink
-    `query_name` with (point_id, parcel_id) rows. Broadcast strategy
-    (the static side was gated by the same measured-size rule before it
-    got here). max_files_per_trigger caps each micro-batch (None =
-    everything available in one batch)."""
+    """Point parquet stream at `path` x static `parcels` ->
+    (point_id, parcel_id) rows. Broadcast strategy (the static side was
+    gated by the same measured-size rule before it got here).
+    max_files_per_trigger caps each micro-batch (None = everything
+    available in one batch).
+
+    Sink: with out_path, an append parquet sink (DISTRIBUTED writes +
+    checkpointed offsets — the scale shape; a memory sink would funnel
+    every placed row through the driver); otherwise the memory sink
+    `query_name`, the small-result test convenience."""
     parcels = parcels.persist()
     cover = polyfill(parcels, level=level).drop("x0", "x1", "y0", "y1").persist()
     cover.count()  # materialize ONCE, not per micro-batch
@@ -69,6 +76,14 @@ def placement_stream(
         "point_id", "lon", "lat", "parcel_id"
     )
     placed = full_hits.unionByName(_pip_refine(partial, parcels, "broadcast"))
+    if out_path:
+        return (
+            placed.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint or out_path + "_ckpt")
+            .start()
+        )
     return (
         placed.writeStream.outputMode("append")
         .format("memory")
