@@ -101,7 +101,38 @@ from cadastre_pg_spark.operators.spatial_join import release_cached
 out = {{}}
 rows = {{}}
 for name in {names!r}:
-    if name.startswith("__stream_place"):
+    if name.startswith("__stream_dedup"):
+        # bounded-Bloom streaming dedup throughput: N docs (50% exact
+        # dups, ~200-char texts) through the stateful per-bucket Bloom
+        # in 4-file micro-batches; distributed parquet sink
+        n_docs = int(name.split(":")[1])
+        import shutil, tempfile
+        import pyspark.sql.functions as F
+        from cadastre_pg_spark.streaming.dedup import streaming_dedup_bounded
+        tmp = tempfile.mkdtemp(prefix="bench_stream_docs_")
+        body = F.concat_ws(" ", *[
+            F.concat(F.lit(f"tok{{j}}_"), (F.col("id") % (n_docs // 2)).cast("string"))
+            for j in range(24)
+        ])
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            body.alias("text"),
+            F.lit("und").alias("lang"),
+            F.lit("bench").alias("source"),
+            F.length(body).cast("long").alias("n_chars"),
+        ).repartition(16).write.mode("overwrite").parquet(tmp)
+        out_dir = tempfile.mkdtemp(prefix="bench_stream_dedup_out_")
+        t0 = time.time()
+        q = streaming_dedup_bounded(spark, tmp, max_files_per_trigger=4,
+                                    out_path=out_dir)
+        q.processAllAvailable()
+        q.stop()
+        n = spark.read.parquet(out_dir).count()
+        df = None
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+    elif name.startswith("__stream_place"):
         # streaming placement throughput: N synthetic points landed as
         # parquet files, streamed through the stream-static cell join
         # in 4-file micro-batches (the file-source analog of a feed);
@@ -228,6 +259,15 @@ def main():
     st_sec = st["times"][stream_job]
     st_rows = st["rows"][stream_job]
 
+    # bounded-Bloom streaming dedup (stateful applyInPandasWithState)
+    # default sized to the Bloom design load (~2k hashes/bucket x 32
+    # buckets): 200k docs at 50% dups -> ~100k uniques, ~3k/bucket
+    sd_n = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_N", "200000"))
+    sd_job = f"__stream_dedup:{sd_n}"
+    sd = run_child(CPUS, [sd_job], SF_DIR)
+    sd_sec = sd["times"][sd_job]
+    sd_rows = sd["rows"][sd_job]
+
     print(
         json.dumps(
             {
@@ -262,6 +302,13 @@ def main():
                     "sec": st_sec,
                     "points_per_sec": round(stream_n / st_sec, 1) if st_sec else None,
                     "micro_batches": "4 files/trigger of 16",
+                },
+                "streaming_dedup_bounded": {
+                    "docs": sd_n,
+                    "unique_rows": sd_rows,
+                    "sec": sd_sec,
+                    "docs_per_sec": round(sd_n / sd_sec, 1) if sd_sec else None,
+                    "state": "16KiB Bloom/bucket x 32 buckets",
                 },
                 "loadavg_external": round(os.getloadavg()[0], 2),
             }

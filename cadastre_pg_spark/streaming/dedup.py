@@ -107,18 +107,25 @@ def streaming_dedup_bounded(
     path: str,
     query_name: str = "stream_dedup_bloom",
     ttl_ms: int | None = None,
+    max_files_per_trigger: int | None = None,
+    out_path: str | None = None,
+    checkpoint: str | None = None,
 ):
     """Bounded-memory variant of streaming_dedup (Bloom state; pass
     ttl_ms to also expire idle buckets). NOTE: with a TTL the engine
     schedules timeout-evaluation micro-batches continuously, so
     processAllAvailable() never settles — production queries run with a
     trigger; tests use ttl_ms=None and exercise the timeout branch on
-    the state function directly."""
-    docs = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string, lang string, source string, n_chars long")
-        .load(path)
+    the state function directly.
+
+    Sink: out_path -> append parquet (distributed, checkpointed — the
+    scale/bench shape); default -> memory sink `query_name` (tests)."""
+    reader = spark.readStream.format("parquet").schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(path)
     hashed = docs.select(
         "doc_id",
         F.sha2("text", 256).alias("text_sha"),
@@ -135,6 +142,14 @@ def streaming_dedup_bounded(
             else GroupStateTimeout.NoTimeout
         ),
     )
+    if out_path:
+        return (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint or out_path + "_ckpt")
+            .start()
+        )
     return (
         out.writeStream.outputMode("append")
         .format("memory")
