@@ -663,6 +663,29 @@ def q_embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(both, threshold=0.999)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (the step after pairwise detection): exact
+    connected components over the md5-mode minhash pair graph via
+    min-label propagation; cluster = min doc_id of the component (the
+    dedup survivor rule). Oracled with a recursive-CTE reachability
+    twin over the identical pair SQL."""
+    from cadastre_pg_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-rule sessionization over events (30-min gap): one row per
+    event with its 1-based per-user session index. Microsecond integer
+    arithmetic on both sides."""
+    from cadastre_pg_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30).select(
+        "user_id", "event_id", "session_idx"
+    )
+
+
 # reference-shaped preset driving q_config_route (the JSON preset
 # loader surfaced at the driver-contract level: P1/P2/P4/P10/J6)
 ROUTE_PRESET = {
@@ -797,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_assembly": q_line_assembly,
         "media_features": q_media_features,
         "config_route": q_config_route,
+        "dedup_clusters": q_dedup_clusters,
+        "sessionize": q_sessionize,
     }
 
 
@@ -840,6 +865,22 @@ def oracle_sql() -> dict[str, str]:
         # lenient numeric (P4): '+N.' strips to N, '0NN' casts to NN;
         # both are exact integers so the DOUBLE->BIGINT cast agrees
         # across engines (Spark truncates, DuckDB rounds — no fraction)
+        "dedup_clusters": _dedup_clusters_sql_oracle(threshold=0.4),
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM e
+        """,
         "config_route": r"""
             WITH f AS (
               SELECT doc_id,
@@ -1293,6 +1334,32 @@ def _minhash_sql_oracle(threshold: float = 0.4) -> str:
         )
         SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM v
         WHERE est >= {est_min} AND jac >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _dedup_clusters_sql_oracle(threshold: float = 0.4) -> str:
+    """Connected components as a recursive reachability CTE over the
+    SAME pair SQL the minhash oracle uses: reach(node, anc) closes the
+    undirected edge set transitively (UNION-distinct terminates), then
+    cluster = min ancestor per node — an independent formulation of the
+    engine's min-label propagation."""
+    pairs_sql = _minhash_sql_oracle(threshold=threshold)
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ( {pairs_sql} ) mh
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, anc) AS (
+          SELECT node, node AS anc FROM nodes
+          UNION
+          SELECT e.b AS node, r.anc FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, min(anc) AS cluster FROM reach GROUP BY node
     """
 
 

@@ -1,0 +1,114 @@
+"""Connected components over pair graphs — the clustering step AFTER
+pairwise near-dup detection (minhash/simhash/embedding pairs in, one
+cluster id per document out; the survivor-selection policy then picks
+min doc_id per cluster exactly like exact_dedup's 'first wins',
+cli.rs:466-474).
+
+Algorithm: min-label propagation WITH POINTER JUMPING — each round
+(1) every node takes the min label across its neighborhood, then
+(2) relabels through the current labels (lab <- lab(lab(node))), so
+label paths halve every round and convergence takes O(log diameter)
+rounds, not O(diameter). Every round ends in localCheckpoint: an
+iterative Spark loop that keeps logical lineage re-analyzes a tree
+that grows per round — truncating it is what keeps round k as cheap
+as round 1.
+
+Convergence is detected by the label SUM (labels only ever decrease,
+so an unchanged sum means a fixpoint — one cheap aggregate per round,
+no join-and-compare). max_rounds=20 therefore supports component
+diameters up to ~2^19; beyond it the loop raises loudly instead of
+silently emitting a non-converged labeling.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """edges(a, b) -> (node, cluster) where cluster = min node id in
+    the node's connected component. Exact; nodes = every id appearing
+    in edges. Returns an empty frame for an empty edge set."""
+    sym = edges.select(
+        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst")
+        )
+    )
+    sym = sym.localCheckpoint(eager=True)
+    lab = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    cached = [sym, lab]
+    prev_sum = lab.agg(F.sum("lab")).first()[0]
+    if prev_sum is None:  # no edges at all
+        out = lab.select("node", F.col("lab").alias("cluster"))
+        out._cadastre_cached = cached
+        return out
+    for _ in range(max_rounds):
+        # (1) neighborhood min
+        nbr = sym.join(lab, sym.src == lab.node).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        stepped = (
+            lab.select("node", "lab")
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # (2) pointer jump: lab <- lab(lab(node)). Labels are node ids
+        # with lab(m) <= m, so the jump only ever lowers a label; the
+        # left join covers the (impossible in practice) dangling case.
+        # The map side is REBUILT with renamed columns (fresh exprIds)
+        # — an alias-based self-join of `stepped` loses an attribute in
+        # the optimizer on some plans (NoSuchElementException).
+        jump = stepped.select(
+            F.col("node").alias("m_node"), F.col("lab").alias("m_lab")
+        )
+        new = (
+            stepped.join(jump, F.col("lab") == F.col("m_node"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("m_lab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached.append(new)
+        new_sum = new.agg(F.sum("lab")).first()[0]
+        lab = new
+        if new_sum == prev_sum:
+            out = lab.select("node", F.col("lab").alias("cluster"))
+            out._cadastre_cached = cached
+            return out
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_rounds} rounds — "
+        f"component diameter exceeds ~2^{max_rounds - 1}; raise max_rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup CLUSTERS from the minhash pair graph: (doc_id, cluster)
+    for every document participating in at least one pair; cluster =
+    min doc_id of its component (the dedup survivor)."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold, hash_fn=hash_fn)
+    cc = connected_components(pairs)
+    out = cc.select(F.col("node").alias("doc_id"), "cluster")
+    out._cadastre_cached = getattr(cc, "_cadastre_cached", []) + getattr(
+        pairs, "_cadastre_cached", []
+    )
+    return out

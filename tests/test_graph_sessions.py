@@ -1,0 +1,74 @@
+"""Connected components (near-dup clustering) + batch sessionization."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.graph import connected_components, dedup_clusters
+from cadastre_pg_spark.operators.sessions import session_stats, sessionize
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def test_connected_components_basic(spark):
+    # chain 1-2-3, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    cc = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)])
+    )
+    got = {r.node: r.cluster for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_and_bound(spark):
+    chain = [(i, i + 1) for i in range(30)]
+    got = {r.node: r.cluster for r in connected_components(_edges(spark, chain)).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
+    # a diameter beyond max_rounds must raise loudly, not emit a
+    # non-converged labeling
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(_edges(spark, chain), max_rounds=2)
+
+
+def test_connected_components_empty(spark):
+    assert connected_components(_edges(spark, [])).count() == 0
+
+
+def test_dedup_clusters_planted(spark):
+    # 3 identical docs + 1 distinct long doc -> one cluster of 3
+    base = " ".join(f"w{k}" for k in range(30))
+    rows = [(1, base), (2, base), (3, base), (9, " ".join(f"z{k}" for k in range(30)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster for r in dedup_clusters(docs, threshold=0.9).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # doc 9 has no pair, no cluster row
+
+
+def test_sessionize_gap_rule(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 7: events at +0, +10min, +50min (gap>30 -> new session), +55min
+        (1, 7, t0),
+        (2, 7, t0 + timedelta(minutes=10)),
+        (3, 7, t0 + timedelta(minutes=50)),
+        (4, 7, t0 + timedelta(minutes=55)),
+        # user 8: single event
+        (5, 8, t0),
+        # exact 30-min gap is NOT a boundary (> rule, microsecond exact)
+        (6, 9, t0),
+        (7, 9, t0 + timedelta(minutes=30)),
+        (8, 9, t0 + timedelta(minutes=30, microseconds=1)
+         + timedelta(minutes=30)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1, 8: 2}
+    stats = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats[(7, 1)] == 2 and stats[(7, 2)] == 2 and stats[(8, 1)] == 1
