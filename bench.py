@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "tile_assign",
     "raster_burn",
     "topk_similarity",
+    "dedup_clusters",
+    "sessionize",
 ]
 
 _CHILD = r"""
