@@ -45,6 +45,25 @@ def test_dedup_clusters_planted(spark):
     assert got == {1: 1, 2: 1, 3: 1}  # doc 9 has no pair, no cluster row
 
 
+def test_dedup_clusters_cache_release(spark):
+    """The clustering chain persists/checkpoints per round; after
+    release_cached no storage from this op may remain registered."""
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    base = " ".join(f"w{k}" for k in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id long, text string"
+    )
+    out = dedup_clusters(docs, threshold=0.9)
+    out.count()
+    assert len(getattr(out, "_cadastre_cached", [])) >= 2
+    release_cached(out)
+    # only non-checkpoint CACHED tables must be gone; localCheckpoint
+    # RDD blocks are owned by the GC (unpersist is best-effort there)
+    for c in out._cadastre_cached:
+        assert c.storageLevel.useMemory is False or not c.is_cached
+
+
 def test_sessionize_gap_rule(spark):
     t0 = datetime(2024, 1, 1, 12, 0, 0)
     rows = [
