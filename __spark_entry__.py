@@ -173,6 +173,47 @@ def q_lang_id(spark, sf_dir):
     return TA.lang_id(_docs(spark, sf_dir))
 
 
+SAMPLE_RATES = {"en": 0.3, "fr": 0.75, "de": 0.75, "es": 0.75}
+GROUP_K = 30
+PACK_CAP = 2048
+PACK_WRITERS = 8
+
+
+def q_pack_tokens(spark, sf_dir):
+    """Token-budget shard packing (concat-and-chunk over 8 hash-routed
+    writers) — the trainer-facing corpus assembly step."""
+    from cadastre_pg_spark.operators.corpus import pack_tokens
+
+    return pack_tokens(
+        _docs(spark, sf_dir), capacity=PACK_CAP, n_writers=PACK_WRITERS, hash_fn="md5"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling (shuffle-free hash
+    threshold filter); zh takes the default rate 1.0."""
+    from cadastre_pg_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, default_rate=1.0, hash_fn="md5"
+    )
+
+
+def q_group_sample(spark, sf_dir):
+    """Exact k-per-language uniform sample by hash order."""
+    from cadastre_pg_spark.operators.corpus import group_sample
+
+    return group_sample(_docs(spark, sf_dir), GROUP_K, hash_fn="md5")
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval 5-gram contamination report over the md5 5%-eval
+    split of the documents table."""
+    from cadastre_pg_spark.operators.corpus import contamination
+
+    return contamination(_docs(spark, sf_dir), n_shingle=5, eval_mod=20, hash_fn="md5")
+
+
 def q_dep_partition(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     dep = F.lpad(F.regexp_extract(F.col("source"), r"(\d+)", 1), 3, "0")
@@ -822,6 +863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_route": q_config_route,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
+        "pack_tokens": q_pack_tokens,
+        "stratified_sample": q_stratified_sample,
+        "group_sample": q_group_sample,
+        "contamination": q_contamination,
     }
 
 
@@ -881,6 +926,12 @@ def oracle_sql() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM e
         """,
+        "pack_tokens": _pack_tokens_sql_oracle(PACK_CAP, PACK_WRITERS),
+        "stratified_sample": _stratified_sample_sql_oracle(
+            SAMPLE_RATES, default_rate=1.0
+        ),
+        "group_sample": _group_sample_sql_oracle(GROUP_K),
+        "contamination": _contamination_sql_oracle(n=5, eval_mod=20),
         "config_route": r"""
             WITH f AS (
               SELECT doc_id,
@@ -1264,6 +1315,103 @@ def _hex32_sql(m: str) -> str:
         )
         + ")"
     )
+
+
+def _pack_tokens_sql_oracle(cap: int, n_writers: int) -> str:
+    """Independent replay of corpus.pack_tokens: md5 writer routing,
+    per-writer running token sum in doc_id order, integer chunking."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 {_hex32_sql("md5('w:' || CAST(doc_id AS VARCHAR))")} % {n_writers}
+                   AS writer
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, writer, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY writer ORDER BY doc_id)
+                   - n_tokens AS strt
+          FROM t
+        )
+        SELECT doc_id, writer,
+               strt // {cap} AS shard,
+               strt - (strt // {cap}) * {cap} AS "offset",
+               n_tokens,
+               CAST(strt + n_tokens - 1 >= (strt // {cap} + 1) * {cap} AS INTEGER)
+                 AS spans_boundary
+        FROM c
+    """
+
+
+def _stratified_sample_sql_oracle(rates: dict, default_rate: float) -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(round(r * 1_000_000))}"
+        for g, r in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang AS stratum, u FROM (
+          SELECT doc_id, lang,
+                 {_hex32_sql("md5('s:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS u,
+                 CASE lang {cases}
+                      ELSE {int(round(default_rate * 1_000_000))} END AS th
+          FROM documents
+        ) WHERE u < th
+    """
+
+
+def _group_sample_sql_oracle(k: int) -> str:
+    return f"""
+        SELECT doc_id, stratum, "rank" FROM (
+          SELECT doc_id, lang AS stratum,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_hex32_sql("md5('g:' || CAST(doc_id AS VARCHAR))")},
+                            doc_id) AS BIGINT) AS "rank"
+          FROM documents
+        ) WHERE "rank" <= {k}
+    """
+
+
+def _contamination_sql_oracle(n: int, eval_mod: int) -> str:
+    """Train/eval split + distinct shingle-hash membership join, fully
+    in SQL (same md5-prefix hash as the Spark side)."""
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                 ({_hex32_sql("md5('e:' || CAST(doc_id AS VARCHAR))")}
+                    % {eval_mod} = 0) AS is_eval
+          FROM documents
+        ),
+        sg AS (
+          SELECT doc_id, is_eval,
+                 [array_to_string(t[i+1:i+{n}], ' ')
+                  for i in range(0, greatest(len(t) - {n - 1}, 0))] AS sg
+          FROM tok
+        ),
+        sh AS MATERIALIZED (
+          SELECT doc_id, is_eval,
+                 list_distinct(list_transform(list_transform(sg, s -> md5(s)),
+                                              m -> {_hex32_sql('m')})) AS sh
+          FROM sg
+        ),
+        tr AS (SELECT DISTINCT unnest(sh) AS hh FROM sh WHERE NOT is_eval),
+        ev AS (SELECT doc_id, sh FROM sh WHERE is_eval),
+        evx AS (SELECT doc_id, unnest(sh) AS hh FROM ev),
+        hits AS (
+          SELECT e.doc_id, count(*) AS n_cont
+          FROM evx e JOIN tr USING (hh) GROUP BY 1
+        )
+        SELECT ev.doc_id AS doc_id,
+               CAST(len(ev.sh) AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+               CASE WHEN len(ev.sh) > 0
+                    THEN round(CAST(coalesce(h.n_cont, 0) AS DOUBLE)
+                               / CAST(len(ev.sh) AS DOUBLE), 6)
+                    ELSE 0.0 END AS contamination
+        FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id
+    """
 
 
 def _minhash_sql_oracle(threshold: float = 0.4) -> str:

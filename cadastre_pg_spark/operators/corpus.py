@@ -1,0 +1,251 @@
+"""Training-corpus assembly operators over the `documents` table:
+token-budget shard packing, stratified (per-language) sampling, exact
+per-group sampling, and train/eval n-gram contamination detection.
+
+These extend the engine's web-text side (operators/textanalysis.py,
+operators/dedup.py) with the remaining steps of an LLM pretraining data
+pipeline: after dedup/quality filtering, a corpus is SAMPLED to a target
+language/source mixture, CHECKED for benchmark contamination, and PACKED
+into fixed-token-budget shards for the trainer.
+
+Reference lineage: the reference has no corpus ops (it is a cadastre
+ETL); the deterministic-hash routing mirrors its dep-prefix partitioning
+idea (cadastre-pg/src/cli.rs:842-910 P2) applied to corpus mixing.
+
+Scale notes (100 TB):
+- pack_tokens: one hash shuffle to W writers, then a per-writer window
+  cumsum (linear, no further exchange). W is the write parallelism —
+  at cluster scale set W ~ number of output shard writers (thousands);
+  each writer's running sum is independent.
+- stratified_sample: shuffle-FREE — a per-row hash threshold filter
+  that pushes down to the scan (no aggregation, no window).
+- group_sample: exact top-k per group by hash order. The window rank
+  shuffles on the group key, so a giant group would skew; the operator
+  therefore pre-prunes with a same-hash-order threshold computed from
+  MEASURED group counts (the engine's statistics-first rule), so the
+  ranked set is ~oversample*k rows per group regardless of group size.
+  The prune keeps a PREFIX of the hash order, so the result is exactly
+  the unpruned top-k (verified: survivor count per group must be >= k,
+  else raise loudly rather than return a silently-short sample).
+- contamination: per-doc distinct shingle hashes (map-side), train side
+  reduced to a distinct 8-byte hash set, one join on the hash key; the
+  eval side is typically tiny (benchmarks), so Catalyst broadcasts it.
+
+All four have exact DuckDB oracles in __spark_entry__ (md5 hash mode);
+the engine default is xxhash64 (no md5 bit-mixing cost at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.dedup import shingle_hash32, shingles
+
+MILLION = 1_000_000
+
+
+def _hash32(col, salt: str, hash_fn: str) -> F.Column:
+    """32-bit hash of a salted string rendering of `col` — the shared
+    deterministic randomness source (oracle-replayable in md5 mode)."""
+    return shingle_hash32(F.concat(F.lit(salt), col.cast("string")), hash_fn)
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace token count, JVM split (same
+    expression as textanalysis.token_count, kept inline so packing is
+    self-contained over any (doc_id, text) table)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_tokens(
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_writers: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Concat-and-chunk token packing: route docs to `n_writers`
+    independent writers by hash, concatenate each writer's docs in
+    doc_id order, and chunk the token stream into shards of `capacity`
+    tokens. Documents may straddle shard boundaries (standard LM
+    pretraining packing); `spans_boundary` marks those.
+
+    Output: (doc_id, writer, shard, offset, n_tokens, spans_boundary)
+    where `offset` is the doc's start position within its shard.
+    Deterministic: same input -> same placement, any cluster size.
+    """
+    if capacity <= 0 or n_writers <= 0:
+        raise ValueError("capacity and n_writers must be positive")
+    tok = doc_tokens(docs).withColumn(
+        "writer", F.pmod(_hash32(F.col("doc_id"), "w:", hash_fn), F.lit(n_writers))
+    )
+    w = (
+        Window.partitionBy("writer")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    tok = tok.select("doc_id", "writer", "n_tokens", start)
+    shard = F.floor(F.col("start") / F.lit(capacity))
+    return tok.select(
+        "doc_id",
+        "writer",
+        shard.alias("shard"),
+        (F.col("start") - shard * F.lit(capacity)).alias("offset"),
+        "n_tokens",
+        # last token index >= next shard's first index -> straddles
+        (F.col("start") + F.col("n_tokens") - F.lit(1) >= (shard + 1) * F.lit(capacity))
+        .cast("int")
+        .alias("spans_boundary"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    group_col: str = "lang",
+    salt: str = "s:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic rate sampling per stratum: keep a doc iff
+    hash(doc_id) mod 1e6 < rate*1e6 for its group's rate. Shuffle-free
+    (a scan-level filter); the mixture knobs are the `rates` map.
+
+    Rates are quantized to parts-per-million so both engines compare
+    integers (no float-threshold edge divergence).
+    """
+    u = F.pmod(_hash32(F.col("doc_id"), salt, hash_fn), F.lit(MILLION))
+    thresh = F.lit(int(round(default_rate * MILLION)))
+    for g, r in sorted(rates.items()):
+        thresh = F.when(F.col(group_col) == g, F.lit(int(round(r * MILLION)))).otherwise(
+            thresh
+        )
+    return (
+        docs.withColumn("u", u)
+        .filter(F.col("u") < thresh)
+        .select("doc_id", F.col(group_col).alias("stratum"), "u")
+    )
+
+
+def group_sample(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    salt: str = "g:",
+    hash_fn: str = "xxhash64",
+    oversample: float = 4.0,
+    prune_min_group: int = 100_000,
+) -> DataFrame:
+    """Exact k-per-group uniform sample: rank docs within each group by
+    hash order (then doc_id) and keep rank <= k. For groups large
+    enough that ranking all members would skew the window shuffle, a
+    same-hash threshold prune (rate ~ oversample*k/n from measured
+    counts) drops the tail BEFORE ranking; because the prune keeps a
+    prefix of the identical hash order, the surviving top-k equals the
+    unpruned top-k. If the prune undershoots (survivors < k in a group
+    that has >= k members) the operator raises rather than silently
+    returning a short sample.
+
+    Output: (doc_id, stratum, rank) with rank in 1..k.
+    """
+    h = _hash32(F.col("doc_id"), salt, hash_fn)
+    base = docs.select(
+        "doc_id", F.col(group_col).alias("stratum"), h.alias("h")
+    )
+    counts = {r["stratum"]: r["n"] for r in base.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    pruned = base
+    prunable = {g: n for g, n in counts.items() if n > prune_min_group}
+    if prunable:
+        thresh = F.lit(1 << 32)
+        for g, n in sorted(prunable.items()):
+            cut = min(1 << 32, int((1 << 32) * oversample * k / n))
+            thresh = F.when(F.col("stratum") == g, F.lit(cut)).otherwise(thresh)
+        pruned = base.filter(F.col("h") < thresh)
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    ranked = (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "stratum", F.col("rank").cast("long").alias("rank"))
+    )
+    if prunable:
+        ranked = ranked.persist()
+        got = {r["stratum"]: r["n"] for r in ranked.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        for g, n in prunable.items():
+            want = min(k, n)
+            if got.get(g, 0) < want:
+                ranked.unpersist()
+                raise RuntimeError(
+                    f"group_sample prune undershot for stratum {g!r}: "
+                    f"{got.get(g, 0)} < {want}; raise oversample (= {oversample})"
+                )
+        ranked._cadastre_cached = [ranked]
+    return ranked
+
+
+def contamination(
+    docs: DataFrame,
+    n_shingle: int = 5,
+    eval_mod: int = 20,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Train/eval n-gram contamination: split docs into eval
+    (hash(doc_id) % eval_mod == 0) and train sets, shingle both into
+    word n-grams, and report per eval doc how many of its DISTINCT
+    shingles also occur anywhere in the train set.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination) —
+    contamination = n_contaminated / n_shingles rounded to 6 dp
+    (0.0 for docs too short to have any shingle).
+
+    Shape: per-doc distinct happens map-side inside the shingle array
+    (array_distinct before explode); the train set reduces to distinct
+    8-byte hashes; the single join key is the hash. The eval side is
+    the small one — Catalyst broadcasts it against the train stream.
+    """
+    split = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingles(F.col("text"), n_shingle),
+                lambda s: shingle_hash32(s, hash_fn),
+            )
+        ).alias("sh"),
+        (F.pmod(_hash32(F.col("doc_id"), "e:", hash_fn), F.lit(eval_mod)) == 0).alias(
+            "is_eval"
+        ),
+    )
+    train_sh = (
+        split.filter(~F.col("is_eval"))
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    ev = split.filter(F.col("is_eval")).select("doc_id", "sh")
+    ev_sh = ev.select("doc_id", F.explode("sh").alias("h"))
+    hits = (
+        ev_sh.join(train_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        ev.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.when(F.col("n_shingles") > 0,
+                   F.round(
+                       F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                       / F.col("n_shingles").cast("double"),
+                       6,
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Corpus-assembly operators: packing, sampling, contamination."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.corpus import (
+    MILLION,
+    contamination,
+    group_sample,
+    pack_tokens,
+    stratified_sample,
+)
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(3 + i % 40)),
+         ["en", "fr", "de"][i % 3])
+        for i in range(300)
+    ]
+    return _docs(spark, rows).persist()
+
+
+def test_pack_tokens_matches_sequential_replay(corpus):
+    cap, nw = 64, 4
+    got = {
+        r.doc_id: (r.writer, r.shard, r.offset, r.n_tokens, r.spans_boundary)
+        for r in pack_tokens(corpus, capacity=cap, n_writers=nw, hash_fn="md5").collect()
+    }
+    # replay the packing single-threaded from first principles
+    rows = sorted(
+        (r.doc_id, len(r.text.split()), _md5_32(f"w:{r.doc_id}") % nw)
+        for r in corpus.collect()
+    )
+    cum = dict.fromkeys(range(nw), 0)
+    for doc_id, n_tok, writer in rows:
+        start = cum[writer]
+        cum[writer] += n_tok
+        shard = start // cap
+        spans = int(start + n_tok - 1 >= (shard + 1) * cap)
+        assert got[doc_id] == (writer, shard, start - shard * cap, n_tok, spans), doc_id
+    assert len(got) == len(rows)
+
+
+def test_pack_tokens_stable_under_repartition(corpus):
+    a = pack_tokens(corpus, capacity=128, n_writers=8, hash_fn="md5")
+    b = pack_tokens(corpus.repartition(13), capacity=128, n_writers=8, hash_fn="md5")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_rates(corpus):
+    out = stratified_sample(
+        corpus, {"en": 1.0, "fr": 0.5, "de": 0.0}, hash_fn="md5"
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.stratum, set()).add(r.doc_id)
+    n_en = corpus.filter(F.col("lang") == "en").count()
+    assert len(by_lang.get("en", ())) == n_en  # rate 1.0 keeps all
+    assert "de" not in by_lang  # rate 0.0 drops all
+    # fr kept iff md5 bucket under threshold — exact replay
+    fr_expected = {
+        r.doc_id
+        for r in corpus.filter(F.col("lang") == "fr").collect()
+        if _md5_32(f"s:{r.doc_id}") % MILLION < 500_000
+    }
+    assert by_lang.get("fr", set()) == fr_expected
+    assert 0 < len(fr_expected) < corpus.filter(F.col("lang") == "fr").count()
+
+
+def test_group_sample_exact_topk(corpus):
+    k = 7
+    got = {(r.doc_id, r.stratum, r.rank) for r in group_sample(corpus, k, hash_fn="md5").collect()}
+    rows = [(r.doc_id, r.lang, _md5_32(f"g:{r.doc_id}")) for r in corpus.collect()]
+    want = set()
+    for lang in {"en", "fr", "de"}:
+        members = sorted(((h, d) for d, lg, h in rows if lg == lang))
+        want |= {(d, lang, i + 1) for i, (h, d) in enumerate(members[:k])}
+    assert got == want
+
+
+def test_group_sample_prune_path_identical(corpus):
+    k = 5
+    plain = sorted(map(tuple, group_sample(corpus, k, hash_fn="md5").collect()))
+    pruned = sorted(
+        map(
+            tuple,
+            group_sample(
+                corpus, k, hash_fn="md5", prune_min_group=1, oversample=8.0
+            ).collect(),
+        )
+    )
+    assert plain == pruned
+
+
+def test_group_sample_undershoot_raises(corpus):
+    with pytest.raises(RuntimeError, match="undershot"):
+        group_sample(corpus, 50, hash_fn="md5", prune_min_group=1, oversample=0.01)
+
+
+def test_contamination_planted(spark):
+    shared = "alpha beta gamma delta epsilon"  # one exact 5-gram
+    rows = []
+    # find an eval doc_id under md5 split (e:id % 20 == 0)
+    eval_id = next(i for i in range(1, 1000) if _md5_32(f"e:{i}") % 20 == 0)
+    train_id = next(i for i in range(1, 1000) if _md5_32(f"e:{i}") % 20 != 0)
+    short_eval = next(
+        i for i in range(1000, 2000) if _md5_32(f"e:{i}") % 20 == 0
+    )
+    rows.append((eval_id, shared + " zeta eta", "en"))  # 3 shingles, 1 shared
+    rows.append((train_id, "pre " + shared + " post", "en"))
+    rows.append((short_eval, "too short", "en"))  # no 5-gram
+    out = {r.doc_id: r for r in contamination(_docs(spark, rows), hash_fn="md5").collect()}
+    assert set(out) == {eval_id, short_eval}
+    r = out[eval_id]
+    assert (r.n_shingles, r.n_contaminated) == (3, 1)
+    assert r.contamination == round(1 / 3, 6)
+    assert (out[short_eval].n_shingles, out[short_eval].contamination) == (0, 0.0)
