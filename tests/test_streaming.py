@@ -250,3 +250,112 @@ def test_streaming_placement_equals_batch(spark, tmp_path):
         for r in cell_spatial_join(points, parcels, level=10).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def _write_time_slices(spark, tmp_path, n_slices=3):
+    """Split sf0.001 events into time-ordered parquet files with
+    ascending mtimes so the file source replays them in event-time
+    order (maxFilesPerTrigger=1 -> one micro-batch per slice)."""
+    import os
+    import shutil
+
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    ts_sorted = [r.ts for r in ev.select("ts").orderBy("ts").collect()]
+    n = len(ts_sorted)
+    bounds = [ts_sorted[(i + 1) * n // n_slices - 1] for i in range(n_slices)]
+    src = tmp_path / "ev_slices"
+    src.mkdir()
+    import pyspark.sql.functions as SF
+
+    prev = None
+    for i, b in enumerate(bounds):
+        cond = SF.col("ts") <= SF.lit(b)
+        if prev is not None:
+            cond = cond & (SF.col("ts") > SF.lit(prev))
+        part_dir = tmp_path / f"slice{i}"
+        ev.filter(cond).coalesce(1).write.parquet(str(part_dir))
+        part = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = src / f"{i}.parquet"
+        shutil.copy(part_dir / part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        prev = b
+    return src, ev
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """Stateful streaming sessionization across 3 time-ordered
+    micro-batches == the batch window operator, row for row."""
+    from cadastre_pg_spark.operators.sessions import sessionize as batch_sessionize
+    from cadastre_pg_spark.streaming.sessions import sessionize_stream
+
+    src, ev = _write_time_slices(spark, tmp_path)
+    q = sessionize_stream(spark, str(src), query_name="ss_test")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.user_id, r.session_idx)
+            for r in spark.sql("SELECT * FROM ss_test").collect()
+        }
+    finally:
+        q.stop()
+    exp = {
+        (r.event_id, r.user_id, r.session_idx)
+        for r in batch_sessionize(ev).select(
+            "event_id", "user_id", "session_idx"
+        ).collect()
+    }
+    assert len(got) == ev.count()
+    assert got == exp
+
+
+def test_streaming_sessions_disorder_policy(spark, tmp_path):
+    """An event older than a user's state: 'error' kills the query
+    loudly; 'current' assigns it to the open session."""
+    import os
+
+    import pandas as pd
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from cadastre_pg_spark.streaming.sessions import sessionize_stream
+
+    def mk(eids, times):
+        return pd.DataFrame(
+            {
+                "event_id": eids,
+                "ts": pd.to_datetime(times),
+                "user_id": [7] * len(eids),
+                "event_type": ["a"] * len(eids),
+                "value": [1.0] * len(eids),
+                "props": ["{}"] * len(eids),
+            }
+        )
+
+    for policy in ("error", "current"):
+        src = tmp_path / f"dis_{policy}"
+        src.mkdir()
+        mk([1, 2], ["2024-06-01 10:00:00", "2024-06-01 12:00:00"]).to_parquet(
+            src / "0.parquet", coerce_timestamps="us"
+        )
+        late = src / "1.parquet"
+        mk([3], ["2024-06-01 10:05:00"]).to_parquet(late, coerce_timestamps="us")
+        os.utime(src / "0.parquet", (1_700_000_000, 1_700_000_000))
+        os.utime(late, (1_700_000_100, 1_700_000_100))
+        q = sessionize_stream(
+            spark, str(src), query_name=f"dis_{policy}", on_disorder=policy
+        )
+        try:
+            if policy == "error":
+                with pytest.raises(StreamingQueryException, match="disordered"):
+                    q.processAllAvailable()
+            else:
+                q.processAllAvailable()
+                got = {
+                    (r.event_id, r.session_idx)
+                    for r in spark.sql(f"SELECT * FROM dis_{policy}").collect()
+                }
+                # events 1,2 are >30min apart -> sessions 1,2; the late
+                # event joins the OPEN session (2), never rewrites history
+                assert got == {(1, 1), (2, 2), (3, 2)}
+        finally:
+            q.stop()
