@@ -185,13 +185,21 @@ def knn_grid(
     max_level: int = 12,
     occ_cap: int | None = None,
     budget_pairs: int = 50_000_000,
+    level: int | None = None,
 ) -> DataFrame:
     """points: (point_id, lon, lat); queries: (query_id, lon, lat) ->
     (query_id, neighbor_id, dist_sq, rank<=k). Exact (== brute force);
-    rows with point_id == query_id are excluded as self-matches."""
+    rows with point_id == query_id are excluded as self-matches.
+
+    `level` overrides the occupancy probe: a pipeline issuing many kNN
+    calls against the SAME point set should run pick_level once and
+    pass the result (the probe is a count + up-to-3 sampled aggs —
+    cheap once, waste when repeated). Level only affects performance,
+    never exactness."""
     n_pts = points.count()
     occ_cap = occ_cap if occ_cap is not None else max(64, 8 * k)
-    level = pick_level(n_pts, points, k, expansion, max_level, occ_cap)
+    if level is None:
+        level = pick_level(n_pts, points, k, expansion, max_level, occ_cap)
     if level <= 1:
         # the FIRST round would already be (nearly) the full grid —
         # apply the same budget gate before running it (the count is

@@ -81,3 +81,15 @@ def test_knn_fewer_points_than_k(spark):
         (1, 1): 2,
         (1, 2): 3,
     }
+
+
+def test_knn_explicit_level_skips_probe_and_stays_exact(spark):
+    """A pipeline-supplied level (pick_level run once, reused) must
+    give the identical exact result at any reasonable level."""
+    pts = [(i, -4.0 + (i * 37 % 1000) / 80.0, 42.0 + (i * 91 % 800) / 100.0) for i in range(400)]
+    qs = [p for p in pts if p[0] % 20 == 0]
+    pdf = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    qdf = spark.createDataFrame(qs, "query_id long, lon double, lat double")
+    expected = _brute(pts, qs, 5)
+    for lvl in (3, 5, 8):
+        assert _rows(knn_grid(pdf, qdf, k=5, level=lvl)) == expected, lvl
