@@ -134,3 +134,31 @@ def test_repair_rung_is_pure_jvm(spark):
         "feature_id string, xs array<double>, ys array<double>, ring_offsets array<int>",
     )
     assert not audit(repair_flat_polygons(df))["arrow_eval"]
+
+
+def test_stratified_sample_is_shuffle_free_scan_filter(spark):
+    """The mixture sampler must stay a scan-level filter: no exchange,
+    no aggregation, pure codegen."""
+    df = E.queries()["stratified_sample"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["shuffle_exchange"], "rate sampling must not shuffle"
+    assert a["codegen"] and a["columnar_scan"]
+
+
+def test_pack_tokens_single_exchange_on_writer(spark):
+    """Packing shuffles exactly once — on the writer routing key — then
+    runs the window cumsum within partitions."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["pack_tokens"](spark, SF_UNIT)
+    s = explain_string(df, "formatted")
+    assert s.count("Arguments: hashpartitioning(writer") == 1, s
+    # no second hash exchange for any other key
+    assert s.count("hashpartitioning(") == s.count("hashpartitioning(writer"), s
+
+
+def test_contamination_broadcasts_the_eval_side(spark):
+    """The eval shingle stream is the small side; the train-hash join
+    must be a broadcast, never a sort-merge over the train set."""
+    df = E.queries()["contamination"](spark, SF_UNIT)
+    assert audit(df)["broadcast_join"]
