@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "topk_similarity",
     "dedup_clusters",
     "sessionize",
+    "pack_tokens",
+    "stratified_sample",
+    "group_sample",
+    "contamination",
 ]
 
 _CHILD = r"""
@@ -165,6 +169,26 @@ for name in {names!r}:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+    elif name.startswith("__pack"):
+        # corpus packing throughput: N synthetic ~24-token docs through
+        # tokenize -> writer routing -> per-writer window cumsum (the
+        # xxhash64 scale path, 64 writers); timing includes tokenize
+        n_docs = int(name.split(":")[1])
+        import pyspark.sql.functions as F
+        from cadastre_pg_spark.operators.corpus import pack_tokens
+        body = F.concat_ws(" ", *[
+            F.concat(F.lit(f"tok{{j}}_"), (F.col("id") % 9973).cast("string"))
+            for j in range(24)
+        ])
+        docs = spark.range(0, n_docs, 1, 64).select(
+            F.col("id").alias("doc_id"), body.alias("text"))
+        t0 = time.time()
+        df = pack_tokens(docs, capacity=2048, n_writers=64)
+        # aggregate over the packed columns: a bare count() would let
+        # Catalyst prune the window cumsum out of the plan entirely
+        n = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("shard").alias("s")
+        ).first()["n"]
     elif name.startswith("__scale"):
         # "__scale:N" broadcast path | "__scale_shuffle:N" forced
         # shuffle strategy + hot-cell salting (the >300k-parcel regime)
@@ -270,6 +294,12 @@ def main():
     sd_sec = sd["times"][sd_job]
     sd_rows = sd["rows"][sd_job]
 
+    # corpus packing throughput (tokenize + hash-route + window cumsum)
+    pk_n = int(os.environ.get("SPARK_GRAFT_PACK_N", "5000000"))
+    pk_job = f"__pack:{pk_n}"
+    pk = run_child(CPUS, [pk_job], SF_DIR)
+    pk_sec = pk["times"][pk_job]
+
     print(
         json.dumps(
             {
@@ -311,6 +341,13 @@ def main():
                     "sec": sd_sec,
                     "docs_per_sec": round(sd_n / sd_sec, 1) if sd_sec else None,
                     "state": "16KiB Bloom/bucket x 32 buckets",
+                },
+                "corpus_pack": {
+                    "docs": pk_n,
+                    "sec": pk_sec,
+                    "docs_per_sec": round(pk_n / pk_sec, 1) if pk_sec else None,
+                    "writers": 64,
+                    "capacity_tokens": 2048,
                 },
                 "loadavg_external": round(os.getloadavg()[0], 2),
             }
