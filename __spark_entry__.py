@@ -214,6 +214,27 @@ def q_contamination(spark, sf_dir):
     return contamination(_docs(spark, sf_dir), n_shingle=5, eval_mod=20, hash_fn="md5")
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Snapshot-incremental near-dup: ~20% of documents (md5 split)
+    arrive as the 'new crawl', matched against the signature store of
+    the other 80% — new-vs-store and new-vs-new pairs only."""
+    from cadastre_pg_spark.operators.dedup import incremental_neardup, minhash_store
+
+    docs = _docs(spark, sf_dir)
+    is_new = (
+        F.pmod(
+            D.shingle_hash32(
+                F.concat(F.lit("n:"), F.col("doc_id").cast("string")), "md5"
+            ),
+            F.lit(5),
+        )
+        == 0
+    )
+    new = docs.filter(is_new)
+    store = minhash_store(docs.filter(~is_new), hash_fn="md5")
+    return incremental_neardup(new, store, threshold=0.4, hash_fn="md5")
+
+
 def q_dep_partition(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     dep = F.lpad(F.regexp_extract(F.col("source"), r"(\d+)", 1), 3, "0")
@@ -863,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_route": q_config_route,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
+        "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
@@ -903,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_topk_sql_oracle(),
         "ivf_topk": _ivf_topk_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
+        "incremental_neardup": _incremental_neardup_sql_oracle(threshold=0.4),
         "simhash": _simhash_sql_oracle(),
         "ngram_jaccard": _ngram_jaccard_sql_oracle(threshold=0.4),
         "line_assembly": _line_assembly_sql_oracle(),
@@ -1467,6 +1490,90 @@ def _minhash_sql_oracle(threshold: float = 0.4) -> str:
           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
           FROM bok l JOIN bok r
             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_filter(range(1, {D.N_HASHES + 1}),
+                                 i -> a.sig[i] = b.sig[i])) AS est,
+                 CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.sset, b.sset))) AS DOUBLE)
+                   AS jac
+          FROM cand c
+          JOIN ss a ON a.doc_id = c.doc_a
+          JOIN ss b ON b.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM v
+        WHERE est >= {est_min} AND jac >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _incremental_neardup_sql_oracle(threshold: float = 0.4) -> str:
+    """Independent replay of dedup.incremental_neardup over the md5
+    20%-new split: the new docs' band keys select the touched buckets,
+    bucket caps count the touched population, pairs need >= 1 new doc;
+    verify (estimate prefilter + exact hashed-set Jaccard) is identical
+    to the batch minhash oracle."""
+    import math
+
+    rows_per_band = D.N_HASHES // D.BANDS
+    est_min = int(math.ceil((threshold - 0.25) * D.N_HASHES - 1e-9))
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {D._A[i]} + {D._B[i]}) % {D.MINHASH_PRIME}))"
+        for i in range(D.N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, is_new, {b} AS band, {key} AS key FROM ss".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 [array_to_string(t[i+1:i+3], ' ')
+                  for i in range(0, greatest(len(t) - 2, 0))] AS sg
+          FROM tok
+        ),
+        ss AS MATERIALIZED (
+          SELECT doc_id,
+                 ({_hex32_sql("md5('n:' || CAST(doc_id AS VARCHAR))")} % 5 = 0)
+                   AS is_new,
+                 list_distinct(sh) AS sset, [{sig_exprs}] AS sig
+          FROM (
+            SELECT doc_id,
+                   list_transform(list_transform(sg, s -> md5(s)),
+                                  m -> {_hex32_sql('m')}) AS sh
+            FROM sh0 WHERE len(sg) > 0
+          )
+        ),
+        banded AS MATERIALIZED ({band_selects}),
+        newkeys AS (SELECT DISTINCT band, key FROM banded WHERE is_new),
+        -- new bands always match their own key; store bands survive
+        -- only where a new key touches them == the engine's semi-join
+        allb AS (
+          SELECT b.doc_id, b.is_new, b.band, b.key
+          FROM banded b JOIN newkeys nk
+            ON b.band = nk.band AND b.key = nk.key
+        ),
+        sizes AS (SELECT band, key, count(*) AS n FROM allb GROUP BY 1, 2),
+        bok AS (
+          SELECT a.doc_id, a.is_new, a.band, a.key FROM allb a
+          JOIN sizes s ON a.band = s.band AND a.key = s.key AND s.n <= 4096
+        ),
+        cand AS (
+          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bok l JOIN bok r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+           AND (l.is_new OR r.is_new)
           GROUP BY 1, 2
         ),
         v AS (

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "topk_similarity",
     "dedup_clusters",
     "sessionize",
+    "incremental_neardup",
     "pack_tokens",
     "stratified_sample",
     "group_sample",

@@ -123,14 +123,12 @@ def minhash_signatures(
     return with_hashes.select("doc_id", _sig_cols(F.col("sh")).alias("sig"))
 
 
-def _lsh_candidates(ss: DataFrame, max_bucket: int):
-    """LSH band-bucket candidate pairs from a signature table
-    ss(doc_id, sig[N_HASHES], ...): explode the BANDS band keys,
-    self-join on (band, key), cap degenerate buckets. Returns
-    (cand(doc_a, doc_b), skipped(band, key, n)). Shared by
-    minhash_lsh_pairs and ngram_jaccard_pairs(prefilter='minhash')."""
+def _band_keys(ss: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — the BANDS LSH band keys per signature row,
+    exploded JVM-side. Shared by the batch, prefilter, and incremental
+    candidate generators."""
     rows_per_band = N_HASHES // BANDS
-    banded = ss.select(
+    return ss.select(
         "doc_id",
         F.explode(
             F.array(
@@ -150,6 +148,15 @@ def _lsh_candidates(ss: DataFrame, max_bucket: int):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
+
+
+def _lsh_candidates(ss: DataFrame, max_bucket: int):
+    """LSH band-bucket candidate pairs from a signature table
+    ss(doc_id, sig[N_HASHES], ...): explode the BANDS band keys,
+    self-join on (band, key), cap degenerate buckets. Returns
+    (cand(doc_a, doc_b), skipped(band, key, n)). Shared by
+    minhash_lsh_pairs and ngram_jaccard_pairs(prefilter='minhash')."""
+    banded = _band_keys(ss)
 
     # bucket sizes via one window over the SAME (band, key) partitioning
     # the self-join shuffles on — one exchange instead of a groupBy +
@@ -176,6 +183,132 @@ def _lsh_candidates(ss: DataFrame, max_bucket: int):
         .distinct()
     )
     return cand, skipped
+
+
+def minhash_store(
+    docs: DataFrame, n_shingle: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sig[N_HASHES], sset) — the per-snapshot signature store.
+    At scale this is WRITTEN (parquet, bucketed by doc_id) once per
+    corpus snapshot and re-read by incremental_neardup for every new
+    crawl, so signatures are computed exactly once per document ever."""
+    # a small single-file scan arrives as ONE task; the signature
+    # projection is CPU-bound, so spread it first. At scale the input
+    # already has >= parallelism partitions and this is a no-op.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            shingles(F.col("text"), n_shingle),
+            lambda s: shingle_hash32(s, hash_fn),
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return base.select(
+        "doc_id",
+        _sig_cols(F.col("sh")).alias("sig"),
+        F.array_distinct("sh").alias("sset"),
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 4096,
+    est_margin: float = 0.25,
+) -> DataFrame:
+    """Near-dup pairs for a NEW snapshot against an existing signature
+    store (minhash_store output) — new-vs-store and new-vs-new, never
+    store-vs-store. This is the 100-TB dedup shape: a crawl increment
+    is matched against the standing corpus without re-banding the
+    corpus against itself.
+
+    Shape:
+    - only the new docs are shingled/signed (the store is read, not
+      recomputed);
+    - the store's band table is probed ONLY where a new band key lands
+      (left-semi against the broadcast distinct new keys — the store
+      side never self-joins, and untouched buckets never shuffle);
+    - bucket-size cap counts the touched buckets' FULL population
+      (store + new), so cap semantics equal the batch operator's;
+    - pair join keeps pairs with >= 1 new doc; verify (signature-
+      estimate prefilter + exact hashed-set Jaccard) is identical to
+      minhash_lsh_pairs, so on (store + new) input the result equals
+      the batch pairs restricted to new-doc involvement — pytest-held.
+
+    doc_ids must be globally unique across store and new snapshot.
+    Returns (doc_a, doc_b, jaccard) with `_skipped_buckets` metric and
+    `_new_store_rows` — the new docs' signature rows to APPEND to the
+    store for the next increment.
+    """
+    import math as _math
+
+    ss_new = minhash_store(new_docs, n_shingle, hash_fn).persist()
+    nb = _band_keys(ss_new).withColumn("is_new", F.lit(True))
+    sb = _band_keys(store.select("doc_id", "sig"))
+    touched = sb.join(
+        F.broadcast(nb.select("band", "key").distinct()),
+        ["band", "key"],
+        "left_semi",
+    ).withColumn("is_new", F.lit(False))
+    all_b = nb.unionByName(touched)
+
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band", "key")
+    sized = all_b.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+    skipped = (
+        sized.filter(F.col("n") > max_bucket).select("band", "key", "n").distinct()
+    )
+    ok = sized.filter(F.col("n") <= max_bucket).drop("n")
+    left, right = ok.alias("l"), ok.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("l.is_new") | F.col("r.is_new")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ss_all = ss_new.unionByName(store.select("doc_id", "sig", "sset"))
+    est_min = int(_math.ceil((threshold - est_margin) * N_HASHES - 1e-9))
+    a_side = ss_all.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sset").alias("set_a"),
+    )
+    b_side = ss_all.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sset").alias("set_b"),
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    verified = (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .filter(est >= F.lit(est_min))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b")).cast("double")
+            / F.size(F.array_union("set_a", "set_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    verified._skipped_buckets = skipped
+    verified._new_store_rows = ss_new
+    verified._cadastre_cached = [ss_new]
+    return verified
 
 
 def minhash_lsh_pairs(
@@ -209,24 +342,7 @@ def minhash_lsh_pairs(
       the threshold below ~1e-3 while pruning boilerplate-bucket junk
       at higher thresholds.
     """
-    # a small single-file scan arrives as ONE task; the signature
-    # projection is CPU-bound, so spread it first. At scale the input
-    # already has >= parallelism partitions and this is a no-op.
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
-    base = docs.select(
-        "doc_id",
-        F.transform(
-            shingles(F.col("text"), n_shingle),
-            lambda s: shingle_hash32(s, hash_fn),
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    ss = base.select(
-        "doc_id",
-        _sig_cols(F.col("sh")).alias("sig"),
-        F.array_distinct("sh").alias("sset"),
-    ).persist()
+    ss = minhash_store(docs, n_shingle, hash_fn).persist()
 
     cand, skipped = _lsh_candidates(ss, max_bucket)
 

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cadastre_pg_spark.operators import dedup as D
+from conftest import SF_UNIT
 
 
 def _brute_jaccard(texts, n=3):
@@ -209,3 +210,49 @@ def test_md5_hash32_matches_python(spark):
     )
     for r in df.collect():
         assert r.h == int(hashlib.md5(r.s.encode()).hexdigest()[:8], 16)
+
+
+def test_incremental_neardup_equals_batch_restriction(spark):
+    """incremental(new, store(old)) == batch pairs over (old + new)
+    restricted to pairs involving a new doc."""
+    from cadastre_pg_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_lsh_pairs,
+        minhash_store,
+    )
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    store = minhash_store(old).persist()
+    inc = incremental_neardup(new, store, threshold=0.4)
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in inc.collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    batch = minhash_lsh_pairs(docs, threshold=0.4)
+    exp = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in batch.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == exp and len(got) > 0
+    store.unpersist()
+
+
+def test_incremental_neardup_never_pairs_store_with_itself(spark):
+    """Two near-identical STORE docs must not appear; a new doc pairs
+    with its store twin; the append rows cover exactly the new docs."""
+    from cadastre_pg_spark.operators.dedup import incremental_neardup, minhash_store
+
+    base = " ".join(f"w{k}" for k in range(40))
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(f"z{k}" for k in range(40)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " extra"), (11, "totally different stuff here " * 8)],
+        "doc_id long, text string",
+    )
+    inc = incremental_neardup(new, minhash_store(old), threshold=0.5)
+    pairs = {(r.doc_a, r.doc_b) for r in inc.collect()}
+    assert pairs == {(1, 10), (2, 10)}  # never (1, 2)
+    assert {r.doc_id for r in inc._new_store_rows.select("doc_id").collect()} == {10, 11}
