@@ -748,6 +748,31 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-session aggregates via Catalyst's NATIVE session_window
+    (merging gap windows — the streaming-capable form); the oracle
+    replays it with the lag/cumsum gap rule, proving the two
+    formulations agree (probe: Spark merges at gap == 30min exactly,
+    splits strictly beyond — same boundary as the batch rule)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # reference-shaped preset driving q_config_route (the JSON preset
 # loader surfaced at the driver-contract level: P1/P2/P4/P10/J6)
 ROUTE_PRESET = {
@@ -884,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_route": q_config_route,
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -948,6 +974,32 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM e
+        """,
+        # the gap-rule replay of Spark's merging session_window: start
+        # = min(ts), end = max(ts) + gap; split strictly beyond 30 min
+        "session_stats": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM e
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, sidx
         """,
         "pack_tokens": _pack_tokens_sql_oracle(PACK_CAP, PACK_WRITERS),
         "stratified_sample": _stratified_sample_sql_oracle(

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "topk_similarity",
     "dedup_clusters",
     "sessionize",
+    "session_stats",
     "incremental_neardup",
     "pack_tokens",
     "stratified_sample",
