@@ -449,6 +449,14 @@ def q_reproject_points(spark, sf_dir):
     )
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, one row per (label, dim) —
+    decimal-summed (order-independent, engine-identical)."""
+    from cadastre_pg_spark.operators.similarity import label_centroids
+
+    return label_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def q_topk_similarity(spark, sf_dir):
     from cadastre_pg_spark.operators.similarity import topk_cosine
 
@@ -892,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "reproject_points": q_reproject_points,
         "topk_similarity": q_topk_similarity,
+        "label_centroids": q_label_centroids,
         "ann_topk": q_ann_topk,
         "knn_grid": q_knn_grid,
         "tile_assign": q_tile_assign,
@@ -1006,6 +1015,19 @@ def oracle_sql() -> dict[str, str]:
             SAMPLE_RATES, default_rate=1.0
         ),
         "group_sample": _group_sample_sql_oracle(GROUP_K),
+        # zipped unnest pairs each value with its 0-based dimension;
+        # DECIMAL sums make the per-dimension aggregate order-free
+        "label_centroids": """
+            WITH x AS (
+              SELECT label, unnest(range(len(embedding))) AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings
+            )
+            SELECT label, pos, count(*) AS n_vecs,
+                   round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS centroid
+            FROM x GROUP BY 1, 2
+        """,
         "contamination": _contamination_sql_oracle(n=5, eval_mod=20),
         "config_route": r"""
             WITH f AS (

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "tile_assign",
     "raster_burn",
     "topk_similarity",
+    "label_centroids",
     "dedup_clusters",
     "sessionize",
     "session_stats",

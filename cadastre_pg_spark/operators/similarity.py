@@ -396,3 +396,32 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def label_centroids(embs: DataFrame, decimal_scale: int = 10) -> DataFrame:
+    """Per-label centroid of an embedding column, exploded to one row
+    per (label, dimension): (label, pos, n_vecs, centroid).
+
+    Per-dimension sums run through DECIMAL(28, decimal_scale) casts so
+    the aggregation is order-independent and engine-identical (the
+    AGGREGATE parity policy); centroid = round(sum/n as double, 6).
+
+    Scale shape: posexplode fans each vector to dim rows, but the
+    groupBy (label, pos) does map-side partial aggregation, so the
+    single exchange carries only n_partitions x labels x dim partial
+    rows — independent of the vector count.
+    """
+    e = embs.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("v").cast(f"decimal(28,{decimal_scale})")).alias("s"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "n_vecs",
+            F.round(F.col("s").cast("double") / F.col("n_vecs"), 6).alias("centroid"),
+        )
+    )

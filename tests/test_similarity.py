@@ -48,3 +48,27 @@ def test_ivf_sampled_recall_and_determinism(spark):
     assert got == sorted(
         (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in again.collect()
     )
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from cadastre_pg_spark.operators.similarity import label_centroids
+
+    embs = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    got = {
+        (r.label, r.pos): (r.n_vecs, r.centroid)
+        for r in label_centroids(embs).collect()
+    }
+    rows = embs.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    for label, vecs in by_label.items():
+        m = np.mean(np.stack(vecs), axis=0)
+        for pos in range(len(m)):
+            n, c = got[(label, pos)]
+            assert n == len(vecs)
+            # decimal-summed mean vs float64 mean: agree well inside 6dp
+            assert abs(c - m[pos]) < 1e-6, (label, pos, c, m[pos])
+    assert len(got) == len(by_label) * 64
