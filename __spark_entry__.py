@@ -781,6 +781,18 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user: longest strictly-
+    time-ordered prefix reached + the earliest timestamps per step."""
+    from cadastre_pg_spark.operators.sessions import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, FUNNEL_STEPS)
+
+
 # reference-shaped preset driving q_config_route (the JSON preset
 # loader surfaced at the driver-contract level: P1/P2/P4/P10/J6)
 ROUTE_PRESET = {
@@ -919,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
+        "funnel_steps": q_funnel_steps,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -1009,6 +1022,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sidx
+        """,
+        # cascaded-min formulation == the engine's greedy fold on the
+        # time-sorted sequence (each step strictly after the previous)
+        "funnel_steps": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+            )
+            SELECT u.user_id,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1
+                        ELSE 0 END AS steps_reached,
+                   t1, t2, t3
+            FROM u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
         """,
         "pack_tokens": _pack_tokens_sql_oracle(PACK_CAP, PACK_WRITERS),
         "stratified_sample": _stratified_sample_sql_oracle(

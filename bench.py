@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "sessionize",
     "session_stats",
+    "funnel_steps",
     "incremental_neardup",
     "pack_tokens",
     "stratified_sample",

@@ -57,3 +57,74 @@ def session_stats(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the longest prefix of `steps`
+    matchable in event-time order, each step STRICTLY after the one
+    before (greedy earliest-match — equivalent to the cascaded-min
+    formulation t_i = min(ts of step_i with ts > t_{i-1}), which is
+    what the SQL oracle computes).
+
+    Output: (key, steps_reached, t_1..t_n) with NULL t for unreached
+    steps; every key that has any event appears (steps_reached 0 if it
+    never enters the funnel).
+
+    Scale shape: events are pre-filtered to the funnel types, then ONE
+    groupBy(key) builds the time-sorted (ts, type) array and a
+    Catalyst `aggregate` fold walks it JVM-side — a single exchange,
+    no per-step join cascade. The distinct-keys base is its own
+    partial-agg exchange. Per-key array size is bounded by that key's
+    funnel-type event count; a pathological power key should be capped
+    upstream (quality filters), not here — the fold is linear either
+    way.
+    """
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    base = events.select(F.col(key)).distinct()
+    seq = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(key)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts).alias("t"), F.col(type_col).alias("y")))
+            ).alias("seq")
+        )
+    )
+    t_fields = [f"t{i + 1}" for i in range(n)]
+    init = F.struct(
+        F.lit(0).alias("step"),
+        *[F.lit(None).cast("timestamp").alias(f) for f in t_fields],
+    )
+
+    def advance(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            cond = (acc["step"] == i) & (e["y"] == s)
+            if i > 0:
+                cond = cond & (e["t"] > acc[f"t{i}"])
+            new = F.struct(
+                F.lit(i + 1).alias("step"),
+                *[
+                    (e["t"] if j == i else acc[f]).alias(f)
+                    for j, f in enumerate(t_fields)
+                ],
+            )
+            out = F.when(cond, new).otherwise(out)
+        return out
+
+    folded = seq.select(
+        key, F.aggregate("seq", init, advance).alias("f")
+    )
+    return base.join(folded, key, "left").select(
+        key,
+        F.coalesce(F.col("f.step"), F.lit(0)).alias("steps_reached"),
+        *[F.col(f"f.{f}").alias(f) for f in t_fields],
+    )

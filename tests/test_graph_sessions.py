@@ -91,3 +91,39 @@ def test_sessionize_gap_rule(spark):
         for r in session_stats(ev, gap_minutes=30).collect()
     }
     assert stats[(7, 1)] == 2 and stats[(7, 2)] == 2 and stats[(8, 1)] == 1
+
+
+def test_funnel_steps_planted(spark):
+    from cadastre_pg_spark.operators.sessions import funnel_steps
+
+    T = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(m):
+        return T + timedelta(minutes=m)
+
+    rows = [
+        # u1: full funnel in order
+        (1, at(0), "view"), (1, at(1), "click"), (1, at(2), "purchase"),
+        # u2: click before view -> only view counts; later click advances
+        (2, at(0), "click"), (2, at(1), "view"), (2, at(2), "click"),
+        # u3: purchase before click -> stops at 2 (needs purchase AFTER click)
+        (3, at(0), "view"), (3, at(1), "purchase"), (3, at(2), "click"),
+        # u4: simultaneous view+click -> click not strictly after view
+        (4, at(0), "view"), (4, at(0), "click"),
+        # u5: no funnel events at all
+        (5, at(0), "error"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, y) for i, (u, t, y) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: (r.steps_reached, r.t1, r.t2, r.t3)
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got[1] == (3, at(0), at(1), at(2))
+    assert got[2] == (2, at(1), at(2), None)
+    assert got[3] == (2, at(0), at(2), None)
+    assert got[4] == (1, at(0), None, None)
+    assert got[5] == (0, None, None, None)
+    assert len(got) == 5
