@@ -781,6 +781,23 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of `value` per event_type —
+    Spark's `percentile` and DuckDB's `quantile_cont` both linearly
+    interpolate on the sorted doubles with identical arithmetic
+    (probed bitwise-equal at sf0.01 and sf0.1, no rounding needed).
+    Scale contract: the EXACT aggregate buffers each group's values;
+    at 100 TB use approx_percentile (t-digest, mergeable sketches) —
+    the exact form is the oracle-able sibling, same query shape."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -932,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
+        "value_percentiles": q_value_percentiles,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -1022,6 +1040,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sidx
+        """,
+        # quantile_cont == Spark percentile: identical linear
+        # interpolation on sorted doubles (probed bitwise-equal)
+        "value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5)  AS p50,
+                   quantile_cont(value, 0.9)  AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY 1
         """,
         # cascaded-min formulation == the engine's greedy fold on the
         # time-sorted sequence (each step strictly after the previous)
