@@ -231,8 +231,13 @@ def q_incremental_neardup(spark, sf_dir):
         == 0
     )
     new = docs.filter(is_new)
-    store = minhash_store(docs.filter(~is_new), hash_fn="md5")
-    return incremental_neardup(new, store, threshold=0.4, hash_fn="md5")
+    # persist: the store feeds BOTH the band-key probe and the verify
+    # join — without it the shingle+signature pass runs twice (at scale
+    # the store is a materialized parquet table, not a live pipeline)
+    store = minhash_store(docs.filter(~is_new), hash_fn="md5").persist()
+    out = incremental_neardup(new, store, threshold=0.4, hash_fn="md5")
+    out._cadastre_cached = list(getattr(out, "_cadastre_cached", [])) + [store]
+    return out
 
 
 def q_dep_partition(spark, sf_dir):
