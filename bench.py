@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "sessionize",
     "session_stats",
     "funnel_steps",
+    "value_percentiles",
     "incremental_neardup",
     "pack_tokens",
     "stratified_sample",
