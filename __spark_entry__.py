@@ -786,6 +786,12 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style duplicate n-gram fractions (n=1..3) per doc —
+    the boilerplate/spam quality signal."""
+    return TA.repetition_scores(_docs(spark, sf_dir))
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles of `value` per event_type —
     Spark's `percentile` and DuckDB's `quantile_cont` both linearly
@@ -955,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
         "value_percentiles": q_value_percentiles,
+        "repetition_scores": q_repetition_scores,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -1167,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": TA.quality_score_sql("documents"),
         "lang_id": TA.lang_id_sql("documents"),
+        "repetition_scores": TA.repetition_scores_sql("documents"),
         "dep_partition": r"""
             SELECT doc_id,
                    lpad(regexp_extract(source, '(\d+)', 1), 3, '0') AS dep,

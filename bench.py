@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "token_count",
     "quality_score",
     "lang_id",
+    "repetition_scores",
     "minhash_lsh",
     "simhash",
     "embedding_neardup",

@@ -140,3 +140,57 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """sha256 content fingerprint per doc — the distributed half of the
     byte-identity invariant (same hex the oracle computes)."""
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+def repetition_scores(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition signals: for n in
+    1..max_n, the fraction of duplicate token n-grams
+    (1 - distinct/total, 0.0 for docs with no n-gram), rounded to 6 dp.
+    High duplicate fractions mark boilerplate/spam for quality
+    filtering. Pure JVM array algebra (split -> slice n-grams ->
+    array_distinct), one scan, no shuffle; exact DuckDB twin in
+    __spark_entry__.
+    """
+    from cadastre_pg_spark.operators.dedup import shingles
+
+    cols = []
+    for n in range(1, max_n + 1):
+        sg = shingles(F.col("text"), n)
+        total = F.size(sg)
+        dup_frac = F.when(
+            total > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(sg)).cast("double")
+                / total.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        cols.append(dup_frac.alias(f"dup_{n}gram_frac"))
+    return docs.select("doc_id", *cols)
+
+
+def repetition_scores_sql(table: str = "documents", max_n: int = 3) -> str:
+    """DuckDB twin of repetition_scores (same list comprehension
+    n-grams, same 1 - distinct/total arithmetic)."""
+    inner = []
+    outer = []
+    for n in range(1, max_n + 1):
+        inner.append(
+            f"[array_to_string(t[i+1:i+{n}], ' ') "
+            f"for i in range(0, greatest(len(t) - {n - 1}, 0))] AS sg{n}"
+        )
+        outer.append(
+            f"CASE WHEN len(sg{n}) > 0 THEN "
+            f"round(1.0 - CAST(len(list_distinct(sg{n})) AS DOUBLE)"
+            f" / CAST(len(sg{n}) AS DOUBLE), 6) "
+            f"ELSE 0.0 END AS dup_{n}gram_frac"
+        )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM {table}
+        ),
+        sg AS (SELECT doc_id, {", ".join(inner)} FROM tok)
+        SELECT doc_id, {", ".join(outer)} FROM sg
+    """

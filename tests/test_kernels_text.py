@@ -76,3 +76,21 @@ def test_extract_deterministic_bytes():
     assert h1 == h2
     out = extract_text_series([html, html], ["8859-15", "8859-15"])
     assert out[0] == out[1] == "déterministe ok"
+
+
+def test_repetition_scores_planted(spark):
+    from cadastre_pg_spark.operators.textanalysis import repetition_scores
+
+    rows = [
+        (1, "a a a a"),            # 1-gram: 1 distinct/4 -> 0.75 dup
+        (2, "a b c d"),            # all distinct -> 0.0
+        (3, "a b a b a"),          # 2-grams: [ab,ba,ab,ba] -> 0.5 dup
+        (4, "x"),                  # no 2/3-grams -> 0.0 there
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.dup_1gram_frac, r.dup_2gram_frac, r.dup_3gram_frac)
+           for r in repetition_scores(df).collect()}
+    assert got[1] == (0.75, round(1 - 1 / 3, 6), round(1 - 1 / 2, 6))
+    assert got[2] == (0.0, 0.0, 0.0)
+    assert got[3] == (round(1 - 2 / 5, 6), 0.5, round(1 - 2 / 3, 6))
+    assert got[4] == (0.0, 0.0, 0.0)
