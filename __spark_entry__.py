@@ -786,6 +786,33 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_event_concurrency(spark, sf_dir):
+    """For each 'error' event: how many gap-rule sessions (any user)
+    were active at that instant — the interval-point bucketed join
+    (temporal J9 analog) + per-point count; zero-coverage errors kept."""
+    from cadastre_pg_spark.operators.intervals import interval_point_join
+    from cadastre_pg_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = session_stats(ev).select(
+        (F.col("user_id") * 1_000_000 + F.col("session_idx")).alias("interval_id"),
+        F.col("session_start").alias("start_ts"),
+        F.col("session_end").alias("end_ts"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    pairs = interval_point_join(sess, errs, bucket_seconds=3600)
+    counts = pairs.groupBy("point_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        errs.join(counts, "point_id", "left")
+        .select(
+            F.col("point_id").alias("event_id"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_active_sessions"),
+        )
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate n-gram fractions (n=1..3) per doc —
     the boilerplate/spam quality signal."""
@@ -962,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "value_percentiles": q_value_percentiles,
         "repetition_scores": q_repetition_scores,
+        "event_concurrency": q_event_concurrency,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -1052,6 +1080,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sidx
+        """,
+        # plain range-predicate join replays the bucketed equi-join +
+        # residual exactly (each pair meets in one bucket on the
+        # engine side, so no dedup divergence)
+        "event_concurrency": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events
+            ),
+            sx AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, sidx, min(ts) AS t0, max(ts) AS t1
+              FROM sx GROUP BY 1, 2
+            ),
+            err AS (
+              SELECT event_id, ts FROM events WHERE event_type = 'error'
+            ),
+            c AS (
+              SELECT err.event_id, count(*) AS n
+              FROM err JOIN s ON s.t0 <= err.ts AND err.ts <= s.t1
+              GROUP BY 1
+            )
+            SELECT err.event_id AS event_id,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_active_sessions
+            FROM err LEFT JOIN c ON err.event_id = c.event_id
         """,
         # quantile_cont == Spark percentile: identical linear
         # interpolation on sorted doubles (probed bitwise-equal)

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "session_stats",
     "funnel_steps",
     "value_percentiles",
+    "event_concurrency",
     "incremental_neardup",
     "pack_tokens",
     "stratified_sample",

@@ -1,0 +1,67 @@
+"""Interval-point bucketed join vs brute-force containment."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.intervals import interval_point_join
+
+T0 = datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _mk(spark, n_iv=80, n_pt=300):
+    ivs = [
+        (
+            i,
+            T0 + timedelta(minutes=(i * 37) % 5000),
+            T0 + timedelta(minutes=(i * 37) % 5000 + 5 + (i * 13) % 240),
+        )
+        for i in range(n_iv)
+    ]
+    pts = [
+        (j, T0 + timedelta(minutes=(j * 17) % 5200, seconds=j % 60))
+        for j in range(n_pt)
+    ]
+    return (
+        spark.createDataFrame(
+            ivs, "interval_id long, start_ts timestamp, end_ts timestamp"
+        ),
+        spark.createDataFrame(pts, "point_id long, ts timestamp"),
+        ivs,
+        pts,
+    )
+
+
+def _brute(ivs, pts):
+    return {
+        (p, i)
+        for i, s, e in ivs
+        for p, t in pts
+        if s <= t <= e
+    }
+
+
+@pytest.mark.parametrize("bucket_seconds", [600, 3600, 86400])
+def test_interval_join_matches_brute(spark, bucket_seconds):
+    iv_df, pt_df, ivs, pts = _mk(spark)
+    got = {
+        (r.point_id, r.interval_id)
+        for r in interval_point_join(iv_df, pt_df, bucket_seconds).collect()
+    }
+    exp = _brute(ivs, pts)
+    assert got == exp and len(exp) > 100
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    iv_df, pt_df, _, _ = _mk(spark)
+    out = interval_point_join(iv_df, pt_df, 600)
+    assert out.count() == out.select("point_id", "interval_id").distinct().count()
+
+
+def test_interval_join_fanout_guard_raises(spark):
+    iv_df, pt_df, _, _ = _mk(spark)
+    with pytest.raises(Exception, match="spans more than"):
+        interval_point_join(
+            iv_df, pt_df, bucket_seconds=60, max_buckets_per_interval=3
+        ).count()
