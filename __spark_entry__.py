@@ -813,6 +813,25 @@ def q_event_concurrency(spark, sf_dir):
     )
 
 
+def q_session_overlap(spark, sf_dir):
+    """All cross-user pairs of gap-rule sessions that overlap in time,
+    with the exact intersection length — the dedup-free bucketed
+    interval self-join (pairs meet only in their first shared hour
+    bucket)."""
+    from cadastre_pg_spark.operators.intervals import interval_overlap_join
+    from cadastre_pg_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = session_stats(ev).select(
+        (F.col("user_id") * 1_000_000 + F.col("session_idx")).alias("interval_id"),
+        F.col("session_start").alias("start_ts"),
+        F.col("session_end").alias("end_ts"),
+    )
+    return interval_overlap_join(sess, bucket_seconds=3600).select(
+        "a_id", "b_id", "overlap_us"
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate n-gram fractions (n=1..3) per doc —
     the boilerplate/spam quality signal."""
@@ -990,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "repetition_scores": q_repetition_scores,
         "event_concurrency": q_event_concurrency,
+        "session_overlap": q_session_overlap,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -1080,6 +1100,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sidx
+        """,
+        "session_overlap": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events
+            ),
+            sx AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM e
+            ),
+            s AS (
+              SELECT user_id * 1000000 + sidx AS iid,
+                     min(ts) AS t0, max(ts) AS t1
+              FROM sx GROUP BY user_id, sidx
+            )
+            SELECT a.iid AS a_id, b.iid AS b_id,
+                   epoch_us(least(a.t1, b.t1))
+                     - epoch_us(greatest(a.t0, b.t0)) AS overlap_us
+            FROM s a JOIN s b
+              ON a.t0 <= b.t1 AND b.t0 <= a.t1 AND a.iid < b.iid
         """,
         # plain range-predicate join replays the bucketed equi-join +
         # residual exactly (each pair meets in one bucket on the

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "funnel_steps",
     "value_percentiles",
     "event_concurrency",
+    "session_overlap",
     "incremental_neardup",
     "pack_tokens",
     "stratified_sample",

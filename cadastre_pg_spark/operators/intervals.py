@@ -33,6 +33,94 @@ def _bucket(col, bucket_seconds: int):
     )
 
 
+def _guarded_buckets(
+    iv_id: str, lo, hi, bucket_seconds: int, max_buckets: int
+):
+    """sequence(lo, hi) with a LOUD in-expression fan-out bound
+    (raise_error) — no separate validation pass over the table."""
+    return F.when(
+        hi - lo + F.lit(1) > F.lit(max_buckets),
+        F.raise_error(
+            F.concat(
+                F.lit("interval join: interval "),
+                F.col(iv_id).cast("string"),
+                F.lit(
+                    f" spans more than {max_buckets} buckets"
+                    f" of {bucket_seconds}s; raise bucket_seconds"
+                ),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(lo, hi))
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame | None = None,
+    bucket_seconds: int = 3600,
+    iv_id: str = "interval_id",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """All overlapping interval pairs (closed bounds: overlap iff
+    a.start <= b.end AND b.start <= a.end). b=None means self-join
+    (pairs with a_id < b_id, each once). Output: (a_id, b_id,
+    a_start, a_end, b_start, b_end, overlap_us).
+
+    Dedup-free bucketing: a pair sharing k buckets would meet k times,
+    so the join keeps a pair ONLY in its first shared bucket
+    (bucket == greatest(a_lo, b_lo)) — an arithmetic residual instead
+    of a distinct stage (the same one-exchange idea as the spatial
+    join's first-cell rule). Hot buckets ride AQE's skew split."""
+    self_join = b is None
+    if self_join:
+        b = a
+
+    def side(df, tag):
+        lo = _bucket(F.col(start), bucket_seconds)
+        hi = _bucket(F.col(end), bucket_seconds)
+        return df.select(
+            F.col(iv_id).alias(f"{tag}_id"),
+            F.col(start).alias(f"{tag}_start"),
+            F.col(end).alias(f"{tag}_end"),
+            lo.alias(f"{tag}_lo"),
+            F.explode(
+                _guarded_buckets(
+                    iv_id, lo, hi, bucket_seconds, max_buckets_per_interval
+                )
+            ).alias("bucket"),
+        )
+
+    left, right = side(a, "a"), side(b, "b")
+    cond = (
+        (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end"))
+        & (F.col("bucket") == F.greatest(F.col("a_lo"), F.col("b_lo")))
+    )
+    if self_join:
+        cond = cond & (F.col("a_id") < F.col("b_id"))
+    overlap_us = F.least(
+        F.unix_micros(F.col("a_end").cast("timestamp")),
+        F.unix_micros(F.col("b_end").cast("timestamp")),
+    ) - F.greatest(
+        F.unix_micros(F.col("a_start").cast("timestamp")),
+        F.unix_micros(F.col("b_start").cast("timestamp")),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(cond)
+        .select(
+            "a_id",
+            "b_id",
+            "a_start",
+            "a_end",
+            "b_start",
+            "b_end",
+            overlap_us.alias("overlap_us"),
+        )
+    )
+
+
 def interval_point_join(
     intervals: DataFrame,
     points: DataFrame,
@@ -49,22 +137,14 @@ def interval_point_join(
     timestamp columns. Each qualifying pair appears exactly once."""
     lo = _bucket(F.col(start), bucket_seconds)
     hi = _bucket(F.col(end), bucket_seconds)
-    # loud fan-out bound INSIDE the explode expression (raise_error) —
-    # no extra validation pass over the interval table
-    guarded = F.when(
-        hi - lo + F.lit(1) > F.lit(max_buckets_per_interval),
-        F.raise_error(
-            F.concat(
-                F.lit("interval_point_join: interval "),
-                F.col(iv_id).cast("string"),
-                F.lit(
-                    f" spans more than {max_buckets_per_interval} buckets"
-                    f" of {bucket_seconds}s; raise bucket_seconds"
-                ),
-            )
-        ).cast("array<bigint>"),
-    ).otherwise(F.sequence(lo, hi))
-    b_iv = intervals.select(iv_id, start, end, F.explode(guarded).alias("bucket"))
+    b_iv = intervals.select(
+        iv_id,
+        start,
+        end,
+        F.explode(
+            _guarded_buckets(iv_id, lo, hi, bucket_seconds, max_buckets_per_interval)
+        ).alias("bucket"),
+    )
     b_pt = points.select(
         pt_id, ts, _bucket(F.col(ts), bucket_seconds).alias("bucket")
     )

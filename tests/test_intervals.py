@@ -65,3 +65,52 @@ def test_interval_join_fanout_guard_raises(spark):
         interval_point_join(
             iv_df, pt_df, bucket_seconds=60, max_buckets_per_interval=3
         ).count()
+
+
+def _brute_overlap(ivs):
+    out = set()
+    for i, s, e in ivs:
+        for j, s2, e2 in ivs:
+            if i < j and s <= e2 and s2 <= e:
+                out.add((i, j))
+    return out
+
+
+@pytest.mark.parametrize("bucket_seconds", [600, 3600, 86400])
+def test_interval_overlap_self_join_matches_brute(spark, bucket_seconds):
+    from cadastre_pg_spark.operators.intervals import interval_overlap_join
+
+    iv_df, _, ivs, _ = _mk(spark)
+    rows = interval_overlap_join(iv_df, bucket_seconds=bucket_seconds).collect()
+    got = {(r.a_id, r.b_id) for r in rows}
+    assert got == _brute_overlap(ivs) and len(got) > 50
+    # each pair exactly once (first-shared-bucket rule, no distinct)
+    assert len(rows) == len(got)
+    # overlap duration is the closed-bound intersection length
+    by_id = {i: (s, e) for i, s, e in ivs}
+    for r in rows:
+        s1, e1 = by_id[r.a_id]
+        s2, e2 = by_id[r.b_id]
+        exp_us = int((min(e1, e2) - max(s1, s2)).total_seconds() * 1_000_000)
+        assert r.overlap_us == exp_us
+
+
+def test_interval_overlap_two_table(spark):
+    from cadastre_pg_spark.operators.intervals import interval_overlap_join
+
+    iv_df, _, ivs, _ = _mk(spark, n_iv=40)
+    other = [(100 + i, s, e) for i, s, e in ivs[:20]]
+    o_df = spark.createDataFrame(
+        other, "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(iv_df, o_df, 3600).collect()
+    }
+    exp = {
+        (i, j)
+        for i, s, e in ivs
+        for j, s2, e2 in other
+        if s <= e2 and s2 <= e
+    }
+    assert got == exp and len(exp) > 20
