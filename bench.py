@@ -197,6 +197,29 @@ for name in {names!r}:
         n = df.agg(
             F.count(F.lit(1)).alias("n"), F.sum("shard").alias("s")
         ).first()["n"]
+    elif name.startswith("__ivjoin"):
+        # interval-overlap self-join throughput: N synthetic sessions
+        # (5-65 min, spread over ~90 days), hour buckets, first-
+        # shared-bucket rule; count forces the full pair stream
+        n_iv = int(name.split(":")[1])
+        import pyspark.sql.functions as F
+        from cadastre_pg_spark.operators.intervals import interval_overlap_join
+        base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+        t0 = F.timestamp_micros(
+            F.unix_micros(base)
+            + (F.col("id") * 7919) % (90 * 86400) * 1000000
+        )
+        ivs = spark.range(0, n_iv, 1, 64).select(
+            F.col("id").alias("interval_id"),
+            t0.alias("start_ts"),
+            F.timestamp_micros(
+                F.unix_micros(t0) + (300 + (F.col("id") * 131) % 3600) * 1000000
+            ).alias("end_ts"),
+        )
+        t0s = time.time()
+        df = interval_overlap_join(ivs, bucket_seconds=3600)
+        n = df.count()
+        t0 = t0s
     elif name.startswith("__scale"):
         # "__scale:N" broadcast path | "__scale_shuffle:N" forced
         # shuffle strategy + hot-cell salting (the >300k-parcel regime)
@@ -302,6 +325,13 @@ def main():
     sd_sec = sd["times"][sd_job]
     sd_rows = sd["rows"][sd_job]
 
+    # interval-overlap join throughput (dedup-free bucketed self-join)
+    iv_n = int(os.environ.get("SPARK_GRAFT_IVJOIN_N", "1000000"))
+    iv_job = f"__ivjoin:{iv_n}"
+    iv = run_child(CPUS, [iv_job], SF_DIR)
+    iv_sec = iv["times"][iv_job]
+    iv_rows = iv["rows"][iv_job]
+
     # corpus packing throughput (tokenize + hash-route + window cumsum)
     pk_n = int(os.environ.get("SPARK_GRAFT_PACK_N", "5000000"))
     pk_job = f"__pack:{pk_n}"
@@ -349,6 +379,13 @@ def main():
                     "sec": sd_sec,
                     "docs_per_sec": round(sd_n / sd_sec, 1) if sd_sec else None,
                     "state": "16KiB Bloom/bucket x 32 buckets",
+                },
+                "interval_overlap": {
+                    "intervals": iv_n,
+                    "pairs": iv_rows,
+                    "sec": iv_sec,
+                    "pairs_per_sec": round(iv_rows / iv_sec, 1) if iv_sec else None,
+                    "bucket": "3600s, first-shared-bucket rule",
                 },
                 "corpus_pack": {
                     "docs": pk_n,

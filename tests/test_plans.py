@@ -162,3 +162,18 @@ def test_contamination_broadcasts_the_eval_side(spark):
     must be a broadcast, never a sort-merge over the train set."""
     df = E.queries()["contamination"](spark, SF_UNIT)
     assert audit(df)["broadcast_join"]
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """A naive range-predicate join can only be a
+    BroadcastNestedLoopJoin; the bucketed formulation must plan as a
+    hash equi-join on the bucket key with the range as residual."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    for name in ("event_concurrency", "session_overlap"):
+        df = E.queries()[name](spark, SF_UNIT)
+        s = explain_string(df, "formatted")
+        assert "NestedLoop" not in s, name
+        assert ("BroadcastHashJoin" in s) or ("SortMergeJoin" in s) or (
+            "ShuffledHashJoin" in s
+        ), name
