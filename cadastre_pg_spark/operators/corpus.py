@@ -51,12 +51,13 @@ def _hash32(col, salt: str, hash_fn: str) -> F.Column:
     return shingle_hash32(F.concat(F.lit(salt), col.cast("string")), hash_fn)
 
 
-def doc_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens) — whitespace token count, JVM split (same
-    expression as textanalysis.token_count, kept inline so packing is
-    self-contained over any (doc_id, text) table)."""
+def doc_tokens(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """(doc_id, *keep, n_tokens) — whitespace token count, JVM split
+    (same expression as textanalysis.token_count, kept inline so
+    packing is self-contained over any (doc_id, text) table)."""
     return docs.select(
         "doc_id",
+        *keep,
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
 
@@ -66,6 +67,7 @@ def pack_tokens(
     capacity: int = 2048,
     n_writers: int = 8,
     hash_fn: str = "xxhash64",
+    keep: tuple = (),
 ) -> DataFrame:
     """Concat-and-chunk token packing: route docs to `n_writers`
     independent writers by hash, concatenate each writer's docs in
@@ -79,7 +81,7 @@ def pack_tokens(
     """
     if capacity <= 0 or n_writers <= 0:
         raise ValueError("capacity and n_writers must be positive")
-    tok = doc_tokens(docs).withColumn(
+    tok = doc_tokens(docs, keep).withColumn(
         "writer", F.pmod(_hash32(F.col("doc_id"), "w:", hash_fn), F.lit(n_writers))
     )
     w = (
@@ -88,7 +90,7 @@ def pack_tokens(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
-    tok = tok.select("doc_id", "writer", "n_tokens", start)
+    tok = tok.select("doc_id", *keep, "writer", "n_tokens", start)
     shard = F.floor(F.col("start") / F.lit(capacity))
     return tok.select(
         "doc_id",
@@ -100,6 +102,7 @@ def pack_tokens(
         (F.col("start") + F.col("n_tokens") - F.lit(1) >= (shard + 1) * F.lit(capacity))
         .cast("int")
         .alias("spans_boundary"),
+        *keep,
     )
 
 
@@ -248,4 +251,32 @@ def contamination(
             .otherwise(F.lit(0.0))
             .alias("contamination"),
         )
+    )
+
+
+def write_packed(
+    docs: DataFrame,
+    path: str,
+    capacity: int = 2048,
+    n_writers: int = 8,
+    hash_fn: str = "xxhash64",
+    mode: str = "error",
+) -> None:
+    """Materialize packed training shards: parquet partitioned by
+    (writer, shard), rows ordered by doc_id within each shard file —
+    the trainer reads shard dirs sequentially and concatenates texts.
+
+    The text rides THROUGH the packing window's writer exchange
+    (keep=('text',)) — one shuffle total; joining the narrow
+    assignment back to the text table would shuffle the text a second
+    time. Each (writer, shard) lands in exactly one task (the window
+    already hash-partitioned by writer), so sortWithinPartitions +
+    partitionBy yields one ordered file per shard with no extra
+    exchange."""
+    packed = pack_tokens(docs, capacity, n_writers, hash_fn, keep=("text",))
+    (
+        packed.sortWithinPartitions("writer", "shard", "doc_id")
+        .write.partitionBy("writer", "shard")
+        .mode(mode)
+        .parquet(path)
     )

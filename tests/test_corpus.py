@@ -127,3 +127,31 @@ def test_contamination_planted(spark):
     assert (r.n_shingles, r.n_contaminated) == (3, 1)
     assert r.contamination == round(1 / 3, 6)
     assert (out[short_eval].n_shingles, out[short_eval].contamination) == (0, 0.0)
+
+
+def test_write_packed_roundtrip(spark, corpus, tmp_path):
+    from cadastre_pg_spark.operators.corpus import write_packed
+
+    out = str(tmp_path / "shards")
+    write_packed(corpus, out, capacity=128, n_writers=4, hash_fn="md5")
+    back = spark.read.parquet(out)
+    # every doc present once with its text intact
+    assert back.count() == corpus.count()
+    orig = {r.doc_id: r.text for r in corpus.collect()}
+    assert {r.doc_id: r.text for r in back.collect()} == orig
+    # directory partitioning == the computed assignment
+    assign = {
+        r.doc_id: (r.writer, r.shard)
+        for r in pack_tokens(corpus, capacity=128, n_writers=4, hash_fn="md5").collect()
+    }
+    got = {r.doc_id: (r.writer, r.shard) for r in back.collect()}
+    assert got == assign
+    # one file per (writer, shard), rows ordered by doc_id inside it
+    import glob
+
+    files = glob.glob(f"{out}/writer=*/shard=*/*.parquet")
+    dirs = {tuple(f.split("/")[-3:-1]) for f in files}
+    assert len(files) == len(dirs) == len(set(assign.values()))
+    one = sorted(files)[0]
+    ids = [r.doc_id for r in spark.read.parquet(one).collect()]
+    assert ids == sorted(ids) and len(ids) > 0
