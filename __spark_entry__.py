@@ -813,6 +813,33 @@ def q_event_concurrency(spark, sf_dir):
     )
 
 
+TOP_TERMS_K = 20
+
+
+def q_top_terms(spark, sf_dir):
+    """Top-K tokens per language by DOCUMENT frequency (distinct per
+    doc before counting — pure integer aggregation, rank ties broken
+    by token string). The corpus-vocabulary profiling op; the
+    (lang, token) groupBy partial-aggregates map-side, so the exchange
+    carries vocabulary-sized partials, not token occurrences."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TERMS_K)
+        .select("lang", "token", "df", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def q_session_overlap(spark, sf_dir):
     """All cross-user pairs of gap-rule sessions that overlap in time,
     with the exact intersection length — the dedup-free bucketed
@@ -1010,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "event_concurrency": q_event_concurrency,
         "session_overlap": q_session_overlap,
+        "top_terms": q_top_terms,
         "incremental_neardup": q_incremental_neardup,
         "pack_tokens": q_pack_tokens,
         "stratified_sample": q_stratified_sample,
@@ -1100,6 +1128,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sidx
+        """,
+        "top_terms": f"""
+            WITH tok AS (
+              SELECT lang, unnest(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT lang, token, count(*) AS df FROM tok GROUP BY 1, 2
+            )
+            SELECT lang, token, df, rnk FROM (
+              SELECT lang, token, df,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY df DESC, token ASC) AS BIGINT) AS rnk
+              FROM c
+            ) WHERE rnk <= {TOP_TERMS_K}
         """,
         "session_overlap": """
             WITH e AS (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "quality_score",
     "lang_id",
     "repetition_scores",
+    "top_terms",
     "minhash_lsh",
     "simhash",
     "embedding_neardup",
