@@ -61,6 +61,7 @@ def interval_overlap_join(
     start: str = "start_ts",
     end: str = "end_ts",
     max_buckets_per_interval: int = 10_000,
+    max_per_bucket: int | None = None,
 ) -> DataFrame:
     """All overlapping interval pairs (closed bounds: overlap iff
     a.start <= b.end AND b.start <= a.end). b=None means self-join
@@ -71,7 +72,15 @@ def interval_overlap_join(
     so the join keeps a pair ONLY in its first shared bucket
     (bucket == greatest(a_lo, b_lo)) — an arithmetic residual instead
     of a distinct stage (the same one-exchange idea as the spatial
-    join's first-cell rule). Hot buckets ride AQE's skew split."""
+    join's first-cell rule). Hot buckets ride AQE's skew split.
+
+    The per-bucket candidate grid is |bucket_a| x |bucket_b| BEFORE
+    the residual prunes, so a mega-bucket is genuinely quadratic.
+    The first scale lever is bucket_seconds (shrink buckets to thin
+    the grid); for adversarial density, `max_per_bucket` SKIPS buckets
+    whose side population exceeds it and reports them on the result as
+    `_skipped_buckets` (bucket, side, n) — the engine's no-silent-cap
+    rule, same treatment as the LSH band caps."""
     self_join = b is None
     if self_join:
         b = a
@@ -92,6 +101,24 @@ def interval_overlap_join(
         )
 
     left, right = side(a, "a"), side(b, "b")
+    skipped = None
+    if max_per_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("bucket")
+
+        def capped(df, tag):
+            sized = df.withColumn("_n", F.count(F.lit(1)).over(wb))
+            over = (
+                sized.filter(F.col("_n") > max_per_bucket)
+                .select("bucket", F.lit(tag).alias("side"), F.col("_n").alias("n"))
+                .distinct()
+            )
+            return sized.filter(F.col("_n") <= max_per_bucket).drop("_n"), over
+
+        left, sk_a = capped(left, "a")
+        right, sk_b = capped(right, "b")
+        skipped = sk_a.unionByName(sk_b)
     cond = (
         (F.col("a_start") <= F.col("b_end"))
         & (F.col("b_start") <= F.col("a_end"))
@@ -106,7 +133,7 @@ def interval_overlap_join(
         F.unix_micros(F.col("a_start").cast("timestamp")),
         F.unix_micros(F.col("b_start").cast("timestamp")),
     )
-    return (
+    out = (
         left.join(right, "bucket")
         .filter(cond)
         .select(
@@ -119,6 +146,9 @@ def interval_overlap_join(
             overlap_us.alias("overlap_us"),
         )
     )
+    if skipped is not None:
+        out._skipped_buckets = skipped
+    return out
 
 
 def interval_point_join(

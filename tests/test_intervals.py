@@ -114,3 +114,29 @@ def test_interval_overlap_two_table(spark):
         if s <= e2 and s2 <= e
     }
     assert got == exp and len(exp) > 20
+
+
+def test_interval_overlap_mega_bucket_cap(spark):
+    from cadastre_pg_spark.operators.intervals import interval_overlap_join
+
+    # 50 intervals piled into one hour bucket + 3 in a quiet hour
+    dense = [
+        (i, T0 + timedelta(minutes=i % 10), T0 + timedelta(minutes=20 + i % 10))
+        for i in range(50)
+    ]
+    quiet = [
+        (100 + i, T0 + timedelta(hours=5, minutes=i), T0 + timedelta(hours=5, minutes=i + 5))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        dense + quiet, "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    out = interval_overlap_join(df, bucket_seconds=3600, max_per_bucket=10)
+    pairs = {(r.a_id, r.b_id) for r in out.collect()}
+    # dense bucket skipped entirely; quiet bucket pairs survive
+    assert pairs == {(100, 101), (101, 102), (100, 102)}
+    sk = {(r.side, r.n) for r in out._skipped_buckets.collect()}
+    assert sk == {("a", 50), ("b", 50)}
+    # uncapped finds the dense pairs too
+    full = interval_overlap_join(df, bucket_seconds=3600)
+    assert len({(r.a_id, r.b_id) for r in full.collect()}) > 1000
