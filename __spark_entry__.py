@@ -983,6 +983,30 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Cross-document segment dedup (C4/CCNet boilerplate rule) over
+    5-token windows (the synthetic corpus has no newline structure);
+    md5 hash mode so the DuckDB twin replays the hash exactly."""
+    return D.line_dedup(
+        _docs(spark, sf_dir),
+        min_docs=2,
+        segmenter="tokens",
+        seg_tokens=5,
+        hash_fn="md5",
+    )
+
+
+def q_quantize_int8(spark, sf_dir):
+    """Scalar int8 embedding quantization; codes dropped from the
+    driver output (array column) — the integer integrity scalars
+    (sum / position-weighted sum / extrema) pin every element, and
+    scale / max_abs_err replay as plain IEEE arithmetic in SQL."""
+    from cadastre_pg_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_int8(emb).drop("codes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_cell_join": q_flagship,
@@ -1043,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "group_sample": q_group_sample,
         "contamination": q_contamination,
+        "line_dedup": q_line_dedup,
+        "quantize_int8": q_quantize_int8,
     }
 
 
@@ -1268,6 +1294,45 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY 1, 2
         """,
         "contamination": _contamination_sql_oracle(n=5, eval_mod=20),
+        "line_dedup": _line_dedup_sql_oracle(seg_tokens=5, min_docs=2),
+        "quantize_int8": r"""
+            WITH s AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS xs
+              FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, xs,
+                     list_max(list_transform(xs, x -> abs(x))) / 127.0
+                       AS scale
+              FROM s
+            ),
+            c AS (
+              SELECT vec_id, xs, scale,
+                     CASE WHEN scale = 0 THEN
+                       list_transform(xs, x -> CAST(0 AS BIGINT))
+                     ELSE
+                       list_transform(xs,
+                         x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                     END AS codes
+              FROM sc
+            )
+            SELECT vec_id, scale,
+                   CAST(len(codes) AS INT) AS n_dims,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   CAST(list_sum(list_transform(
+                          generate_series(1, len(codes)),
+                          i -> codes[i] * i)) AS BIGINT) AS code_ord_sum,
+                   CAST(list_max(codes) AS INT) AS max_code,
+                   CAST(list_min(codes) AS INT) AS min_code,
+                   CASE WHEN scale = 0 THEN 0.0 ELSE
+                     list_max(list_transform(
+                       generate_series(1, len(codes)),
+                       i -> abs(xs[i] - codes[i] * scale)))
+                   END AS max_abs_err
+            FROM c
+        """,
         "config_route": r"""
             WITH f AS (
               SELECT doc_id,
@@ -1521,6 +1586,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+def _line_dedup_sql_oracle(seg_tokens: int, min_docs: int) -> str:
+    """Independent replay of dedup.line_dedup (tokens segmenter, md5
+    mode): token windows via lateral series, 32-bit md5-prefix line
+    hash, distinct-doc census, left-join drop, ordered reassembly."""
+    ld = seg_tokens
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(arr[(i*{ld})+1:((i+1)*{ld})], ' ') AS line
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(0,
+                          GREATEST(CAST(ceil(len(arr) / {ld}.0) AS BIGINT),
+                                   1) - 1)) AS i) u
+        ),
+        hashed AS (
+          SELECT doc_id, pos, line,
+                 {_hex32_sql("md5(line)")} AS lh
+          FROM segs
+        ),
+        dup AS (
+          SELECT lh FROM hashed WHERE trim(line) <> ''
+          GROUP BY lh HAVING count(DISTINCT doc_id) >= {min_docs}
+        )
+        SELECT h.doc_id,
+               coalesce(array_to_string(
+                 list(h.line ORDER BY h.pos ASC)
+                   FILTER (WHERE d.lh IS NULL), ' '), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE d.lh IS NULL) AS BIGINT)
+                 AS n_kept,
+               CAST(count(*) FILTER (WHERE d.lh IS NOT NULL) AS BIGINT)
+                 AS n_dropped
+        FROM hashed h LEFT JOIN dup d USING (lh)
+        GROUP BY h.doc_id
+    """
 
 
 EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md), all SFs

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "group_sample",
     "contamination",
+    "line_dedup",
+    "quantize_int8",
 ]
 
 _CHILD = r"""

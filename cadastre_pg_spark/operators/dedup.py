@@ -689,3 +689,98 @@ def embedding_neardup_pairs(
     out._skipped_buckets = skipped
     out._cadastre_cached = [sig]
     return out
+
+
+def line_hash(col, hash_fn: str = "xxhash64"):
+    """Full-width line-identity hash. Unlike shingle_hash32 (32-bit,
+    enough for band bucketing) line identity is semantic — a collision
+    deletes a real line — so xxhash64 keeps all 64 bits (~1e-8 expected
+    collisions per 10^9 distinct lines). md5 mode is the 32-bit prefix
+    the DuckDB oracle can replay; use it only for oracle runs."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def segment_lines(
+    docs: DataFrame,
+    segmenter: str = "newline",
+    seg_tokens: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, line): split each document into ordered segments.
+
+    'newline' splits on \\n (the C4/CCNet line unit). 'tokens' chunks
+    the whitespace token stream into non-overlapping seg_tokens-word
+    windows — the segment unit for corpora without line structure
+    (non-overlapping slices of the same JVM token array `shingles`
+    windows over). Both are pure Catalyst: split/transform/posexplode,
+    no Python."""
+    if segmenter == "newline":
+        arr = F.split(F.col(text_col), "\n")
+    elif segmenter == "tokens":
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n = F.greatest(
+            F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"), F.lit(1)
+        )
+        arr = F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+        )
+    else:
+        raise ValueError(f"unknown segmenter {segmenter!r}")
+    return docs.select("doc_id", F.posexplode(arr).alias("pos", "line"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    segmenter: str = "newline",
+    seg_tokens: int = 5,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line dedup (the C4/CCNet boilerplate rule): a
+    segment occurring in >= min_docs DISTINCT documents is removed from
+    EVERY document; survivors are reassembled in original order.
+    Returns (doc_id, clean_text, n_kept, n_dropped) — one row per input
+    document (clean_text is '' when every segment was boilerplate).
+
+    Rules: duplicate occurrences WITHIN one document do not count
+    toward min_docs (count_distinct doc_id); whitespace-only segments
+    are never counted or dropped (they would otherwise all collide).
+
+    Scale shape (100 TB): the global duplicate census groups on the
+    8-byte line hash with map-side partials — full text never enters an
+    exchange KEY. The dup set (only hashes of lines duplicated across
+    docs) is orders of magnitude smaller than the corpus; AQE
+    broadcasts it into the left join when it fits, else the join
+    shuffles on the same 8-byte key. One final exchange on doc_id
+    reassembles — the only stage where text rides a shuffle, as
+    payload, once. No Python anywhere.
+    """
+    sep = "\n" if segmenter == "newline" else " "
+    segs = segment_lines(docs, segmenter, seg_tokens, text_col).withColumn(
+        "lh", line_hash(F.col("line"), hash_fn)
+    )
+    dup = (
+        segs.where(F.trim(F.col("line")) != "")
+        .groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= F.lit(min_docs))
+        .select("lh", F.lit(True).alias("_dup"))
+    )
+    flagged = segs.join(dup, "lh", "left")
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("_dup").isNull(), 1)).alias("n_kept"),
+        F.count(F.col("_dup")).alias("n_dropped"),
+    )

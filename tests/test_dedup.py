@@ -256,3 +256,83 @@ def test_incremental_neardup_never_pairs_store_with_itself(spark):
     pairs = {(r.doc_a, r.doc_b) for r in inc.collect()}
     assert pairs == {(1, 10), (2, 10)}  # never (1, 2)
     assert {r.doc_id for r in inc._new_store_rows.select("doc_id").collect()} == {10, 11}
+
+
+def _line_docs(spark):
+    # doc 0/1 share "the same boilerplate"; doc 1 repeats a private
+    # line twice (must NOT count as cross-doc); doc 2 is pure
+    # boilerplate; doc 3 has blank lines around unique content.
+    rows = [
+        (0, "the same boilerplate\nalpha unique zero"),
+        (1, "private line\nprivate line\nthe same boilerplate"),
+        (2, "the same boilerplate"),
+        (3, "\nbravo unique three\n"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_newline_rules(spark):
+    out = {
+        r["doc_id"]: r
+        for r in D.line_dedup(_line_docs(spark), min_docs=2).collect()
+    }
+    # shared line dropped from EVERY doc, including the survivor set
+    assert out[0]["clean_text"] == "alpha unique zero"
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (1, 1)
+    # within-doc repetition alone never reaches min_docs=2
+    assert out[1]["clean_text"] == "private line\nprivate line"
+    assert out[1]["n_dropped"] == 1
+    # a doc that was pure boilerplate still gets a row, emptied
+    assert out[2]["clean_text"] == ""
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (0, 1)
+    # blank lines are never dup-counted or dropped (order preserved)
+    assert out[3]["clean_text"] == "\nbravo unique three\n"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_line_dedup_hash_modes_agree(spark):
+    docs = _line_docs(spark)
+    a = sorted(D.line_dedup(docs, hash_fn="xxhash64").collect())
+    b = sorted(D.line_dedup(docs, hash_fn="md5").collect())
+    assert a == b
+
+
+def test_line_dedup_token_segmenter(spark):
+    # 2-token windows: "a b|c d|e" — "a b" and "c d" shared by both
+    # docs, tails differ; reassembly joins with single spaces.
+    rows = [(0, "a b c d e"), (1, "a b c d zz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.line_dedup(
+            docs, min_docs=2, segmenter="tokens", seg_tokens=2
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "e"
+    assert out[1]["clean_text"] == "zz"
+    assert out[0]["n_dropped"] == out[1]["n_dropped"] == 2
+
+
+def test_line_dedup_threshold_three_docs(spark):
+    rows = [(i, "common to all\nonly %d" % i) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.line_dedup(docs, min_docs=4).collect()
+    assert all(r["n_dropped"] == 0 for r in out)  # below threshold
+    out2 = D.line_dedup(docs, min_docs=3).collect()
+    assert all(r["n_dropped"] == 1 for r in out2)
+
+
+def test_line_dedup_exchange_key_is_hash_not_text(spark):
+    """Both hash exchanges (dup census + anti join) must partition on
+    the 8-byte lh, never the line text (dedup.line_dedup scale rule)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    plan = explain_string(D.line_dedup(_line_docs(spark)), mode="simple")
+    seen = 0
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            seen += 1
+            key = ln.split("Exchange hashpartitioning(", 1)[1]
+            key = key.split(")", 1)[0]  # partition key expr list only
+            assert "line#" not in key and "text#" not in key, ln
+    assert seen >= 2

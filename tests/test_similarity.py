@@ -72,3 +72,46 @@ def test_label_centroids_match_numpy(spark):
             # decimal-summed mean vs float64 mean: agree well inside 6dp
             assert abs(c - m[pos]) < 1e-6, (label, pos, c, m[pos])
     assert len(got) == len(by_label) * 64
+
+
+def test_quantize_int8_roundtrip_and_edges(spark):
+    import numpy as np
+
+    from cadastre_pg_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 127.0]),   # max_abs 127 -> scale 1.0
+        (1, [0.0, 0.0, 0.0, 0.0]),      # zero vector edge
+        (2, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+
+    r0 = out[0]
+    assert r0["scale"] == 1.0
+    assert list(r0["codes"]) == [1, -2, 1, 127]  # 0.5 -> floor(1.0)=1
+    assert r0["max_code"] == 127 and r0["min_code"] == -2
+    assert r0["code_sum"] == 127 and r0["code_ord_sum"] == 1 - 4 + 3 + 508
+    assert r0["max_abs_err"] <= 0.5
+
+    r1 = out[1]
+    assert r1["scale"] == 0.0
+    assert list(r1["codes"]) == [0, 0, 0, 0]
+    assert r1["max_abs_err"] == 0.0
+
+    # dequantized reconstruction within half a step everywhere
+    r2 = out[2]
+    x = np.array(rows[2][1], dtype=np.float32).astype(np.float64)
+    recon = np.array(r2["codes"], dtype=np.float64) * r2["scale"]
+    assert np.abs(x - recon).max() <= r2["scale"] / 2 + 1e-18
+    assert abs(r2["max_abs_err"] - np.abs(x - recon).max()) < 1e-18
+
+
+def test_quantize_int8_codes_fit_int8(spark):
+    from cadastre_pg_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+    agg = quantize_int8(emb).agg(
+        F.max("max_code").alias("mx"), F.min("min_code").alias("mn")
+    ).first()
+    assert -127 <= agg["mn"] and agg["mx"] <= 127
