@@ -996,6 +996,33 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["data", "join", "window"]
+
+# mixture recipe: en/fr/de shares of an 8k-token budget; de's target
+# exceeds its measured tokens at sf0.01 so the rate-cap rung (keep
+# everything) is exercised; es/zh carry no weight and are dropped.
+MIX_WEIGHTS = {"en": 0.4, "fr": 0.1, "de": 0.5}
+MIX_BUDGET = 8000
+
+
+def q_budget_mixture(spark, sf_dir):
+    """Data-recipe mixture sampling: per-lang keep-rates derived from
+    MEASURED token counts fully in-plan (group aggregate broadcast
+    back onto the scan; no collect), integer ppm threshold compare."""
+    from cadastre_pg_spark.operators.corpus import budget_mixture
+
+    return budget_mixture(
+        _docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET, hash_fn="md5"
+    )
+
+
+def q_bm25_score(spark, sf_dir):
+    """BM25 relevance of every document to a literal term set — one
+    map pass + a broadcast single-row stats join; ln() sits behind the
+    engine's 6-dp rounding grid (float policy above)."""
+    return TA.bm25_score(_docs(spark, sf_dir), BM25_TERMS)
+
+
 def q_quantize_int8(spark, sf_dir):
     """Scalar int8 embedding quantization; codes dropped from the
     driver output (array column) — the integer integrity scalars
@@ -1069,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "line_dedup": q_line_dedup,
         "quantize_int8": q_quantize_int8,
+        "bm25_score": q_bm25_score,
+        "budget_mixture": q_budget_mixture,
     }
 
 
@@ -1295,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination": _contamination_sql_oracle(n=5, eval_mod=20),
         "line_dedup": _line_dedup_sql_oracle(seg_tokens=5, min_docs=2),
+        "bm25_score": TA.bm25_score_sql(BM25_TERMS),
+        "budget_mixture": _budget_mixture_sql_oracle(MIX_WEIGHTS, MIX_BUDGET),
         "quantize_int8": r"""
             WITH s AS (
               SELECT vec_id,
@@ -1586,6 +1617,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+def _budget_mixture_sql_oracle(weights: dict, budget: int) -> str:
+    """Independent replay of corpus.budget_mixture (md5 mode): token
+    census per group, in-plan rate derivation, ppm threshold filter —
+    identical double op order (budget*w / t_grp * 1e6, floor, cap)."""
+    wcase = " ".join(
+        f"WHEN '{g}' THEN CAST('{float(r)!r}' AS DOUBLE)"
+        for g, r in sorted(weights.items())
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, lang AS grp,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        st AS (
+          SELECT grp, CAST(sum(n_tokens) AS DOUBLE) AS t_grp
+          FROM toks GROUP BY grp
+        )
+        SELECT doc_id, grp AS stratum, n_tokens, u FROM (
+          SELECT t.doc_id, t.grp, t.n_tokens,
+                 {_hex32_sql("md5('m:' || CAST(t.doc_id AS VARCHAR))")}
+                   % 1000000 AS u,
+                 LEAST(CAST(floor(CAST('{float(budget)!r}' AS DOUBLE)
+                         * (CASE t.grp {wcase}
+                            ELSE CAST('0.0' AS DOUBLE) END)
+                         / s.t_grp
+                         * CAST('1000000.0' AS DOUBLE)) AS BIGINT),
+                       1000000) AS th
+          FROM toks t JOIN st s USING (grp)
+        ) WHERE u < th
+    """
 
 
 def _line_dedup_sql_oracle(seg_tokens: int, min_docs: int) -> str:

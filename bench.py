@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "contamination",
     "line_dedup",
     "quantize_int8",
+    "bm25_score",
+    "budget_mixture",
 ]
 
 _CHILD = r"""

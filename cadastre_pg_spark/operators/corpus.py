@@ -280,3 +280,60 @@ def write_packed(
         .mode(mode)
         .parquet(path)
     )
+
+
+def budget_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "lang",
+    salt: str = "m:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sample the corpus to a target MIXTURE: `weights` gives each
+    group's share of a `token_budget`-token training recipe (the
+    per-source/per-language mixing step of an LLM data recipe;
+    temperature mixing = pass weights ∝ measured_tokens**alpha).
+
+    Unlike stratified_sample (caller supplies rates), the per-group
+    keep-rate is DERIVED from measured token counts — the engine's
+    statistics-first rule, but fully in-plan: a per-group aggregate
+    (map-side partials, group-count-sized exchange) broadcasts back
+    onto the scan and the filter compares integers:
+
+        thr_g = floor(budget * w_g / measured_tokens_g * 1e6)
+        keep  iff  hash(doc_id) mod 1e6 < min(thr_g, 1e6)
+
+    No driver collect, no second scan of the corpus (token counts ride
+    the same projection), deterministic across engines: budget / w_g /
+    T_g are exact integers-or-literals, so the double arithmetic and
+    floor replay bit-identically in the DuckDB twin. Groups without a
+    weight get rate 0 (dropped). A group whose measured tokens fall
+    short of its target keeps everything (rate capped at 1).
+
+    Returns surviving (doc_id, group, n_tokens, u) rows.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    stats = toks.groupBy("grp").agg(
+        F.sum(F.col("n_tokens").cast("decimal(28,0)")).cast("double").alias("t_grp")
+    )
+    w = F.lit(0.0)
+    for g, r in sorted(weights.items()):
+        w = F.when(F.col("grp") == g, F.lit(float(r))).otherwise(w)
+    thr = F.least(
+        F.floor(
+            F.lit(float(token_budget)) * w / F.col("t_grp") * F.lit(float(MILLION))
+        ),
+        F.lit(MILLION).cast("long"),
+    )
+    u = F.pmod(_hash32(F.col("doc_id"), salt, hash_fn), F.lit(MILLION))
+    return (
+        toks.join(F.broadcast(stats), "grp")
+        .withColumn("u", u)
+        .filter(F.col("u") < thr)
+        .select("doc_id", F.col("grp").alias("stratum"), "n_tokens", "u")
+    )

@@ -194,3 +194,118 @@ def repetition_scores_sql(table: str = "documents", max_n: int = 3) -> str:
         sg AS (SELECT doc_id, {", ".join(inner)} FROM tok)
         SELECT doc_id, {", ".join(outer)} FROM sg
     """
+
+
+def bm25_score(
+    docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 relevance of every document to a literal term set — the
+    retrieval scorer a corpus-search / data-curation pass runs at full
+    scale (e.g. "find docs about X" over 100 TB).
+
+    Shape: ONE map-side pass computes per-term tf (replace-length
+    trick, dialect-free) and doc length; ONE single-row aggregate
+    yields N / Σdl / per-term df; the row broadcasts back (1-row
+    nested-loop join — no shuffle of the corpus). Scoring is pure
+    whole-stage-codegen arithmetic. ln() differs from DuckDB by ~1 ulp
+    so the score is rounded to 6 dp on both sides (engine float
+    policy, __spark_entry__ docstring).
+
+    Returns (doc_id, n_tokens, bm25).
+    """
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    dl = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    tf_cols = [
+        occurrences(padded, f" {t} ").alias(f"tf_{i}") for i, t in enumerate(terms)
+    ]
+    base = docs.select("doc_id", dl.alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(28,0)")).cast("double").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        dfc = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+        )
+        parts.append(
+            F.when(tf > 0, idf * tf * F.lit(k1 + 1.0) / denom).otherwise(F.lit(0.0))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return j.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        F.round(score, 6).alias("bm25"),
+    )
+
+
+def bm25_score_sql(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, table: str = "documents"
+) -> str:
+    """DuckDB twin of bm25_score — identical op order, constants CAST
+    to DOUBLE (engine invariant), ln behind the shared 6-dp round."""
+    k1s = f"CAST('{k1!r}' AS DOUBLE)"
+    bs = f"CAST('{b!r}' AS DOUBLE)"
+    k11 = f"CAST('{k1 + 1.0!r}' AS DOUBLE)"
+    half = "CAST('0.5' AS DOUBLE)"
+    one = "CAST('1.0' AS DOUBLE)"
+    tf_exprs = ",\n                 ".join(
+        f"{occurrences_sql('p', ' ' + t + ' ')} AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = []
+    for i in range(len(terms)):
+        idf = f"ln({one} + (n_docs - df_{i} + {half}) / (df_{i} + {half}))"
+        denom = (
+            f"(tf_{i} + {k1s} * ({one} - {bs} + {bs} *"
+            f" CAST(dl AS DOUBLE) / (sum_dl / n_docs)))"
+        )
+        parts.append(
+            f"(CASE WHEN tf_{i} > 0 THEN {idf} * tf_{i} * {k11} / {denom}"
+            f" ELSE CAST('0.0' AS DOUBLE) END)"
+        )
+    score = " + ".join(parts)
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 ' ' || text || ' ' AS p,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS dl
+          FROM {table}
+        ),
+        tf AS (
+          SELECT doc_id, dl,
+                 {tf_exprs}
+          FROM d
+        ),
+        st AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                 {df_exprs}
+          FROM tf
+        )
+        SELECT doc_id, dl AS n_tokens,
+               round({score}, 6) AS bm25
+        FROM tf, st
+    """

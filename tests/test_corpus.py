@@ -155,3 +155,54 @@ def test_write_packed_roundtrip(spark, corpus, tmp_path):
     one = sorted(files)[0]
     ids = [r.doc_id for r in spark.read.parquet(one).collect()]
     assert ids == sorted(ids) and len(ids) > 0
+
+
+def test_budget_mixture_rates_and_cap(spark):
+    from cadastre_pg_spark.operators.corpus import MILLION, budget_mixture
+
+    # en: 4 docs x 4 tokens = 16 tokens; de: 2 docs x 4 = 8 tokens
+    rows = [(i, "a b c d", "en") for i in range(4)] + [
+        (10 + i, "w x y z", "de") for i in range(2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # budget 8, en weight 0.5 -> 4 tokens of 16 -> rate 0.25;
+    # de weight 0.5 -> 4 of 8 -> rate 0.5
+    out = budget_mixture(docs, {"en": 0.5, "de": 0.5}, 8)
+    for r in out.collect():
+        exp = 250_000 if r["stratum"] == "en" else 500_000
+        assert r["u"] < exp
+    # the threshold rule is exact: recompute survivors independently
+    from cadastre_pg_spark.operators.corpus import _hash32
+
+    us = {
+        r["doc_id"]: r["u"]
+        for r in docs.select(
+            "doc_id", F.pmod(_hash32(F.col("doc_id"), "m:", "xxhash64"), F.lit(MILLION)).alias("u")
+        ).collect()
+    }
+    want = {
+        d
+        for d, u in us.items()
+        if u < (250_000 if d < 10 else 500_000)
+    }
+    assert {r["doc_id"] for r in out.collect()} == want
+
+    # a group whose target exceeds its tokens keeps EVERYTHING
+    out2 = budget_mixture(docs, {"de": 1.0}, 1000)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [10, 11]
+    # zero-weight groups are dropped entirely
+    assert out2.filter(F.col("stratum") == "en").count() == 0
+
+
+def test_budget_mixture_is_broadcast_no_collect(spark):
+    """Stats derivation must stay in-plan: the group census joins back
+    via broadcast; corpus rows shuffle only for the tiny stats agg."""
+    from cadastre_pg_spark.operators.corpus import budget_mixture
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "c d", "de")], "doc_id long, text string, lang string"
+    )
+    plan = explain_string(budget_mixture(docs, {"en": 1.0}, 10), mode="simple")
+    assert "BroadcastHashJoin" in plan

@@ -94,3 +94,60 @@ def test_repetition_scores_planted(spark):
     assert got[2] == (0.0, 0.0, 0.0)
     assert got[3] == (round(1 - 2 / 5, 6), 0.5, round(1 - 2 / 3, 6))
     assert got[4] == (0.0, 0.0, 0.0)
+
+
+def test_bm25_matches_reference_formula(spark):
+    """bm25_score vs an independent pure-Python BM25 on a hand corpus
+    (tf counted the same whole-token way)."""
+    import math
+
+    from cadastre_pg_spark.operators.textanalysis import bm25_score
+
+    # NB: no immediately-adjacent repeated terms — the replace-length
+    # tf counts non-overlapping " t " matches, so "data data" counts
+    # once (SQL twin identical, parity unaffected; documented limit).
+    corpus = {
+        0: "data join data filter",
+        1: "window scan sort",
+        2: "data window data scan join big join",
+        3: "alpha beta gamma",
+    }
+    terms, k1, b = ["data", "join"], 1.2, 0.75
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_score(docs, terms, k1, b).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    for d, t in toks.items():
+        want = 0.0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            want += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(t) / avgdl)
+            )
+        assert abs(got[d] - round(want, 6)) < 2e-6, (d, got[d], want)
+    assert got[3] == 0.0
+
+
+def test_bm25_is_one_broadcast_no_corpus_shuffle(spark):
+    """The stats row must broadcast back; the corpus side may not be
+    exchanged (map pass + 1-row join only)."""
+    from cadastre_pg_spark.operators.textanalysis import bm25_score
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    docs = spark.createDataFrame(
+        [(0, "data join"), (1, "scan")], "doc_id long, text string"
+    )
+    plan = explain_string(bm25_score(docs, ["data"]), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # only the single-row stats aggregate may exchange (SinglePartition)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            raise AssertionError(f"unexpected corpus shuffle: {ln}")
