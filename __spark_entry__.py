@@ -1023,6 +1023,26 @@ def q_bm25_score(spark, sf_dir):
     return TA.bm25_score(_docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode with the deterministic sampled
+    codebook (md5-order members) — one row per (vec, subspace)."""
+    from cadastre_pg_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, m=8, k_codes=16)
+
+
+def q_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (the IVF-PQ search half): queries stay
+    exact, corpus vectors are m sub-codes; LUT + code indexing replays
+    exactly in SQL (fixed j-order summation on both sides)."""
+    from cadastre_pg_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(emb, queries_df, k=5, m=8, k_codes=16)
+
+
 def q_quantize_int8(spark, sf_dir):
     """Scalar int8 embedding quantization; codes dropped from the
     driver output (array column) — the integer integrity scalars
@@ -1098,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": q_quantize_int8,
         "bm25_score": q_bm25_score,
         "budget_mixture": q_budget_mixture,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -1326,6 +1348,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql_oracle(seg_tokens=5, min_docs=2),
         "bm25_score": TA.bm25_score_sql(BM25_TERMS),
         "budget_mixture": _budget_mixture_sql_oracle(MIX_WEIGHTS, MIX_BUDGET),
+        "pq_encode": _pq_encode_sql_oracle(m=8, k_codes=16),
+        "pq_topk": _pq_topk_sql_oracle(k=5, m=8, k_codes=16),
         "quantize_int8": r"""
             WITH s AS (
               SELECT vec_id,
@@ -1617,6 +1641,92 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
     }
+
+
+def _pq_topk_sql_oracle(
+    k: int, m: int, k_codes: int, dim: int = 64, qmod: int = 50
+) -> str:
+    """Replay of similarity.pq_topk: same sampled codebook and rounded
+    per-subspace distances as the pq_encode oracle; each query's LUT
+    is materialized code-major (the NumPy reshape layout) and the ADC
+    sum is an EXPLICIT left-associated j=0..m-1 chain, matching the
+    operator's fixed-order summation bit for bit."""
+    sd = dim // m
+    sq = (
+        f"round(list_sum([ (t.v[j.j*{sd}+i+1]-cb.c[j.j*{sd}+i+1])"
+        f"*(t.v[j.j*{sd}+i+1]-cb.c[j.j*{sd}+i+1])"
+        f" for i in range(0, {sd}) ]), 6)"
+    )
+    adc = " + ".join(f"l.lut[n.codes[{j + 1}] * {m} + {j + 1}]" for j in range(m))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cb AS (
+          SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1
+                      AS INT) AS code, c
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v AS c
+                FROM e ORDER BY 1, 2 LIMIT {k_codes})
+        ),
+        sub AS (
+          SELECT t.vec_id, j.j, cb.code, {sq} AS d
+          FROM e t
+          CROSS JOIN cb
+          CROSS JOIN (SELECT unnest(generate_series(0, {m} - 1)) AS j) j
+        ),
+        ncodes AS (
+          SELECT vec_id AS neighbor_id, list(code ORDER BY j ASC) AS codes
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                    ORDER BY d ASC, code ASC) AS rn FROM sub)
+          WHERE rn = 1 GROUP BY vec_id
+        ),
+        qlut AS (
+          SELECT vec_id AS query_id, list(d ORDER BY code ASC, j ASC) AS lut
+          FROM sub WHERE vec_id % {qmod} = 0 GROUP BY vec_id
+        ),
+        scored AS (
+          SELECT l.query_id, n.neighbor_id, {adc} AS adc
+          FROM qlut l CROSS JOIN ncodes n
+          WHERE n.neighbor_id <> l.query_id
+        )
+        SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _pq_encode_sql_oracle(m: int, k_codes: int, dim: int = 64) -> str:
+    """Replay of similarity.pq_encode: md5-order sampled codebook,
+    per-subspace rounded squared-L2 argmin with ties to the lowest
+    code (row_number d ASC, code ASC — the NumPy first-min rule)."""
+    sd = dim // m
+    sq = (
+        f"round(list_sum([ (t.v[j.j*{sd}+i+1]-cb.c[j.j*{sd}+i+1])"
+        f"*(t.v[j.j*{sd}+i+1]-cb.c[j.j*{sd}+i+1])"
+        f" for i in range(0, {sd}) ]), 6)"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cb AS (
+          SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1
+                      AS INT) AS code, c
+          FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v AS c
+                FROM e ORDER BY 1, 2 LIMIT {k_codes})
+        ),
+        sub AS (
+          SELECT t.vec_id, j.j, cb.code, {sq} AS d
+          FROM e t
+          CROSS JOIN cb
+          CROSS JOIN (SELECT unnest(generate_series(0, {m} - 1)) AS j) j
+        )
+        SELECT vec_id, CAST(j AS INT) AS subspace, code, d AS sq_err
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                  ORDER BY d ASC, code ASC) AS rn FROM sub)
+        WHERE rn = 1
+    """
 
 
 def _budget_mixture_sql_oracle(weights: dict, budget: int) -> str:

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "quantize_int8",
     "bm25_score",
     "budget_mixture",
+    "pq_encode",
+    "pq_topk",
 ]
 
 _CHILD = r"""

@@ -480,3 +480,197 @@ def quantize_int8(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
             "max_abs_err double"
         ),
     )
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = 8, k_codes: int = 16
+) -> DataFrame:
+    """Product quantization encode — the codebook compression stage of
+    a disk-resident 100-TB ANN index (m codes/vector ≈ d*4/m-fold
+    smaller than float32; pairs with ivf_topk_sampled the way IVF-PQ
+    does in FAISS-style systems).
+
+    The per-subspace codebook is DETERMINISTICALLY SAMPLED: the
+    k_codes member vectors whose md5(vec_id) sorts first, sliced into
+    m subvectors (random member sampling is the standard k-means
+    initializer; skipping Lloyd refinement trades quantization error
+    for a bit-reproducible codebook an independent SQL engine replays
+    exactly — the same contract as ivf_topk_sampled's coarse
+    quantizer). Assignment: per subspace, nearest codebook slice by
+    squared L2 rounded to 6 dp, ties to the lowest code id.
+
+    Returns one row per (vec_id, subspace): (vec_id, subspace, code,
+    sq_err) — sq_err is that subspace's rounded quantization error;
+    Σ over subspaces = the vector's total squared error.
+
+    Scale shape: codebook is k_codes*d doubles broadcast once; encode
+    is one mapInPandas matmul pass, no shuffle.
+    """
+    sc = embeddings.sparkSession.sparkContext
+    cpdf = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("c")
+        )
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k_codes)
+        .toPandas()
+    )
+    schema = "vec_id long, subspace int, code int, sq_err double"
+    if len(cpdf) == 0:
+        return embeddings.select(
+            F.col("vec_id"),
+            F.lit(0).alias("subspace"),
+            F.lit(0).alias("code"),
+            F.lit(0.0).alias("sq_err"),
+        ).limit(0)
+    cb = np.stack(cpdf["c"].values)  # (k, d)
+    k, d = cb.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    cb_sub = cb.reshape(k, m, sd)
+    bc = sc.broadcast(cb_sub)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["arr"].values).reshape(-1, 1, m, sd)
+            dists = np.round(((v - bc.value[None, :, :, :]) ** 2).sum(axis=3), 6)
+            codes = np.argmin(dists, axis=1)  # first min -> lowest code
+            n = codes.shape[0]
+            best = dists[np.arange(n)[:, None], codes, np.arange(m)[None, :]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), m),
+                    "subspace": np.tile(
+                        np.arange(m, dtype=np.int32), n
+                    ),
+                    "code": codes.astype(np.int32).ravel(),
+                    "sq_err": best.ravel(),
+                }
+            )
+
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    ).mapInPandas(encode, schema=schema)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of an IVF-PQ index: queries stay exact, corpus vectors are
+    represented ONLY by their m sub-codes, and the distance is the sum
+    of per-subspace lookup-table entries
+
+        adc(q, v) = sum_j round(||q_j - c[code_j(v), j]||^2, 6)
+
+    (the codebook is pq_encode's deterministic md5-order sample, so
+    the whole pipeline — codebook, codes, LUT, rank — replays exactly
+    in the DuckDB oracle; approximation error vs exact cosine/L2 is a
+    pytest recall gate, same split as ann/ivf).
+
+    Scale shape: codes are built by pq_encode's shuffle-free map pass;
+    each query's m*k_codes LUT is one small matmul; the scoring join
+    ships (query_id, LUT) against (vec_id, codes) and never touches
+    raw corpus vectors — the bandwidth win that makes PQ the 100-TB
+    search layout. Top-k by ADC ascending, ties on neighbor_id.
+
+    Returns (query_id, neighbor_id, adc, rank).
+    """
+    sc = embeddings.sparkSession.sparkContext
+    cpdf = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("c")
+        )
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k_codes)
+        .toPandas()
+    )
+    out_schema = "query_id long, neighbor_id long, adc double, rank long"
+    if len(cpdf) == 0:
+        return embeddings.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("adc"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    cb = np.stack(cpdf["c"].values)
+    nk, d = cb.shape
+    sd = d // m
+    bc = sc.broadcast(cb.reshape(nk, m, sd))
+
+    codes = (
+        pq_encode(embeddings, m=m, k_codes=k_codes)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code"))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+
+    def lut_gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf["qu"].values).reshape(-1, 1, m, sd)
+            lut = np.round(((q - bc.value[None]) ** 2).sum(axis=3), 6)
+            # (n, k_codes, m) -> flat row-major [code, subspace]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "lut": list(lut.reshape(len(pdf), -1)),
+                }
+            )
+
+    luts = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qu"),
+    ).mapInPandas(lut_gen, schema="query_id long, lut array<double>")
+
+    cand = luts.crossJoin(codes).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lut = np.stack(pdf["lut"].values).reshape(-1, nk, m)
+            cds = np.stack(pdf["codes"].values)
+            n = len(pdf)
+            # fixed j=0..m-1 summation order (oracle sums in the same
+            # order via list comprehension)
+            vals = lut[np.arange(n)[:, None], cds, np.arange(m)[None, :]]
+            adc = vals[:, 0]
+            for j in range(1, m):
+                adc = adc + vals[:, j]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "adc": adc,
+                }
+            )
+
+    scored = cand.select("query_id", "lut", "neighbor_id", "codes").mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
