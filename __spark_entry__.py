@@ -1016,6 +1016,17 @@ def q_budget_mixture(spark, sf_dir):
     )
 
 
+def q_attribution(spark, sf_dir):
+    """Last-click attribution: purchases joined to same-user clicks in
+    a 24-hour window, latest click wins (ties click_id DESC). The
+    pair join also runs as a STREAM-STREAM watermarked join
+    (streaming/events.attribution_pairs_stream, equality pytest)."""
+    from cadastre_pg_spark.streaming.events import last_click_attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return last_click_attribution(ev, 1440)
+
+
 def q_bm25_score(spark, sf_dir):
     """BM25 relevance of every document to a literal term set — one
     map pass + a broadcast single-row stats join; ln() sits behind the
@@ -1120,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mixture": q_budget_mixture,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "attribution": q_attribution,
     }
 
 
@@ -1350,6 +1362,33 @@ def oracle_sql() -> dict[str, str]:
         "budget_mixture": _budget_mixture_sql_oracle(MIX_WEIGHTS, MIX_BUDGET),
         "pq_encode": _pq_encode_sql_oracle(m=8, k_codes=16),
         "pq_topk": _pq_topk_sql_oracle(k=5, m=8, k_codes=16),
+        "attribution": r"""
+            WITH clicks AS (
+              SELECT user_id, event_id AS click_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'
+            ),
+            buys AS (
+              SELECT user_id, event_id AS buy_id, ts AS buy_ts,
+                     value AS buy_value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            pairs AS (
+              SELECT b.user_id, b.buy_id, b.buy_ts, b.buy_value,
+                     c.click_id, c.click_ts
+              FROM buys b JOIN clicks c ON b.user_id = c.user_id
+                AND c.click_ts <= b.buy_ts
+                AND c.click_ts >= b.buy_ts - INTERVAL 1440 MINUTE
+            )
+            SELECT buy_id, user_id, buy_ts, buy_value, click_id,
+                   click_ts, n_candidate_clicks
+            FROM (SELECT *,
+                    row_number() OVER (PARTITION BY buy_id
+                        ORDER BY click_ts DESC, click_id DESC) AS rn,
+                    CAST(count(*) OVER (PARTITION BY buy_id) AS BIGINT)
+                      AS n_candidate_clicks
+                  FROM pairs)
+            WHERE rn = 1
+        """,
         "quantize_int8": r"""
             WITH s AS (
               SELECT vec_id,

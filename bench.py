@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "budget_mixture",
     "pq_encode",
     "pq_topk",
+    "attribution",
 ]
 
 _CHILD = r"""

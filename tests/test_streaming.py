@@ -359,3 +359,64 @@ def test_streaming_sessions_disorder_policy(spark, tmp_path):
                 assert got == {(1, 1), (2, 2), (3, 2)}
         finally:
             q.stop()
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    """Stream-stream inner join (watermarked both sides, time-range
+    state bound) must emit exactly the batch pair set."""
+    import shutil
+
+    from cadastre_pg_spark.streaming.events import (
+        attribution_pairs_batch,
+        attribution_pairs_stream,
+    )
+
+    src_dir = tmp_path / "events_ss"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_UNIT}/events.parquet", src_dir / "part-0.parquet")
+    q = attribution_pairs_stream(spark, str(src_dir), query_name="attrss")
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM attrss").collect()
+        }
+    finally:
+        q.stop()
+    events = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    exp = {tuple(r) for r in attribution_pairs_batch(events).collect()}
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_last_click_attribution_rules(spark):
+    """Latest in-window click wins; ties break on click_id DESC;
+    purchases with no in-window click are absent."""
+    from datetime import datetime
+
+    from cadastre_pg_spark.streaming.events import last_click_attribution
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: two clicks before buy (latest wins), one too old
+        (1, t(0), 1, "click", 0.0, ""),
+        (2, t(20), 1, "click", 0.0, ""),
+        (3, t(25), 1, "click", 0.0, ""),
+        (4, t(40), 1, "purchase", 9.0, ""),   # window [10, 40]
+        # user 2: tie on ts -> higher click_id wins
+        (5, t(5), 2, "click", 0.0, ""),
+        (6, t(5), 2, "click", 0.0, ""),
+        (7, t(10), 2, "purchase", 3.0, ""),
+        # user 3: no click in window
+        (8, t(0), 3, "click", 0.0, ""),
+        (9, t(50), 3, "purchase", 1.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["buy_id"]: r for r in last_click_attribution(events, 30).collect()}
+    assert set(out) == {4, 7}
+    assert out[4]["click_id"] == 3 and out[4]["n_candidate_clicks"] == 2
+    assert out[7]["click_id"] == 6 and out[7]["n_candidate_clicks"] == 2
