@@ -573,6 +573,22 @@ STAR_PARCELS_PER_SF = 20_000
 STAR_SCALE = 20.0  # densifies the tiny polygons so sparse points still hit
 
 
+def q_geom_measures(spark, sf_dir):
+    """Per-polygon area / perimeter / centroid (ST_Area / ST_Perimeter
+    / ST_Centroid analog — reference geometry walker, geo/src/geom.rs)
+    over the GENERAL star parcels (concave, periodic even-odd holes).
+    Map-only plan: every measure is a per-row left-to-right double
+    fold (Catalyst ArrayAggregate), replayed bitwise by DuckDB's
+    list_reduce in the oracle — no rounding grid needed."""
+    from cadastre_pg_spark.data.parcels import generate_star_parcels
+    from cadastre_pg_spark.operators.measures import geometry_measures
+
+    n_parcels = max(50, int(STAR_PARCELS_PER_SF * _sf_of(sf_dir)))
+    return geometry_measures(
+        generate_star_parcels(spark, n_parcels, size_scale=STAR_SCALE)
+    )
+
+
 def q_pages_pipeline(spark, sf_dir):
     """End-to-end web-page slice: deterministic pages table -> byte-
     identical text extraction (pandas UDF kernel, reference decode
@@ -1132,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "attribution": q_attribution,
+        "geom_measures": q_geom_measures,
     }
 
 
@@ -1165,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reproject_points": _reproject_sql_oracle(),
         "pages_pipeline": _pages_pipeline_sql_oracle(),
+        "geom_measures": _geom_measures_sql_oracle(),
         "ann_topk": _ann_topk_sql_oracle(),
         "ivf_topk": _ivf_topk_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
@@ -2454,6 +2472,85 @@ def _pages_pipeline_sql_oracle() -> str:
                 ((ed.y1 > p.py) <> (ed.y2 > p.py))
                 AND p.px < ed.x1 + (p.py - ed.y1) / (ed.y2 - ed.y1)
                                    * (ed.x2 - ed.x1))) % 2 = 1
+    """
+
+
+def _geom_measures_sql_oracle() -> str:
+    """DuckDB replay of geometry_measures over the star parcels:
+    rebuilds the closed exterior + hole rings from star_vertices_sql,
+    then folds the shoelace / perimeter / moment terms with
+    list_reduce — strictly left-to-right over IEEE doubles, matching
+    Catalyst's ArrayAggregate order bitwise (list_reduce seeds from
+    the first element; the engine seeds 0.0, and 0.0 + t == t bitwise
+    for every non-negative-zero term here)."""
+    n_parcels = max(50, int(STAR_PARCELS_PER_SF * 0.01))
+    m, cx, cy, _hw, _hh, vx, vy = S.star_vertices_sql("j", STAR_SCALE)
+    hole = f"(j % {S.STAR_HOLE_PERIOD} = {S.STAR_HOLE_RESIDUE})"
+    hs = "CAST('0.3' AS DOUBLE)"
+
+    def folds(x: str, y: str, pfx: str) -> str:
+        # closed ring lists x/y have m+1 vertices -> m edges, k=1..m
+        cross = f"({x}[k] * {y}[k+1] - {x}[k+1] * {y}[k])"
+        dx = f"({x}[k+1] - {x}[k])"
+        dy = f"({y}[k+1] - {y}[k])"
+        return (
+            f"list_reduce([{cross} for k in range(1, m + 1)],"
+            f" (a, b) -> a + b) AS {pfx}a2, "
+            f"list_reduce([sqrt({dx} * {dx} + {dy} * {dy})"
+            f" for k in range(1, m + 1)], (a, b) -> a + b) AS {pfx}p, "
+            f"list_reduce([({x}[k] + {x}[k+1]) * {cross}"
+            f" for k in range(1, m + 1)], (a, b) -> a + b) AS {pfx}mx, "
+            f"list_reduce([({y}[k] + {y}[k+1]) * {cross}"
+            f" for k in range(1, m + 1)], (a, b) -> a + b) AS {pfx}my"
+        )
+
+    # orientation-corrected moments, then the even-odd hole combination
+    # in the engine's exact order: 0.0 + ext + (-hole)
+    def sgn(a2: str, mcol: str) -> str:
+        return f"(CASE WHEN {a2} < 0.0 THEN -{mcol} ELSE {mcol} END)"
+
+    a2e = f"(CASE WHEN has_hole THEN abs(ea2) + (-abs(ha2)) ELSE abs(ea2) END)"
+    numx = (
+        f"(CASE WHEN has_hole THEN {sgn('ea2', 'emx')} + (-{sgn('ha2', 'hmx')})"
+        f" ELSE {sgn('ea2', 'emx')} END)"
+    )
+    numy = (
+        f"(CASE WHEN has_hole THEN {sgn('ea2', 'emy')} + (-{sgn('ha2', 'hmy')})"
+        f" ELSE {sgn('ea2', 'emy')} END)"
+    )
+    return f"""
+        WITH parc AS (
+          SELECT j, {m} AS m, {cx} AS cx, {cy} AS cy,
+                 {vx} AS vx, {vy} AS vy, {hole} AS has_hole
+          FROM range(0, {n_parcels}) s(j)
+        ),
+        closed AS (
+          SELECT j, m, cx, cy, has_hole,
+                 list_concat(vx, vx[1:1]) AS ex,
+                 list_concat(vy, vy[1:1]) AS ey
+          FROM parc
+        ),
+        ringed AS (
+          SELECT j, m, has_hole, ex, ey,
+                 [cx + {hs} * (v - cx) for v in ex] AS hx,
+                 [cy + {hs} * (v - cy) for v in ey] AS hy
+          FROM closed
+        ),
+        sums AS (
+          SELECT j, has_hole,
+                 {folds('ex', 'ey', 'e')},
+                 {folds('hx', 'hy', 'h')}
+          FROM ringed
+        )
+        SELECT j AS parcel_id,
+               CASE WHEN has_hole THEN 2 ELSE 1 END AS n_rings,
+               {a2e} / 2 AS area,
+               CASE WHEN has_hole THEN ep + hp ELSE ep END AS perimeter,
+               CASE WHEN {a2e} = 0.0 THEN NULL
+                    ELSE {numx} / (CAST('3.0' AS DOUBLE) * {a2e}) END AS cx,
+               CASE WHEN {a2e} = 0.0 THEN NULL
+                    ELSE {numy} / (CAST('3.0' AS DOUBLE) * {a2e}) END AS cy
+        FROM sums
     """
 
 
