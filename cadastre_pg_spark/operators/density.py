@@ -1,0 +1,123 @@
+"""Grid-density clustering — the cell-granular DBSCAN variant that
+scales (GriDBSCAN / cell-based DBSCAN family): density is measured per
+grid cell instead of per eps-ball, so the whole algorithm is
+aggregates + narrow-key equi-joins + connected components, never a
+pairwise distance join.
+
+Semantics (deterministic, exactly SQL-replayable):
+- CORE cell  : grid cell holding >= min_pts points
+- cluster    : connected component of core cells under 8-neighbor
+               grid adjacency; label = min core-cell id in the
+               component (graph.connected_components)
+- core point : point in a core cell -> that cell's cluster
+- border pt  : point whose cell is not core but 8-adjacent to >= 1
+               core cell -> MIN cluster label among adjacent core
+               cells (deterministic tie rule)
+- noise      : everything else, cluster = -1
+
+Scale shape: one groupBy(cell) count (narrow long key, map-side
+partials), an 8-way offset explode over CORE CELLS ONLY (the census,
+orders of magnitude smaller than the points), equi-joins on cell ids
+that AQE broadcasts when the core set is small, and the O(log d)
+pointer-jumping CC. Points are never self-joined; the only thing that
+ever fans out 8x is the core-cell census. Resolution (`level`) sets
+the density granularity exactly like DBSCAN's eps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+
+
+def _neighbors8(cell, n: int):
+    """Array of the up-to-8 grid-adjacent cell ids (bounds-checked,
+    no wraparound): cell = ix*n + iy."""
+    iy = F.pmod(cell, F.lit(n))
+    ix = (cell - iy) / F.lit(n)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    arr = F.array(
+        *[
+            F.when(
+                (ix + F.lit(dx) >= 0)
+                & (ix + F.lit(dx) < n)
+                & (iy + F.lit(dy) >= 0)
+                & (iy + F.lit(dy) < n),
+                ((ix + F.lit(dx)) * n + iy + F.lit(dy)).cast("long"),
+            )
+            for dx, dy in offs
+        ]
+    )
+    return F.filter(arr, lambda c: c.isNotNull())
+
+
+def dbscan_grid(
+    points: DataFrame,
+    level: int,
+    min_pts: int,
+    id_col: str = "doc_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """points(id, cell) -> (id, cell, cluster, role) per the module
+    contract. `cell` must be a level-`level` grid cell id (ix*n + iy);
+    pass points through data/synthetic.grid_cell_col or
+    kernels.cells.grid_cell first."""
+    n = 1 << level
+    pid = F.col(id_col)
+    cell = F.col(cell_col).cast("long")
+    pts = points.select(pid.alias("pid"), cell.alias("cell"))
+
+    counts = pts.groupBy("cell").agg(F.count("*").alias("n_pts"))
+    core = counts.filter(F.col("n_pts") >= F.lit(min_pts)).select("cell")
+    # consumed three times (edges probe+build, own-cell join, singleton
+    # anti-join) — persist so the census aggregation runs once
+    core = core.persist()
+
+    # core-cell adjacency edges: explode the 8 neighbors of each core
+    # cell, keep those that are themselves core (equi-join on the id)
+    nbr = core.select(
+        F.col("cell").alias("a"),
+        F.explode(_neighbors8(F.col("cell"), n)).alias("b"),
+    )
+    edges = nbr.join(core.select(F.col("cell").alias("b")), "b").select("a", "b")
+
+    cc = connected_components(edges, a="a", b="b")
+    # isolated core cells form their own singleton cluster
+    singles = core.join(cc.select(F.col("node").alias("cell")), "cell", "left_anti")
+    clus = cc.select(F.col("node").alias("cell"), "cluster").unionByName(
+        singles.select("cell", F.col("cell").alias("cluster"))
+    )
+    clus = clus.persist()
+
+    own = pts.join(clus, "cell", "left").select(
+        "pid", "cell", F.col("cluster").alias("own_cluster")
+    )
+    # border resolution: min adjacent core cluster per point — only for
+    # points without a core cell of their own
+    pending = own.filter(F.col("own_cluster").isNull()).select(
+        "pid", F.explode(_neighbors8(F.col("cell"), n)).alias("cell")
+    )
+    border = (
+        pending.join(clus, "cell")
+        .groupBy("pid")
+        .agg(F.min("cluster").alias("border_cluster"))
+    )
+
+    out = (
+        own.join(border, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "cell",
+            F.coalesce("own_cluster", "border_cluster", F.lit(-1).cast("long")).alias(
+                "cluster"
+            ),
+            F.when(F.col("own_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )
+    out._cadastre_cached = [core, clus] + getattr(cc, "_cadastre_cached", [])
+    return out
