@@ -573,6 +573,85 @@ STAR_PARCELS_PER_SF = 20_000
 STAR_SCALE = 20.0  # densifies the tiny polygons so sparse points still hit
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over documents with deterministically INJECTED emails
+    and phone numbers (the word-soup corpus has none, so the regex
+    paths would otherwise never fire): doc_id%3 plants an email,
+    doc_id%4==1 a phone. Counts + redacted-text length/sha — the
+    oracle replays injection and masking with DuckDB's RE2."""
+    from cadastre_pg_spark.operators.textanalysis import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 == F.lit(0),
+            F.concat(
+                F.lit(" contact user"),
+                i.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == F.lit(1),
+            F.concat(
+                F.lit(" call +3361234"),
+                F.lpad(F.pmod(i, F.lit(10000)).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = redact_pii(docs.select("doc_id", injected.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").alias("red_len"),
+        F.sha2(F.col("redacted"), 256).alias("red_sha"),
+    )
+
+
+def q_moving_avg(spark, sf_dir):
+    """Trailing 1-hour RANGE-frame stats per user event (microsecond
+    anchors; DECIMAL-exact sums) — the batch twin of the streaming
+    windowed aggregations, oracled by DuckDB's identical frame."""
+    from cadastre_pg_spark.operators.windows import sliding_user_stats
+
+    return sliding_user_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl census (pages, language spread, fr share, text
+    mass) — the domain-level rollup corpus curation keys decisions on.
+    Oracled by the sha256-replayed pages CTE."""
+    from cadastre_pg_spark.data.pages import generate_pages
+    from cadastre_pg_spark.operators.corpus import host_stats
+
+    n_pages = max(200, int(PAGES_PER_SF * _sf_of(sf_dir)))
+    return host_stats(generate_pages(spark, n_pages))
+
+
+DBSCAN_LEVEL = 4  # 16x16 grid -> ~2 pts/cell at sf0.01: core+border+noise mix
+DBSCAN_MIN_PTS = 3
+
+
+def q_dbscan_grid(spark, sf_dir):
+    """Grid-density clustering (cell-granular DBSCAN) of the document
+    points: core cells (>= min_pts), 8-neighbor connected components
+    (pointer-jumping CC), border points to the min adjacent cluster,
+    noise -1. Oracled by a recursive reachability CTE over the same
+    core-cell adjacency."""
+    from cadastre_pg_spark.operators.density import dbscan_grid
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        "doc_id",
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), DBSCAN_LEVEL).alias("cell"),
+    )
+    return dbscan_grid(pts, level=DBSCAN_LEVEL, min_pts=DBSCAN_MIN_PTS)
+
+
 def q_geom_measures(spark, sf_dir):
     """Per-polygon area / perimeter / centroid (ST_Area / ST_Perimeter
     / ST_Centroid analog — reference geometry walker, geo/src/geom.rs)
@@ -1149,6 +1228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "attribution": q_attribution,
         "geom_measures": q_geom_measures,
+        "dbscan_grid": q_dbscan_grid,
+        "pii_redact": q_pii_redact,
+        "moving_avg": q_moving_avg,
+        "host_stats": q_host_stats,
     }
 
 
@@ -1183,6 +1266,20 @@ def oracle_sql() -> dict[str, str]:
         "reproject_points": _reproject_sql_oracle(),
         "pages_pipeline": _pages_pipeline_sql_oracle(),
         "geom_measures": _geom_measures_sql_oracle(),
+        "dbscan_grid": _dbscan_grid_sql_oracle(),
+        "pii_redact": _pii_redact_sql_oracle(),
+        "host_stats": _host_stats_sql_oracle(),
+        "moving_avg": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS n_win,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS sum_win,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / count(*) OVER w AS avg_win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
         "ann_topk": _ann_topk_sql_oracle(),
         "ivf_topk": _ivf_topk_sql_oracle(),
         "minhash_lsh": _minhash_sql_oracle(threshold=0.4),
@@ -2472,6 +2569,124 @@ def _pages_pipeline_sql_oracle() -> str:
                 ((ed.y1 > p.py) <> (ed.y2 > p.py))
                 AND p.px < ed.x1 + (p.py - ed.y1) / (ed.y2 - ed.y1)
                                    * (ed.x2 - ed.x1))) % 2 = 1
+    """
+
+
+def _pii_redact_sql_oracle() -> str:
+    """RE2 replay of the injected-PII scrub; patterns live in
+    operators/textanalysis.py and are dialect-portable by construction
+    (classes + bounded repetition only)."""
+    from cadastre_pg_spark.operators.textanalysis import EMAIL_RE, PHONE_RE
+
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@mail.example.com now'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 1
+                      THEN ' call +3361234'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id, t,
+                 regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                '{PHONE_RE}', '<PHONE>', 'g') AS r
+          FROM inj
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(length(r) AS INTEGER) AS red_len,
+               sha256(r) AS red_sha
+        FROM red
+    """
+
+
+def _host_stats_sql_oracle() -> str:
+    """Rebuilds host / lang / canonical-text length from the sha256
+    pages CTE (_pg1 exposes id8/dep/body; lang replays
+    pages._LANGS[_h(i,2) % 11])."""
+    from cadastre_pg_spark.data.pages_sql import _h_sql, pages_cte_sql
+
+    n_pages = max(200, int(PAGES_PER_SF * 0.01))
+    lang_idx = f"CAST({_h_sql(2, 'i')} % 11 AS BIGINT)"
+    return f"""
+        WITH {pages_cte_sql(n_pages)},
+        hp AS (
+          SELECT 'dep' || dep || '.example.fr' AS host,
+                 CASE {lang_idx} WHEN 9 THEN 'en' WHEN 10 THEN 'de'
+                      ELSE 'fr' END AS lang,
+                 length('Page ' || id8 || ' (' || dep || ') Page ' || id8
+                        || ' (' || dep || ') ' || body || ' & finé') AS n_chars
+          FROM _pg1
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM hp GROUP BY host
+    """
+
+
+def _dbscan_grid_sql_oracle() -> str:
+    """Recursive reachability CTE over the same core-cell 8-adjacency
+    the engine clusters — an independent formulation (inequality join
+    on ix/iy deltas instead of the engine's offset explode; UNION-
+    distinct closure instead of pointer jumping). Seeding reach from
+    ALL core cells makes isolated cores singleton clusters without a
+    special case."""
+    n = 1 << DBSCAN_LEVEL
+    lon = S.lon_sql("doc_id")
+    lat = S.lat_sql("doc_id")
+    cell = S.grid_cell_sql(lon, lat, DBSCAN_LEVEL)
+
+    def adj(x: str, y: str) -> str:
+        return (
+            f"{x} <> {y} AND abs(({x} // {n}) - ({y} // {n})) <= 1"
+            f" AND abs(({x} % {n}) - ({y} % {n})) <= 1"
+        )
+
+    return f"""
+        WITH RECURSIVE pts AS MATERIALIZED (
+          SELECT doc_id AS pid, {cell} AS cell FROM documents
+        ),
+        core AS MATERIALIZED (
+          SELECT cell FROM pts GROUP BY cell
+          HAVING count(*) >= {DBSCAN_MIN_PTS}
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.cell AS ca, b.cell AS cb
+          FROM core a JOIN core b ON {adj('a.cell', 'b.cell')}
+        ),
+        reach(node, anc) AS (
+          SELECT cell, cell FROM core
+          UNION
+          SELECT e.cb, r.anc FROM reach r JOIN edges e ON e.ca = r.node
+        ),
+        clus AS (SELECT node AS cell, min(anc) AS cluster FROM reach GROUP BY node),
+        own AS (
+          SELECT p.pid, p.cell, c.cluster AS own_cluster
+          FROM pts p LEFT JOIN clus c ON p.cell = c.cell
+        ),
+        border AS (
+          SELECT p.pid, min(c.cluster) AS border_cluster
+          FROM (SELECT pid, cell FROM own WHERE own_cluster IS NULL) p
+          JOIN clus c ON {adj('p.cell', 'c.cell')}
+          GROUP BY p.pid
+        )
+        SELECT o.pid AS doc_id, o.cell AS cell,
+               COALESCE(o.own_cluster, b.border_cluster,
+                        CAST(-1 AS BIGINT)) AS cluster,
+               CASE WHEN o.own_cluster IS NOT NULL THEN 'core'
+                    WHEN b.border_cluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM own o LEFT JOIN border b ON o.pid = b.pid
     """
 
 

@@ -337,3 +337,23 @@ def budget_mixture(
         .filter(F.col("u") < thr)
         .select("doc_id", F.col("grp").alias("stratum"), "n_tokens", "u")
     )
+
+
+def host_stats(pages: DataFrame) -> DataFrame:
+    """Per-host corpus census — the domain-level rollup every web-crawl
+    curation pipeline keys its quality/robots/blocklist decisions on
+    (reference analog: the A3 per-table stats family, keyed by the
+    url's host instead of the feature type). One hash aggregation on
+    the host (narrow string key, map-side partials); language spread
+    and page mass are computed in the same pass."""
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    return (
+        pages.select(host.alias("host"), "lang", F.length("text").alias("n_chars"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).alias("n_fr"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

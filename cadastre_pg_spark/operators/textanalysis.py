@@ -309,3 +309,31 @@ def bm25_score_sql(
                round({score}, 6) AS bm25
         FROM tf, st
     """
+
+
+# --------------------------------------------------------------- PII scrub
+
+# conservative intersection of Java (Spark) and RE2 (DuckDB) regex
+# dialects: character classes, bounded repetition, no backrefs — both
+# engines produce identical non-overlapping leftmost match sets
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub — the redaction pass a web-corpus pipeline runs before
+    training-data release (reference analog: the P4/P8 cleanup family;
+    masking instead of numeric cast). Map-only JVM regex: counts each
+    PII class, then masks in a fixed order (emails first so a phone
+    inside a local-part can't double-mask). Returns doc_id + counts +
+    the redacted text for downstream stages."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        red.alias("redacted"),
+    )

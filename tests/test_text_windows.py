@@ -1,0 +1,87 @@
+"""redact_pii, sliding_user_stats, host_stats unit tests."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.corpus import host_stats
+from cadastre_pg_spark.operators.textanalysis import redact_pii
+from cadastre_pg_spark.operators.windows import sliding_user_stats
+
+
+def test_redact_pii_counts_and_masks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice.b@corp.example.org or bob@ex.io today"),
+            (2, "call +33612345678 about x@y.fr"),
+            (3, "no pii here"),
+            (4, "bad pattern a@b and +123 stay"),  # too-short tld / phone
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones) == (2, 0)
+    assert rows[1].redacted == "write to <EMAIL> or <EMAIL> today"
+    assert (rows[2].n_emails, rows[2].n_phones) == (1, 1)
+    assert rows[2].redacted == "call <PHONE> about <EMAIL>"
+    assert (rows[3].n_emails, rows[3].n_phones) == (0, 0)
+    assert rows[3].redacted == "no pii here"
+    # 'a@b' has no dot-tld; '+123' is under 7 digits — both untouched
+    assert (rows[4].n_emails, rows[4].n_phones) == (0, 0)
+    assert rows[4].redacted == "bad pattern a@b and +123 stay"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+
+
+def test_sliding_window_inclusive_hour_boundary(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 11, 0, 0), 1.0),   # exactly 1h before t2
+        (2, 7, datetime(2024, 1, 1, 11, 0, 0, 1), 2.0),
+        (3, 7, t0, 4.0),
+    ]
+    out = {r.event_id: r for r in sliding_user_stats(_ev(spark, rows)).collect()}
+    # RANGE frame is inclusive at -1h: event 1 is IN event 3's window
+    assert out[3].n_win == 3 and out[3].sum_win == 7.0
+    assert out[1].n_win == 1 and out[1].sum_win == 1.0
+    assert out[2].n_win == 2 and out[2].sum_win == 3.0
+    assert out[3].avg_win == 7.0 / 3
+
+
+def test_sliding_window_excludes_beyond_hour_and_other_users(spark):
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 10, 59, 59, 999999), 1.0),
+        (2, 8, datetime(2024, 1, 1, 11, 30, 0), 100.0),  # other user
+        (3, 7, datetime(2024, 1, 1, 12, 0, 0), 4.0),
+    ]
+    out = {r.event_id: r for r in sliding_user_stats(_ev(spark, rows)).collect()}
+    assert out[3].n_win == 1 and out[3].sum_win == 4.0
+
+
+def test_sliding_window_simultaneous_events_are_peers(spark):
+    t = datetime(2024, 1, 1, 12, 0, 0, 500000)
+    rows = [(1, 7, t, 1.0), (2, 7, t, 2.0)]
+    out = {r.event_id: r for r in sliding_user_stats(_ev(spark, rows)).collect()}
+    # same RANGE anchor -> both frames hold both events
+    assert out[1].n_win == 2 and out[2].n_win == 2
+    assert out[1].sum_win == 3.0
+
+
+def test_host_stats_rollup(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example.fr/p/1", "fr", "abcd"),
+            ("https://a.example.fr/p/2", "en", "ab"),
+            ("http://b.example.fr/p/3", "fr", "abc"),
+        ],
+        "url string, lang string, text string",
+    )
+    rows = {r.host: r for r in host_stats(pages).collect()}
+    a = rows["a.example.fr"]
+    assert (a.n_pages, a.n_langs, a.n_fr, a.sum_chars) == (2, 2, 1, 6)
+    b = rows["b.example.fr"]  # http scheme also parsed
+    assert (b.n_pages, b.n_langs, b.n_fr, b.sum_chars) == (1, 1, 1, 3)
