@@ -631,6 +631,118 @@ def q_host_stats(spark, sf_dir):
     return host_stats(generate_pages(spark, n_pages))
 
 
+URLD_PER_SF = 40_000
+HLL_P = 7
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count of (token, doc) pairs per language —
+    the sketch path for distinct counting at 100 TB (exact distinct
+    needs a full shuffle of the values; this ships 2^7 registers per
+    group). Register math is integer/exact-double end to end; only the
+    linear-counting ln() sits behind the 6-dp round (house policy)."""
+    from cadastre_pg_spark.operators.sketches import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    vals = tok.select(
+        "lang",
+        F.concat(
+            F.col("token"), F.lit(":"), F.col("doc_id").cast("string")
+        ).alias("v"),
+    )
+    return hll_distinct(vals, "lang", "v", p=HLL_P, hash_fn="md5")
+
+
+def q_geohash(spark, sf_dir):
+    """Canonical base32 geohash (p=8, ~19 m cells) of the document
+    points + the 4-char rollup prefix — the interoperable cell id next
+    to the internal grid/hex/morton family. Pure codegen bit
+    arithmetic, bitwise-replayed in SQL."""
+    from cadastre_pg_spark.functions.geohash import geohash_col
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    gh = geohash_col(S.lon_col(key), S.lat_col(key))
+    return docs.select(
+        "doc_id", gh.alias("gh"), F.substring(gh, 1, 4).alias("gh4")
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup over decorated crawl urls (query strings,
+    fragments, trailing slashes, mixed case — every 2 raw urls share a
+    canonical page): survivor = min page_id per canonical."""
+    from cadastre_pg_spark.operators.corpus import url_dedup
+
+    n = max(400, int(URLD_PER_SF * _sf_of(sf_dir)))
+    i = F.col("id")
+    half = F.floor(i / F.lit(2)).cast("long")
+    base = F.concat(
+        F.lit("https://Host"),
+        (half % F.lit(7)).cast("string"),
+        F.lit(".Example.fr/p/"),
+        F.lpad(half.cast("string"), 8, "0"),
+    )
+    deco = (
+        F.when(i % 4 == F.lit(1), F.lit("?utm_source=feed"))
+        .when(i % 4 == F.lit(2), F.lit("#section-2"))
+        .when(i % 4 == F.lit(3), F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    urls = spark.range(n).select(
+        i.alias("page_id"), F.concat(base, deco).alias("url")
+    )
+    return url_dedup(urls)
+
+
+PR_NODES_PER_SF = 50_000
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def _pr_graph(spark, n: int):
+    """Deterministic link graph over n pages: node i emits 1..3 edges
+    (multiplicative-hash degree) to (i + 1 + hash) % n — never a self
+    link. Pure JVM arithmetic, replayed verbatim by the oracle."""
+    i = F.col("id")
+    degc = F.lit(1) + ((i * F.lit(S.MULT_H)) % F.lit(S.MOD)) % F.lit(3)
+    nodes = spark.range(n).select(i.alias("node"))
+    edges = spark.range(n).select(
+        i.alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (degc - 1).cast("int")),
+                lambda k: (
+                    i
+                    + 1
+                    + ((i * 8 + k + 1) * F.lit(S.MULT_W)) % F.lit(S.MOD)
+                    % F.lit(n - 1)
+                )
+                % F.lit(n),
+            )
+        ).alias("dst"),
+    )
+    return nodes, edges
+
+
+def q_pagerank(spark, sf_dir):
+    """5-iteration PageRank over the deterministic page link graph —
+    iterative graph analytics with the decimal-quantized recurrence
+    (operators/graph.pagerank) so DuckDB replays every round exactly
+    via unrolled CTEs."""
+    from cadastre_pg_spark.operators.graph import pagerank
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    out = pagerank(edges, nodes, iters=PR_ITERS, damping=PR_DAMPING, n_nodes=n)
+    return out.select("node", F.col("rank").alias("pr"))
+
+
 DBSCAN_LEVEL = 4  # 16x16 grid -> ~2 pts/cell at sf0.01: core+border+noise mix
 DBSCAN_MIN_PTS = 3
 
@@ -1232,6 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "moving_avg": q_moving_avg,
         "host_stats": q_host_stats,
+        "pagerank": q_pagerank,
+        "geohash": q_geohash,
+        "url_dedup": q_url_dedup,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -1269,6 +1385,10 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_grid": _dbscan_grid_sql_oracle(),
         "pii_redact": _pii_redact_sql_oracle(),
         "host_stats": _host_stats_sql_oracle(),
+        "pagerank": _pagerank_sql_oracle(),
+        "geohash": _geohash_sql_oracle(),
+        "url_dedup": _url_dedup_sql_oracle(),
+        "hll_distinct": _hll_distinct_sql_oracle(),
         "moving_avg": """
             SELECT event_id, user_id, ts,
                    count(*) OVER w AS n_win,
@@ -2569,6 +2689,108 @@ def _pages_pipeline_sql_oracle() -> str:
                 ((ed.y1 > p.py) <> (ed.y2 > p.py))
                 AND p.px < ed.x1 + (p.py - ed.y1) / (ed.y2 - ed.y1)
                                    * (ed.x2 - ed.x1))) % 2 = 1
+    """
+
+
+def _pagerank_sql_oracle() -> str:
+    """Unrolled-CTE replay of the integer-unit PageRank recurrence:
+    per-edge contributions floored to 1e-14 units before the inbound
+    BIGINT SUM (exact, order-independent), the damping combination in
+    IEEE doubles with literal-identical shape, ranks re-floored to
+    units between rounds. floor-on-double is bitwise-portable where
+    double->DECIMAL round-half modes are not."""
+    from cadastre_pg_spark.operators.graph import RANK_UNIT
+
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    base = repr((1.0 - PR_DAMPING) / n)
+    u0 = int((1.0 / n) * RANK_UNIT)
+    d_lit = repr(PR_DAMPING)
+    unit = "CAST('1e14' AS DOUBLE)"
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    sql = f"""
+        WITH nodes AS (SELECT i AS v FROM range(0, {n}) t(i)),
+        edges AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT v, CAST({u0} AS BIGINT) AS u FROM nodes)"""
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        sql += f""",
+        it{k} AS (
+          SELECT nd.v AS v,
+                 CAST('{base}' AS DOUBLE) + CAST('{d_lit}' AS DOUBLE)
+                   * (CAST(COALESCE(s.s, 0) AS DOUBLE) / {unit}) AS rd
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS v,
+                   SUM(CAST(floor(CAST(r.u AS DOUBLE) / d.d) AS BIGINT)) AS s
+            FROM edges e JOIN {prev} r ON r.v = e.src JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.v = nd.v
+        ),
+        r{k} AS (SELECT v, CAST(floor(rd * {unit}) AS BIGINT) AS u FROM it{k})"""
+        prev = f"r{k}"
+    sql += f"\n        SELECT v AS node, rd AS pr FROM it{PR_ITERS}"
+    return sql
+
+
+def _hll_distinct_sql_oracle() -> str:
+    """md5-hash32 values through the register-table twin
+    (operators/sketches.hll_distinct_sql)."""
+    from cadastre_pg_spark.operators.sketches import hll_distinct_sql
+
+    h = _hex32_sql("md5(tk || ':' || CAST(doc_id AS VARCHAR))")
+    table = rf"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+          FROM documents
+        )
+        SELECT lang, {h} AS h FROM tok
+    """
+    return hll_distinct_sql(table, "lang", "h", p=HLL_P)
+
+
+def _geohash_sql_oracle() -> str:
+    """Bitwise SQL replay of functions/geohash.py (magic-mask
+    interleave + base32 LUT) over the LCG document points."""
+    from cadastre_pg_spark.functions.geohash import geohash_sql
+
+    gh = geohash_sql(S.lon_sql("doc_id"), S.lat_sql("doc_id"))
+    return f"""
+        SELECT doc_id, gh, substring(gh, 1, 4) AS gh4
+        FROM (SELECT doc_id, {gh} AS gh FROM documents)
+    """
+
+
+def _url_dedup_sql_oracle() -> str:
+    n = max(400, int(URLD_PER_SF * 0.01))
+    return f"""
+        WITH urls AS (
+          SELECT i AS page_id,
+                 'https://Host'
+                 || CAST(CAST(floor(i / 2) AS BIGINT) % 7 AS VARCHAR)
+                 || '.Example.fr/p/'
+                 || lpad(CAST(CAST(floor(i / 2) AS BIGINT) AS VARCHAR), 8, '0')
+                 || CASE WHEN i % 4 = 1 THEN '?utm_source=feed'
+                         WHEN i % 4 = 2 THEN '#section-2'
+                         WHEN i % 4 = 3 THEN '/'
+                         ELSE '' END AS url
+          FROM range(0, {n}) t(i)
+        ),
+        c AS (
+          SELECT page_id,
+                 regexp_replace(regexp_replace(lower(url), '[?#].*$', ''),
+                                '/+$', '') AS canon
+          FROM urls
+        )
+        SELECT canon, min(page_id) AS survivor_id,
+               CAST(count(*) AS BIGINT) AS n_variants
+        FROM c GROUP BY canon
     """
 
 

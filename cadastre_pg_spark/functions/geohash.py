@@ -1,0 +1,69 @@
+"""Geohash base32 encoding as JVM Column expressions — the standard
+interoperable cell id (the public twin of the internal grid/hex/morton
+cells; reference cell family SURVEY.md §2 G7). Like functions/zorder.py
+the same bit arithmetic exists as Spark Columns (whole-stage codegen)
+and DuckDB oracle SQL, agreeing bit-for-bit.
+
+Algorithm (canonical geohash): quantize lon to ceil(5p/2) bits over
+[-180, 180] and lat to floor(5p/2) bits over [-90, 90], interleave
+MSB-first starting with longitude, then emit 5-bit groups through the
+base32 alphabet (i/l/o and a excluded). p=8 (40 bits, 20+20) gives
+~19 m cells at the half-width of France.
+"""
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .zorder import _part1by1_col, _part1by1_sql
+
+ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+PRECISION = 8  # chars; must be even so lon/lat split 20/20 bits
+
+
+def geohash_col(lon: Column, lat: Column, precision: int = PRECISION) -> Column:
+    assert precision % 2 == 0 and 2 <= precision <= 12
+    half = (5 * precision) // 2
+    n = 1 << half
+    ilon = F.least(
+        F.greatest(F.floor((lon + F.lit(180)) / F.lit(360) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    ilat = F.least(
+        F.greatest(F.floor((lat + F.lit(90)) / F.lit(180) * F.lit(n)), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("long")
+    # lon occupies the even interleave positions counted from the MSB
+    # == the odd LSB positions of the 5p-bit code
+    code = F.shiftleft(_part1by1_col(ilon), 1).bitwiseOR(_part1by1_col(ilat))
+    chars = [
+        F.substring(
+            F.lit(ALPHABET),
+            (
+                F.shiftrightunsigned(code, 5 * (precision - 1 - g))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+            F.lit(1),
+        )
+        for g in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = PRECISION) -> str:
+    assert precision % 2 == 0 and 2 <= precision <= 12
+    half = (5 * precision) // 2
+    n = 1 << half
+    ilon = (
+        f"(least(greatest(floor((({lon_expr}) + 180) / 360 * {n}), 0), {n - 1}))"
+    )
+    ilat = f"(least(greatest(floor((({lat_expr}) + 90) / 180 * {n}), 0), {n - 1}))"
+    ilon = f"CAST({ilon} AS BIGINT)"
+    ilat = f"CAST({ilat} AS BIGINT)"
+    code = f"((({_part1by1_sql(ilon)}) << 1) | ({_part1by1_sql(ilat)}))"
+    chars = " || ".join(
+        f"substring('{ALPHABET}', "
+        f"CAST((({code} >> {5 * (precision - 1 - g)}) & 31) + 1 AS INTEGER), 1)"
+        for g in range(precision)
+    )
+    return f"({chars})"

@@ -357,3 +357,29 @@ def host_stats(pages: DataFrame) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Crawl-frontier URL canonicalization: lowercase, strip query and
+    fragment, collapse trailing slashes. Deliberately regex-portable
+    (Java == RE2) so the DuckDB oracle replays it verbatim."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    return F.regexp_replace(c, r"/+$", "")
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "page_id") -> DataFrame:
+    """Canonical-URL dedup — the crawl-level twin of content dedup
+    (A7/J3 family): group by the canonical form, keep the smallest id
+    as survivor (the deterministic 'first wins' rule the content
+    dedup operators use, cli.rs:466-474). One hash aggregation on the
+    canonical string; the raw url never becomes a shuffle key twice."""
+    canon = canonical_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col), canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -112,3 +112,80 @@ def dedup_clusters(
         pairs, "_cadastre_cached", []
     )
     return out
+
+
+RANK_UNIT = 1e14  # 1 rank unit = 1e-14; max rank (=1) fits 2^53 exactly
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over edges(src, dst) — the link-graph
+    authority score a web-corpus pipeline feeds into crawl scheduling
+    and quality weighting. Returns (node, rank) after `iters` rounds.
+
+    Exactness contract: between iterations ranks are QUANTIZED to
+    INTEGER UNITS of 1e-14 via floor(x * 1e14), and per-edge
+    contributions are floored to units before the inbound SUM — so the
+    aggregation is an exact BIGINT sum (order-independent) and every
+    step replays bitwise in plain SQL (the driver oracle unrolls the
+    identical iterations in DuckDB). Integer floor + IEEE double ops
+    only: no double->DECIMAL casts, whose round-half mode differs
+    between engines. The <=1e-14 floor loss per step is ~8 orders
+    below anything a ranking consumer can see.
+
+    Scale shape per round: one broadcast-or-shuffle equi-join of edges
+    to the current rank vector on src (narrow long keys), one
+    map-side-partial SUM keyed on dst, one left join back to nodes.
+    localCheckpoint truncates the per-round lineage exactly like
+    connected_components — round k plans as cheap as round 1. Dangling
+    nodes (no out-edges) contribute nothing (their mass leaks; the
+    standard redistribution term is deliberately out of scope and
+    documented, keeping the recurrence join-local — no global
+    aggregate barrier per round beyond the SUM).
+    """
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes  # python double, shared with the oracle
+    u0 = int((1.0 / n_nodes) * RANK_UNIT)  # floor, exact python int
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        F.col("node").cast("long").alias("v"), F.lit(u0).alias("u")
+    ).localCheckpoint(eager=True)
+    cached = [ed, ranks]
+
+    out = None
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select(
+                "dst",
+                # units/out-degree, floored to integer units; F.floor on
+                # a double returns LONG — DuckDB twin: CAST(floor(..))
+                F.floor(F.col("u").cast("double") / F.col("d")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        stepped = nodes.select(F.col("node").cast("long").alias("v")).join(
+            contrib, F.col("v") == F.col("dst"), "left"
+        )
+        rd = F.lit(base) + F.lit(damping) * (
+            F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(RANK_UNIT)
+        )
+        out = stepped.select("v", rd.alias("rd")).localCheckpoint(eager=True)
+        cached.append(out)
+        ranks = out.select("v", F.floor(F.col("rd") * F.lit(RANK_UNIT)).alias("u"))
+    res = out.select(F.col("v").alias("node"), F.col("rd").alias("rank"))
+    res._cadastre_cached = cached
+    return res

@@ -127,3 +127,141 @@ def geometry_measures(
         .otherwise(numy / (F.lit(3.0) * area2_eff))
         .alias("cy"),
     )
+
+
+
+# -------------------------------------------------------- Arrow fast path
+
+MEASURE_SCHEMA = (
+    "id long, n_rings int, area double, perimeter double, cx double, cy double"
+)
+
+
+def geometry_measures_vec(
+    df: DataFrame,
+    id_col: str = "parcel_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    offsets: str = "ring_offsets",
+) -> DataFrame:
+    """Arrow-native vectorized fast path for geometry_measures — the
+    same numbers, produced ~100x faster than the interpreted Catalyst
+    fold (playbook: vectorized batches >> per-row interpretation).
+
+    mapInArrow, NOT mapInPandas: pandas conversion boxes every vertex
+    into a Python float (measured to dominate end-to-end time); Arrow
+    RecordBatches expose the flat float64 value buffer and the list
+    offsets as zero-copy NumPy views, so the whole batch is a handful
+    of vectorized ops with no per-row Python at all.
+
+    Parity contract: edge terms are elementwise IEEE ops; ring and
+    polygon sums accumulate over padded matrices — vectorized across
+    rings, strictly SEQUENTIAL along the edge axis — replaying the
+    0.0-seeded left-to-right fold bit-for-bit. (np.add.reduce/reduceat
+    are unusable: numpy unrolls even tiny reductions 8-wide, changing
+    the summation tree in the last ulp.) Trailing zero padding adds
+    `acc + 0.0`, identical except an acc of exactly -0.0 (possible
+    only for all-degenerate-moment rings, where the centroid is null
+    anyway): outputs are IEEE-equal and bitwise except signed zeros.
+
+    Scale shape: identical to the fold path — map-only, no exchange.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cols = [id_col, xs, ys, offsets]
+
+    def batches(it):
+        for rb in it:
+            nrow = rb.num_rows
+            if nrow == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            xs_a = rb.column(1)
+            ys_a = rb.column(2)
+            off_a = rb.column(3)
+            xcat = xs_a.values.to_numpy(zero_copy_only=False)
+            ycat = ys_a.values.to_numpy(zero_copy_only=False)
+            xoff = xs_a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off_val = off_a.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            ooff = off_a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
+            base = xoff[:-1]  # flat start of each row's vertex block
+            o_counts = ooff[1:] - ooff[:-1]  # offsets-list length per row
+            lens = o_counts - 1  # rings per row
+            # ring starts/ends: drop the last / first offset of each row
+            idx = np.arange(len(off_val))
+            is_last = np.zeros(len(off_val), bool)
+            is_last[ooff[1:] - 1] = True
+            is_first = np.zeros(len(off_val), bool)
+            is_first[ooff[:-1]] = True
+            base_rep = np.repeat(base, lens)
+            ring_starts = base_rep + off_val[~is_last]
+            ring_ends = base_rep + off_val[~is_first]
+            n_rings_total = len(ring_starts)
+            ring_pos = idx[~is_last] - np.repeat(ooff[:-1], lens)
+
+            ecount = np.maximum(ring_ends - ring_starts - 1, 0)
+            etotal = int(ecount.sum())
+            ecum = np.zeros(n_rings_total, np.int64)
+            np.cumsum(ecount[:-1], out=ecum[1:])
+            eoff = np.arange(etotal) - np.repeat(ecum, ecount)
+            ei = np.repeat(ring_starts, ecount) + eoff
+            x1 = xcat[ei]
+            y1 = ycat[ei]
+            x2 = xcat[ei + 1]
+            y2 = ycat[ei + 1]
+            cross = x1 * y2 - x2 * y1
+            dx = x2 - x1
+            dy = y2 - y1
+            elen = np.sqrt(dx * dx + dy * dy)
+            emx = (x1 + x2) * cross
+            emy = (y1 + y2) * cross
+
+            def seq_sum(vals, seg_row, seg_off, n_seg, width):
+                # vectorized across segments, sequential along the axis:
+                # bitwise == the 0.0-seeded fold (see docstring)
+                acc = np.zeros(n_seg)
+                if width == 0:
+                    return acc
+                mat = np.zeros((n_seg, width))
+                mat[seg_row, seg_off] = vals
+                for k in range(width):
+                    acc = acc + mat[:, k]
+                return acc
+
+            e_row = np.repeat(np.arange(n_rings_total), ecount)
+            e_w = int(ecount.max(initial=0))
+            a2 = seq_sum(cross, e_row, eoff, n_rings_total, e_w)
+            perim = seq_sum(elen, e_row, eoff, n_rings_total, e_w)
+            mx = seq_sum(emx, e_row, eoff, n_rings_total, e_w)
+            my = seq_sum(emy, e_row, eoff, n_rings_total, e_w)
+
+            w = np.where(ring_pos == 0, 1.0, -1.0)
+            sgn = np.where(a2 < 0, -1.0, 1.0)
+            r_row = np.repeat(np.arange(nrow), lens)
+            r_w = int(lens.max(initial=0))
+            area2_eff = seq_sum(w * np.abs(a2), r_row, ring_pos, nrow, r_w)
+            perimeter = seq_sum(perim, r_row, ring_pos, nrow, r_w)
+            numx = seq_sum(w * sgn * mx, r_row, ring_pos, nrow, r_w)
+            numy = seq_sum(w * sgn * my, r_row, ring_pos, nrow, r_w)
+
+            zero = area2_eff == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cx = numx / (3.0 * area2_eff)
+                cy = numy / (3.0 * area2_eff)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(lens.astype(np.int32), pa.int32()),
+                    pa.array(area2_eff / 2, pa.float64()),
+                    pa.array(perimeter, pa.float64()),
+                    pa.array(cx, pa.float64(), mask=zero),
+                    pa.array(cy, pa.float64(), mask=zero),
+                ],
+                names=["id", "n_rings", "area", "perimeter", "cx", "cy"],
+            )
+
+    narrow = df.select(*[F.col(c) for c in cols])
+    out = narrow.mapInArrow(batches, schema=MEASURE_SCHEMA)
+    return out.withColumnRenamed("id", id_col)

@@ -1,0 +1,135 @@
+"""Distinct-count sketching — HyperLogLog over Spark aggregates, built
+so the ORACLE CAN REPLAY IT EXACTLY (Spark's approx_count_distinct is
+HLL++ behind an opaque binary and can't be replayed; this operator IS
+the same math as a register table the driver can check).
+
+Why it replays bitwise everywhere except one ln():
+- the 32-bit value hash is the repo's shared md5-prefix hash in oracle
+  mode (xxhash64 as the scale default, like every hashed operator);
+- registers are MAX(rho) per (group, bucket) — integer aggregation;
+- rho comes from an integer bit-length CASE cascade, not log2();
+- the indicator sum adds 2^-rho terms: every term is a multiple of
+  2^-25 and the sum stays under 2^7 bits of integer part, so the
+  double addition is EXACT (9+25 < 53 bits) and order-independent —
+  no DECIMAL casts needed;
+- only the linear-counting branch (m * ln(m/V)) touches a libm
+  function; ln differs ~1ulp between JVM and DuckDB, so the estimate
+  is rounded to 6 decimals (house policy for ln/exp paths).
+
+Scale shape: one narrow aggregation (group, bucket) -> MAX, then a
+per-group combine — both map-side partial; the value column never
+shuffles raw (only its 32-bit hash does, inside the bucket/rho pair).
+At 100 TB this is THE way to count distincts without a giant exact
+distinct shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hash32
+
+
+def _bitlen_col(v: Column, maxbits: int) -> Column:
+    """Integer bit length via a CASE cascade — portable, no log2."""
+    c = F.when(v >= F.lit(1 << (maxbits - 1)), F.lit(maxbits))
+    for b in range(maxbits - 1, 0, -1):
+        c = c.when(v >= F.lit(1 << (b - 1)), F.lit(b))
+    return c.otherwise(F.lit(0))
+
+
+def _bitlen_sql(v: str, maxbits: int) -> str:
+    whens = " ".join(
+        f"WHEN {v} >= {1 << (b - 1)} THEN {b}"
+        for b in range(maxbits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hll_alpha_m2(p: int) -> float:
+    m = 1 << p
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """-> (group, used_buckets, est) — HLL distinct-count estimate of
+    `value_col` per group (m = 2^p registers; p>=7 so the alpha
+    constant's large-m form applies). est is rounded to 6 decimals
+    (the ln note in the module docstring)."""
+    assert p >= 7
+    m = 1 << p
+    wbits = 32 - p
+    h = shingle_hash32(F.col(value_col), hash_fn)
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftrightunsigned(h, p)
+    rho = F.lit(wbits) - _bitlen_col(w, wbits) + F.lit(1)
+
+    regs = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("b"), rho.alias("r"))
+        .groupBy("grp", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    g = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("used"),
+        # shiftleft() the builtin only takes a literal count — expr form
+        # accepts the register column
+        F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), r)")).alias(
+            "s_used"
+        ),
+    )
+    alpha_m2 = hll_alpha_m2(p)  # python double literal, shared with SQL
+    est_raw = F.lit(alpha_m2) / (F.col("s_used") + (F.lit(m) - F.col("used")))
+    v_empty = F.lit(m) - F.col("used")
+    est = F.when(
+        (v_empty > F.lit(0)) & (est_raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(est_raw)
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("used").alias("used_buckets"),
+        F.round(est, 6).alias("est"),
+    )
+
+
+def hll_distinct_sql(
+    table_expr: str,
+    group_col: str,
+    value_hash32: str,
+    p: int = 7,
+) -> str:
+    """DuckDB twin: `table_expr` must yield ({group_col}, {value_hash32
+    aliased h}); mirrors hll_distinct term for term."""
+    m = 1 << p
+    wbits = 32 - p
+    alpha_m2 = repr(hll_alpha_m2(p))
+    rho = f"({wbits} - {_bitlen_sql('w', wbits)} + 1)"
+    return f"""
+        WITH hv AS (
+          SELECT {group_col} AS grp, (h & {m - 1}) AS b, (h >> {p}) AS w
+          FROM ({table_expr})
+        ),
+        regs AS (
+          SELECT grp, b, max({rho}) AS r FROM hv GROUP BY grp, b
+        ),
+        g AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS used,
+                 sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS s_used
+          FROM regs GROUP BY grp
+        )
+        SELECT grp AS {group_col}, used AS used_buckets,
+               round(CASE WHEN ({m} - used) > 0
+                          AND (CAST('{alpha_m2}' AS DOUBLE)
+                               / (s_used + ({m} - used))) <= {2.5 * m}
+                     THEN CAST({m} AS DOUBLE)
+                          * ln(CAST({m} AS DOUBLE) / ({m} - used))
+                     ELSE CAST('{alpha_m2}' AS DOUBLE)
+                          / (s_used + ({m} - used)) END, 6) AS est
+        FROM g
+    """

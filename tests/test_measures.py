@@ -97,3 +97,35 @@ def test_spark_plan_is_map_only(spark):
     df = generate_star_parcels(spark, 50, partitions=4, size_scale=20.0)
     plan = geometry_measures(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vec_matches_fold_bitwise(spark):
+    """Arrow fast path == Catalyst fold, bit-for-bit (incl. holes)."""
+    import struct
+
+    from cadastre_pg_spark.data.parcels import generate_star_parcels
+    from cadastre_pg_spark.operators.measures import geometry_measures_vec
+
+    df = generate_star_parcels(spark, 400, partitions=4, size_scale=20.0)
+    a = geometry_measures(df).orderBy("parcel_id").collect()
+    b = geometry_measures_vec(df).orderBy("parcel_id").collect()
+
+    def key(r):
+        return [
+            struct.pack("<d", v) if isinstance(v, float) else v for v in r
+        ]
+
+    assert len(a) == len(b) == 400
+    for r1, r2 in zip(a, b):
+        assert key(r1) == key(r2)
+
+
+def test_vec_degenerate_rings(spark):
+    from cadastre_pg_spark.operators.measures import geometry_measures_vec
+
+    df = spark.createDataFrame(
+        [(1, SQ[0] + [9.9], SQ[1] + [9.9], [0, 5, 5, 6])],
+        "parcel_id long, xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    row = geometry_measures_vec(df).collect()[0]
+    assert (row.area, row.perimeter, row.n_rings) == (4.0, 8.0, 3)
