@@ -633,6 +633,56 @@ def q_host_stats(spark, sf_dir):
 
 URLD_PER_SF = 40_000
 HLL_P = 7
+HISTQ_LO, HISTQ_HI, HISTQ_BINS = 0.0, 500.0, 1000
+HISTQ_QS = (0.5, 0.9, 0.99)
+
+
+def q_user_path(spark, sf_dir):
+    """Per-user trajectory length over the event timeline joined with
+    the LCG point derivation (geospatial x events): ordered step
+    distances floor-quantized to 1e-12-degree units so the sums are
+    exact BIGINTs in both engines."""
+    from cadastre_pg_spark.operators.windows import user_path_length
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    return user_path_length(pts)
+
+
+def q_hist_quantile(spark, sf_dir):
+    """Fixed-histogram quantile sketch of event values per type — the
+    mergeable scale path next to the exact value_percentiles; upper-
+    edge estimates, error bounded by one bin width, zero libm."""
+    from cadastre_pg_spark.operators.sketches import histogram_quantile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return histogram_quantile(
+        ev, "event_type", "value", HISTQ_LO, HISTQ_HI, HISTQ_BINS, HISTQ_QS
+    )
+
+
+def q_extent(spark, sf_dir):
+    """ST_Extent analog: per-language bounding box + count of the
+    document points (exact min/max on doubles)."""
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        "lang", S.lon_col(key).alias("lon"), S.lat_col(key).alias("lat")
+    )
+    return pts.groupBy("lang").agg(
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -762,6 +812,49 @@ def q_dbscan_grid(spark, sf_dir):
         S.grid_cell_col(S.lon_col(key), S.lat_col(key), DBSCAN_LEVEL).alias("cell"),
     )
     return dbscan_grid(pts, level=DBSCAN_LEVEL, min_pts=DBSCAN_MIN_PTS)
+
+
+SIMPLIFY_TOL = 0.05
+ZSCORE_THRESHOLD = 1.65  # uniform values bound |z| at sqrt(3) ~ 1.73
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-type z-score outliers over event values (population sd from
+    exact DECIMAL moments; fixed-shape double combination). The
+    synthetic uniform distribution bounds |z| at sqrt(3), so the
+    threshold sits below that to exercise both tails."""
+    from cadastre_pg_spark.operators.stats import zscore_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return zscore_outliers(
+        ev, "event_type", "value", "event_id", threshold=ZSCORE_THRESHOLD
+    )
+
+
+def q_group_corr(spark, sf_dir):
+    """Pearson correlation of event value vs hour-of-day per type —
+    exact DECIMAL cross-moments, double combination rounded 6dp."""
+    from cadastre_pg_spark.operators.stats import group_corr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hod", F.hour(F.col("ts")).cast("long")
+    )
+    return group_corr(ev, "event_type", "value", "hod")
+
+
+def q_simplify(spark, sf_dir):
+    """Radial-distance ring simplification of the star parcels —
+    exploded kept vertices (squared-distance rule, no sqrt). The
+    oracle replays the sequential keep decision with a recursive CTE
+    walking the vertex index."""
+    from cadastre_pg_spark.data.parcels import generate_star_parcels
+    from cadastre_pg_spark.operators.simplify import simplify_radial
+
+    n_parcels = max(50, int(STAR_PARCELS_PER_SF * _sf_of(sf_dir)))
+    return simplify_radial(
+        generate_star_parcels(spark, n_parcels, size_scale=STAR_SCALE),
+        tol=SIMPLIFY_TOL,
+    )
 
 
 def q_geom_measures(spark, sf_dir):
@@ -1348,6 +1441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "url_dedup": q_url_dedup,
         "hll_distinct": q_hll_distinct,
+        "user_path": q_user_path,
+        "hist_quantile": q_hist_quantile,
+        "extent": q_extent,
+        "simplify": q_simplify,
+        "zscore_outliers": q_zscore_outliers,
+        "group_corr": q_group_corr,
     }
 
 
@@ -1382,6 +1481,60 @@ def oracle_sql() -> dict[str, str]:
         "reproject_points": _reproject_sql_oracle(),
         "pages_pipeline": _pages_pipeline_sql_oracle(),
         "geom_measures": _geom_measures_sql_oracle(),
+        "simplify": _simplify_sql_oracle(),
+        "zscore_outliers": f"""
+            WITH mom AS (
+              SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(value AS DECIMAL(28,6))) AS sx,
+                     sum(CAST(value AS DECIMAL(28,6))
+                         * CAST(value AS DECIMAL(28,6))) AS sxx
+              FROM events GROUP BY event_type
+            ),
+            st AS (
+              SELECT grp,
+                     CAST(sx AS DOUBLE) / n AS mean,
+                     sqrt(CAST(sxx AS DOUBLE) / n
+                          - (CAST(sx AS DOUBLE) / n)
+                            * (CAST(sx AS DOUBLE) / n)) AS sd
+              FROM mom
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - s.mean) / s.sd, 6) AS z
+            FROM events e JOIN st s ON e.event_type = s.grp
+            WHERE s.sd > 0
+              AND ((e.value - s.mean) / s.sd > {ZSCORE_THRESHOLD!r}
+                   OR (e.value - s.mean) / s.sd < -{ZSCORE_THRESHOLD!r})
+        """,
+        "group_corr": """
+            WITH e AS (
+              SELECT event_type, CAST(value AS DECIMAL(28,6)) AS x,
+                     CAST(CAST(hour(ts) AS BIGINT) AS DECIMAL(28,6)) AS y
+              FROM events
+            ),
+            agg AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM e GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CASE WHEN
+                     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                     AND
+                     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN round(
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   END AS corr
+            FROM agg
+        """,
         "dbscan_grid": _dbscan_grid_sql_oracle(),
         "pii_redact": _pii_redact_sql_oracle(),
         "host_stats": _host_stats_sql_oracle(),
@@ -1389,6 +1542,17 @@ def oracle_sql() -> dict[str, str]:
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
+        "user_path": _user_path_sql_oracle(),
+        "hist_quantile": _hist_quantile_sql_oracle(),
+        "extent": f"""
+            SELECT lang,
+                   min({S.lon_sql('doc_id')}) AS min_lon,
+                   max({S.lon_sql('doc_id')}) AS max_lon,
+                   min({S.lat_sql('doc_id')}) AS min_lat,
+                   max({S.lat_sql('doc_id')}) AS max_lat,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM documents GROUP BY lang
+        """,
         "moving_avg": """
             SELECT event_id, user_id, ts,
                    count(*) OVER w AS n_win,
@@ -2738,6 +2902,70 @@ def _pagerank_sql_oracle() -> str:
     return sql
 
 
+def _user_path_sql_oracle() -> str:
+    """Window-lag replay of user_path_length: identical (ts, event_id)
+    ordering, identical dx*dx+dy*dy+sqrt shape, floor-to-BIGINT-units
+    sums (the portable quantizer)."""
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    unit = "CAST('1e12' AS DOUBLE)"
+    dxy = (
+        "sqrt((lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)"
+        " + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w))"
+    )
+    return f"""
+        WITH pts AS (
+          SELECT event_id, user_id, ts, {lon} AS lon, {lat} AS lat
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, {dxy} AS dist
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id,
+               CAST(count(dist) AS BIGINT) AS n_steps,
+               CAST(COALESCE(sum(CAST(floor(dist * {unit}) AS BIGINT)), 0)
+                    AS DOUBLE) / {unit} AS path_len,
+               max(dist) AS max_step
+        FROM s GROUP BY user_id
+    """
+
+
+def _hist_quantile_sql_oracle() -> str:
+    lo, hi, bins = HISTQ_LO, HISTQ_HI, HISTQ_BINS
+    width = repr((hi - lo) / bins)
+    lo_l = f"CAST('{lo!r}' AS DOUBLE)"
+    span_l = f"CAST('{(hi - lo)!r}' AS DOUBLE)"
+    parts = []
+    for q in HISTQ_QS:
+        q_l = f"CAST('{float(q)!r}' AS DOUBLE)"
+        parts.append(
+            f"""
+        SELECT grp AS event_type, {q_l} AS q,
+               {lo_l} + (min(bin) + 1) * CAST('{width}' AS DOUBLE) AS est
+        FROM cc WHERE cum >= ceil({q_l} * n) GROUP BY grp"""
+        )
+    union = "\n        UNION ALL".join(parts)
+    return f"""
+        WITH b AS (
+          SELECT event_type AS grp,
+                 CAST(least(greatest(floor((value - {lo_l}) / {span_l}
+                                           * {bins}), 0), {bins - 1})
+                      AS INTEGER) AS bin
+          FROM events
+        ),
+        counts AS (SELECT grp, bin, count(*) AS c FROM b GROUP BY grp, bin),
+        cc AS (
+          SELECT grp, bin,
+                 sum(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY grp) AS n
+          FROM counts
+        )
+        {union}
+    """
+
+
 def _hll_distinct_sql_oracle() -> str:
     """md5-hash32 values through the register-table twin
     (operators/sketches.hll_distinct_sql)."""
@@ -2909,6 +3137,67 @@ def _dbscan_grid_sql_oracle() -> str:
                     WHEN b.border_cluster IS NOT NULL THEN 'border'
                     ELSE 'noise' END AS role
         FROM own o LEFT JOIN border b ON o.pid = b.pid
+    """
+
+
+def _simplify_sql_oracle() -> str:
+    """Recursive-CTE replay of simplify_radial: the star rings
+    (closed exterior + same-winding hole) exploded to indexed
+    vertices, then a per-ring sequential walk carrying (last-kept x,
+    last-kept y) — the keep decision is the identical
+    dx*dx + dy*dy >= tol^2 shape, closure vertex forced."""
+    n_parcels = max(50, int(STAR_PARCELS_PER_SF * 0.01))
+    m, cx, cy, _hw, _hh, vx, vy = S.star_vertices_sql("j", STAR_SCALE)
+    hole = f"(j % {S.STAR_HOLE_PERIOD} = {S.STAR_HOLE_RESIDUE})"
+    hs = "CAST('0.3' AS DOUBLE)"
+    tol2 = f"CAST('{SIMPLIFY_TOL * SIMPLIFY_TOL!r}' AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE parc AS (
+          SELECT j, {m} AS m, {cx} AS cx, {cy} AS cy,
+                 {vx} AS vx, {vy} AS vy, {hole} AS has_hole
+          FROM range(0, {n_parcels}) s(j)
+        ),
+        ringed AS (
+          SELECT j, m, has_hole,
+                 list_concat(vx, vx[1:1]) AS ex,
+                 list_concat(vy, vy[1:1]) AS ey,
+                 [cx + {hs} * (v - cx) for v in list_concat(vx, vx[1:1])] AS hx,
+                 [cy + {hs} * (v - cy) for v in list_concat(vy, vy[1:1])] AS hy
+          FROM parc
+        ),
+        verts AS (
+          SELECT j, 0 AS ring, k - 1 AS k, ex[k] AS x, ey[k] AS y,
+                 m + 1 AS n
+          FROM ringed, unnest(range(1, m + 2)) t(k)
+          UNION ALL
+          SELECT j, 1 AS ring, k - 1 AS k, hx[k] AS x, hy[k] AS y,
+                 m + 1 AS n
+          FROM ringed, unnest(range(1, m + 2)) t(k)
+          WHERE has_hole
+        ),
+        walk AS (
+          SELECT j, ring, k, x, y, x AS lx, y AS ly, true AS keep, n
+          FROM verts WHERE k = 0
+          UNION ALL
+          SELECT v.j, v.ring, v.k, v.x, v.y,
+                 CASE WHEN (v.k < v.n - 1)
+                       AND ((v.x - w.lx) * (v.x - w.lx)
+                            + (v.y - w.ly) * (v.y - w.ly)) >= {tol2}
+                      THEN v.x ELSE w.lx END,
+                 CASE WHEN (v.k < v.n - 1)
+                       AND ((v.x - w.lx) * (v.x - w.lx)
+                            + (v.y - w.ly) * (v.y - w.ly)) >= {tol2}
+                      THEN v.y ELSE w.ly END,
+                 (v.k = v.n - 1)
+                 OR ((v.x - w.lx) * (v.x - w.lx)
+                     + (v.y - w.ly) * (v.y - w.ly)) >= {tol2},
+                 v.n
+          FROM walk w
+          JOIN verts v ON v.j = w.j AND v.ring = w.ring AND v.k = w.k + 1
+        )
+        SELECT j AS parcel_id, ring AS ring_idx, CAST(k AS INTEGER) AS pos,
+               x, y
+        FROM walk WHERE keep
     """
 
 

@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "geohash",
     "url_dedup",
     "hll_distinct",
+    "user_path",
+    "hist_quantile",
+    "extent",
+    "simplify",
     "moving_avg",
 ]
 

@@ -133,3 +133,57 @@ def hll_distinct_sql(
                           / (s_used + ({m} - used)) END, 6) AS est
         FROM g
     """
+
+
+def histogram_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Fixed-histogram quantile sketch — the mergeable, shuffle-light
+    companion to the exact interpolated percentiles (value_percentiles):
+    bucketize into `bins` equal cells over [lo, hi), count per
+    (group, bin), and report each quantile as the UPPER EDGE of the
+    first bin whose cumulative count reaches ceil(q * n). Error is
+    bounded by one bin width by construction; every step is integer or
+    fixed-shape double arithmetic, so the oracle replays it exactly
+    (no interpolation, no libm).
+
+    Scale shape: one (group, bin) hash aggregate with map-side
+    partials — at 100 TB the shuffle carries at most groups x bins
+    rows — then a per-group sort of <= `bins` rows inside a window.
+    """
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("int")
+    counts = (
+        df.select(F.col(group_col).alias("grp"), b.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = F.sum("c").over(W.partitionBy("grp").orderBy("bin"))
+    tot = F.sum("c").over(W.partitionBy("grp"))
+    cc = counts.select("grp", "bin", cum.alias("cum"), tot.alias("n"))
+    outs = []
+    for q in qs:
+        tgt = F.ceil(F.lit(float(q)) * F.col("n"))
+        hit = cc.filter(F.col("cum") >= tgt).groupBy("grp").agg(
+            F.min("bin").alias("bin")
+        )
+        outs.append(
+            hit.select(
+                "grp",
+                F.lit(float(q)).alias("q"),
+                (F.lit(lo) + (F.col("bin") + F.lit(1)) * F.lit(width)).alias("est"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(F.col("grp").alias(group_col), "q", "est")

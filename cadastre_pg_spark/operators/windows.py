@@ -41,3 +41,43 @@ def sliding_user_stats(events: DataFrame, window_us: int = HOUR_US) -> DataFrame
         sum_dec.cast("double").alias("sum_win"),
         (sum_dec.cast("double") / cnt).alias("avg_win"),
     )
+
+
+PATH_UNIT = 1e12  # 1 unit = 1e-12 deg; country-scale paths stay < 2^53
+
+
+def user_path_length(points: DataFrame) -> DataFrame:
+    """Per-user trajectory length — the movement analytics join of the
+    event timeline with the point derivation (geospatial x events):
+    order each user's points by (ts, event_id), take consecutive
+    planar step distances, and sum them EXACTLY by flooring each step
+    to integer 1e-12-degree units (the pagerank quantization trick:
+    floor-on-double is bitwise-portable across engines where
+    double->DECIMAL casts are not; BIGINT sums are order-independent).
+
+    Input: (event_id, user_id, ts, lon, lat). Output per user:
+    n_steps, path_len (units /1e12, double), max_step (exact MAX on
+    doubles — no quantization needed for comparisons).
+
+    Scale shape: one exchange on user_id + per-partition sort (the
+    canonical window plan), then a hash aggregate with map-side
+    partials. Nothing wider than 5 narrow columns ever shuffles.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    dx = F.col("lon") - F.lag("lon").over(w)
+    dy = F.col("lat") - F.lag("lat").over(w)
+    dist = F.sqrt(dx * dx + dy * dy)
+    stepped = points.select(
+        "user_id",
+        dist.alias("dist"),
+        F.floor(dist * F.lit(PATH_UNIT)).alias("du"),
+    )
+    return stepped.groupBy("user_id").agg(
+        F.count("du").alias("n_steps"),  # count skips the lag-null first row
+        (F.coalesce(F.sum("du"), F.lit(0)).cast("double") / F.lit(PATH_UNIT)).alias(
+            "path_len"
+        ),
+        F.max("dist").alias("max_step"),
+    )

@@ -1,0 +1,96 @@
+"""Streaming HyperLogLog — the stream twin of
+operators/sketches.hll_distinct: per-group register state updated per
+micro-batch, estimate re-emitted on every update. Because HLL
+registers are a commutative-idempotent MAX, the stream is
+ORDER-INSENSITIVE: any batch arrival order converges to the batch
+answer (unlike sessionization, no disorder policy is needed) — the
+final emitted estimate per group equals the batch operator exactly,
+asserted in tests/test_streaming_hll.py.
+
+State per group is m = 2^p small ints (p=7 -> 128 registers); the
+shuffle is the state operator's own hash exchange on the group key.
+The value hash is the repo's shared md5-prefix-32 (hashlib here ==
+Spark's md5() on UTF-8 bytes), so stream, batch, and the DuckDB
+oracle all see identical registers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cadastre_pg_spark.operators.sketches import hll_alpha_m2
+
+OUTPUT_SCHEMA = "grp string, used_buckets long, est double"
+
+
+def _state_schema(p: int) -> str:
+    return "regs array<integer>"
+
+
+def _rho(w: int, wbits: int) -> int:
+    return wbits - w.bit_length() + 1
+
+
+def _estimate(regs, p: int) -> tuple[int, float]:
+    m = 1 << p
+    used = sum(1 for r in regs if r > 0)
+    s = sum(1.0 / (1 << r) for r in regs if r > 0)
+    est_raw = hll_alpha_m2(p) / (s + (m - used))
+    if (m - used) > 0 and est_raw <= 2.5 * m:
+        est = float(m) * math.log(float(m) / (m - used))
+    else:
+        est = est_raw
+    # Spark's round() is HALF_UP on the exact decimal expansion;
+    # python round() is banker's — replicate HALF_UP for positives
+    est = math.floor(est * 1e6 + 0.5) / 1e6
+    return used, est
+
+
+def _make_update(p: int):
+    m = 1 << p
+    wbits = 32 - p
+
+    def _update(key, pdfs, state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                h = int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
+                b = h & (m - 1)
+                r = _rho(h >> p, wbits)
+                if r > regs[b]:
+                    regs[b] = r
+        state.update((regs,))
+        used, est = _estimate(regs, p)
+        yield pd.DataFrame(
+            {"grp": [key[0]], "used_buckets": [used], "est": [est]}
+        )
+
+    return _update
+
+
+def hll_stream(
+    grouped_values: DataFrame,
+    p: int = 7,
+    query_name: str = "hll",
+):
+    """grouped_values: a STREAMING DataFrame with columns (grp, v).
+    Returns the started memory-sink query emitting (grp, used_buckets,
+    est) per update; the last row per grp is the current sketch."""
+    out = grouped_values.groupBy("grp").applyInPandasWithState(
+        _make_update(p),
+        OUTPUT_SCHEMA,
+        _state_schema(p),
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )

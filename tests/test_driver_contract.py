@@ -14,14 +14,22 @@ ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(ORACLED))
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
-    # spatial_join_scale / pages_pipeline oracles pin their row counts
-    # to the sf0.01 sizes (the driver only runs oracles there), so
-    # test those at that sf
+    # some oracles pin their generated-input sizes to the sf0.01 values
+    # (the driver only runs oracles there), so test those at that sf
     from conftest import SF_CORRECT
 
     sf = (
         SF_CORRECT
-        if name in ("spatial_join_scale", "pages_pipeline", "media_features")
+        if name
+        in (
+            "spatial_join_scale",
+            "pages_pipeline",
+            "media_features",
+            "geom_measures",
+            "simplify",
+            "pagerank",
+            "host_stats",
+        )
         else SF_UNIT
     )
     q = entrymod.queries()[name]

@@ -177,3 +177,41 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
         assert ("BroadcastHashJoin" in s) or ("SortMergeJoin" in s) or (
             "ShuffledHashJoin" in s
         ), name
+
+
+def test_simplify_is_map_only(spark):
+    """Vertex reduction must not exchange — fold + explode in place."""
+    from cadastre_pg_spark.data.parcels import generate_star_parcels
+    from cadastre_pg_spark.operators.simplify import simplify_radial
+
+    df = simplify_radial(
+        generate_star_parcels(spark, 50, partitions=4, size_scale=20.0), tol=0.05
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hll_is_two_stage_partial_aggregate(spark):
+    """Registers must combine map-side: two HashAggregate pairs (the
+    (grp,bucket) MAX and the per-group combine), value never shuffles
+    raw."""
+    from cadastre_pg_spark.operators.sketches import hll_distinct
+
+    docs = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(100)], "grp string, v string"
+    )
+    df = hll_distinct(docs, "grp", "v")
+    plan = df._jdf.queryExecution().executedPlan().toString(); low = plan.lower()
+    assert low.count("hashaggregate") >= 4  # partial+final x 2 stages
+    assert "partial_max" in low or "partial" in low
+
+
+def test_zscore_stats_join_broadcasts(spark):
+    """The per-group moments table is tiny — joining it back onto the
+    scan must broadcast, never shuffle the fact side."""
+    from cadastre_pg_spark.operators.stats import zscore_outliers
+
+    ev = spark.read.parquet(f"{SF_UNIT}/events.parquet")
+    df = zscore_outliers(ev, "event_type", "value", "event_id", threshold=1.65)
+    a = audit(df)
+    assert a["broadcast_join"], "moments join should broadcast"

@@ -42,3 +42,21 @@ def test_md5_mode_deterministic(spark):
     b, _ = _est(spark, vals, hash_fn="md5")
     assert a == b
     assert abs(a - 500) / 500 < 0.33
+
+
+def test_histogram_quantile_golden(spark):
+    from cadastre_pg_spark.operators.sketches import histogram_quantile
+
+    # 100 values 0.5..99.5 in [0,100) with 100 bins: bin i holds i+0.5
+    rows = [("a", i + 0.5) for i in range(100)]
+    rows += [("b", 999.0), ("b", -5.0)]  # clamped into last/first bin
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {(r.grp, r.q): r.est for r in histogram_quantile(
+        df, "grp", "v", 0.0, 100.0, 100, qs=(0.5, 0.9, 0.99)
+    ).collect()}
+    # q=0.5 -> ceil(50) = 50th value -> bin 49 -> upper edge 50.0
+    assert out[("a", 0.5)] == 50.0
+    assert out[("a", 0.9)] == 90.0
+    assert out[("a", 0.99)] == 99.0
+    assert out[("b", 0.5)] == 1.0     # clamped -5 -> bin 0
+    assert out[("b", 0.99)] == 100.0  # clamped 999 -> bin 99

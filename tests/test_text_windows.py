@@ -85,3 +85,41 @@ def test_host_stats_rollup(spark):
     assert (a.n_pages, a.n_langs, a.n_fr, a.sum_chars) == (2, 2, 1, 6)
     b = rows["b.example.fr"]  # http scheme also parsed
     assert (b.n_pages, b.n_langs, b.n_fr, b.sum_chars) == (1, 1, 1, 3)
+
+
+def test_user_path_length_golden(spark):
+    from cadastre_pg_spark.operators.windows import user_path_length
+
+    rows = [
+        # user 7: right triangle walk 3-4-5
+        (1, 7, datetime(2024, 1, 1, 10, 0), 0.0, 0.0),
+        (2, 7, datetime(2024, 1, 1, 11, 0), 3.0, 0.0),
+        (3, 7, datetime(2024, 1, 1, 12, 0), 3.0, 4.0),
+        # user 8: single point -> no steps
+        (4, 8, datetime(2024, 1, 1, 10, 0), 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+    out = {r.user_id: r for r in user_path_length(df).collect()}
+    assert out[7].n_steps == 2
+    assert out[7].path_len == 7.0  # 3 + 4, exact in units
+    assert out[7].max_step == 4.0
+    assert out[8].n_steps == 0 and out[8].path_len == 0.0
+    assert out[8].max_step is None
+
+
+def test_user_path_orders_by_ts_then_id(spark):
+    from cadastre_pg_spark.operators.windows import user_path_length
+
+    t = datetime(2024, 1, 1, 10, 0)
+    rows = [  # same ts: event_id breaks the tie -> path 1+1, not 2+0
+        (2, 7, t, 1.0, 0.0),
+        (1, 7, t, 0.0, 0.0),
+        (3, 7, t, 2.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+    row = user_path_length(df).collect()[0]
+    assert (row.n_steps, row.path_len) == (2, 2.0)
