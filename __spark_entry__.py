@@ -816,6 +816,63 @@ def q_dbscan_grid(spark, sf_dir):
 
 SIMPLIFY_TOL = 0.05
 ZSCORE_THRESHOLD = 1.65  # uniform values bound |z| at sqrt(3) ~ 1.73
+PYRAMID_LEVELS = (6, 8, 10)  # coarse..fine; fine drives the rollup
+
+
+def q_profile(spark, sf_dir):
+    """ANALYZE-style one-scan column profile of events (counts, nulls,
+    exact distincts, numeric min/max; ts profiled via epoch micros).
+    Exact-distinct variant — the 100 TB swap is sketches.hll_distinct
+    (see operator docstring)."""
+    from cadastre_pg_spark.operators.stats import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return profile_table(
+        ev,
+        numeric_cols=("event_id", "user_id", "value", "ts_us"),
+        other_cols=("event_type", "props"),
+    )
+
+
+def q_cell_pyramid(spark, sf_dir):
+    """Multi-resolution cell histogram (the tile-pyramid build): the
+    FINE cell's (ix, iy) are computed once from the point, every
+    coarser level is an integer shift of them (power-of-two nesting
+    makes floor(x*n_coarse) == ix_fine >> d exactly), and one explode
+    + one (level, cell) aggregate emits the whole pyramid — one scan,
+    no per-level recompute. Oracle replays the same shifts."""
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    lon, lat = S.lon_col(key), S.lat_col(key)
+    fine = PYRAMID_LEVELS[-1]
+    n_f = 1 << fine
+    ix = F.floor(
+        (lon - F.lit(S.LON0)) / F.lit(S.LON1 - S.LON0) * F.lit(float(n_f))
+    )
+    iy = F.floor(
+        (lat - F.lit(S.LAT0)) / F.lit(S.LAT1 - S.LAT0) * F.lit(float(n_f))
+    )
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n_f - 1)).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n_f - 1)).cast("long")
+    lvls = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("level"),
+                (
+                    F.shiftrightunsigned(ix, fine - lv) * F.lit(1 << lv)
+                    + F.shiftrightunsigned(iy, fine - lv)
+                ).alias("cell"),
+            )
+            for lv in PYRAMID_LEVELS
+        ]
+    )
+    return (
+        docs.select(F.explode(lvls).alias("lc"))
+        .groupBy(F.col("lc.level").alias("level"), F.col("lc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def q_zscore_outliers(spark, sf_dir):
@@ -1447,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": q_simplify,
         "zscore_outliers": q_zscore_outliers,
         "group_corr": q_group_corr,
+        "cell_pyramid": q_cell_pyramid,
+        "profile": q_profile,
     }
 
 
@@ -1482,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_pipeline": _pages_pipeline_sql_oracle(),
         "geom_measures": _geom_measures_sql_oracle(),
         "simplify": _simplify_sql_oracle(),
+        "cell_pyramid": _cell_pyramid_sql_oracle(),
+        "profile": _profile_sql_oracle(),
         "zscore_outliers": f"""
             WITH mom AS (
               SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
@@ -2853,6 +2914,71 @@ def _pages_pipeline_sql_oracle() -> str:
                 ((ed.y1 > p.py) <> (ed.y2 > p.py))
                 AND p.px < ed.x1 + (p.py - ed.y1) / (ed.y2 - ed.y1)
                                    * (ed.x2 - ed.x1))) % 2 = 1
+    """
+
+
+def _profile_sql_oracle() -> str:
+    numeric = ("event_id", "user_id", "value", "ts_us")
+    other = ("event_type", "props")
+    aggs = ["count(*) AS n"]
+    for c in numeric + other:
+        aggs.append(f"count({c}) AS nn_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+    for c in numeric:
+        aggs.append(f"min(CAST({c} AS DOUBLE)) AS mn_{c}")
+        aggs.append(f"max(CAST({c} AS DOUBLE)) AS mx_{c}")
+    parts = []
+    for c in numeric + other:
+        mn = f"mn_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""
+        SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n,
+               CAST(n - nn_{c} AS BIGINT) AS n_null,
+               CAST(nd_{c} AS BIGINT) AS n_distinct,
+               {mn} AS min_num, {mx} AS max_num
+        FROM a"""
+        )
+    union = "\n        UNION ALL".join(parts)
+    return f"""
+        WITH e AS (
+          SELECT *, epoch_us(ts) AS ts_us FROM events
+        ),
+        a AS (SELECT {', '.join(aggs)} FROM e)
+        {union}
+    """
+
+
+def _cell_pyramid_sql_oracle() -> str:
+    """Same fine-(ix,iy) + integer-shift rollup, unioned per level."""
+    fine = PYRAMID_LEVELS[-1]
+    n_f = 1 << fine
+    lon = S.lon_sql("doc_id")
+    lat = S.lat_sql("doc_id")
+    ix = (
+        f"CAST(least(greatest(floor((({lon}) - {S.LON0}) / {S.LON1 - S.LON0}"
+        f" * CAST({n_f} AS DOUBLE)), 0), {n_f - 1}) AS BIGINT)"
+    )
+    iy = (
+        f"CAST(least(greatest(floor((({lat}) - {S.LAT0}) / {S.LAT1 - S.LAT0}"
+        f" * CAST({n_f} AS DOUBLE)), 0), {n_f - 1}) AS BIGINT)"
+    )
+    parts = []
+    for lv in PYRAMID_LEVELS:
+        d = fine - lv
+        parts.append(
+            f"""
+        SELECT {lv} AS level,
+               (ix >> {d}) * {1 << lv} + (iy >> {d}) AS cell,
+               CAST(count(*) AS BIGINT) AS n
+        FROM fine GROUP BY 2"""
+        )
+    union = "\n        UNION ALL".join(parts)
+    return f"""
+        WITH fine AS (
+          SELECT {ix} AS ix, {iy} AS iy FROM documents
+        )
+        {union}
     """
 
 

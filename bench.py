@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "hist_quantile",
     "extent",
     "simplify",
+    "cell_pyramid",
+    "profile",
     "moving_avg",
 ]
 

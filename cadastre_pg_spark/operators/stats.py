@@ -99,3 +99,51 @@ def group_corr(
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
     )
     return agg.select(F.col("grp").alias(group_col), "n", corr.alias("corr"))
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: tuple = (),
+    other_cols: tuple = (),
+) -> DataFrame:
+    """ANALYZE-style column profile in ONE scan: per column the row
+    count, null count, exact distinct count, and (numeric columns)
+    min/max as doubles. -> (col_name, n, n_null, n_distinct, min_num,
+    max_num).
+
+    Scale note: multiple COUNT(DISTINCT) make Catalyst plan an Expand
+    (one duplicated stream per distinct aggregate) — exact and fine at
+    dimension-table scale; for 100 TB fact columns swap the distinct
+    counts for sketches.hll_distinct (documented trade, same output
+    shape modulo estimate)."""
+    cols = list(numeric_cols) + list(other_cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+    a = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n").alias("n"),
+                (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (
+                    F.col(f"mn_{c}")
+                    if c in numeric_cols
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"mx_{c}")
+                    if c in numeric_cols
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+            for c in cols
+        ]
+    )
+    return a.select(F.explode(rows).alias("p")).select("p.*")

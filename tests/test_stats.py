@@ -34,3 +34,45 @@ def test_corr_perfect_and_inverse(spark):
     assert out["up"] == pytest.approx(1.0, abs=1e-6)
     assert out["down"] == pytest.approx(-1.0, abs=1e-6)
     assert out["flat"] is None
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from cadastre_pg_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "x"), (3, 2.0, None), (4, 9.0, "y")],
+        "id long, v double, s string",
+    )
+    rows = {r.col_name: r for r in profile_table(
+        df, numeric_cols=("id", "v"), other_cols=("s",)
+    ).collect()}
+    assert rows["id"].n == 4 and rows["id"].n_null == 0
+    assert rows["id"].n_distinct == 4
+    assert (rows["id"].min_num, rows["id"].max_num) == (1.0, 4.0)
+    assert rows["v"].n_null == 1 and rows["v"].n_distinct == 2
+    assert (rows["v"].min_num, rows["v"].max_num) == (2.0, 9.0)
+    assert rows["s"].n_null == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_num is None and rows["s"].max_num is None
+
+
+def test_cell_pyramid_levels_nest(spark):
+    """Every fine-level count must roll up exactly into its parent."""
+    import __spark_entry__ as E
+    from conftest import SF_UNIT
+
+    rows = E.queries()["cell_pyramid"](spark, SF_UNIT).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level, {})[r.cell] = r.n
+    levels = sorted(by_level)
+    for lo, hi in zip(levels, levels[1:]):
+        d = hi - lo
+        rolled = {}
+        for cell, n in by_level[hi].items():
+            ix, iy = divmod(cell, 1 << hi)
+            parent = (ix >> d) * (1 << lo) + (iy >> d)
+            rolled[parent] = rolled.get(parent, 0) + n
+        assert rolled == by_level[lo]
+    # total conserved per level
+    totals = {lv: sum(c.values()) for lv, c in by_level.items()}
+    assert len(set(totals.values())) == 1
