@@ -819,6 +819,38 @@ ZSCORE_THRESHOLD = 1.65  # uniform values bound |z| at sqrt(3) ~ 1.73
 PYRAMID_LEVELS = (6, 8, 10)  # coarse..fine; fine drives the rollup
 
 
+SMOOTH_LEVEL = 5  # 32x32 cells -> multi-point cells at sf0.01
+
+
+def q_cell_smooth(spark, sf_dir):
+    """3x3 kernel-smoothed document-point density per cell (power-of-
+    two weights -> exact double sums, no rounding grid)."""
+    from cadastre_pg_spark.operators.density import smooth_cell_counts
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), SMOOTH_LEVEL).alias("cell")
+    )
+    return smooth_cell_counts(pts, SMOOTH_LEVEL)
+
+
+def q_transitions(spark, sf_dir):
+    """Per-user event-type bigram transition matrix with exact-ratio
+    probabilities (Markov journey view)."""
+    from cadastre_pg_spark.operators.sessions import transition_matrix
+
+    return transition_matrix(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by the Monday week of
+    their first event, counted once per later active week."""
+    from cadastre_pg_spark.operators.sessions import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_profile(spark, sf_dir):
     """ANALYZE-style one-scan column profile of events (counts, nulls,
     exact distincts, numeric min/max; ts profiled via epoch micros).
@@ -1506,6 +1538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_corr": q_group_corr,
         "cell_pyramid": q_cell_pyramid,
         "profile": q_profile,
+        "cell_smooth": q_cell_smooth,
+        "transitions": q_transitions,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1543,6 +1578,41 @@ def oracle_sql() -> dict[str, str]:
         "simplify": _simplify_sql_oracle(),
         "cell_pyramid": _cell_pyramid_sql_oracle(),
         "profile": _profile_sql_oracle(),
+        "cell_smooth": _cell_smooth_sql_oracle(),
+        "transitions": """
+            WITH p AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS src_type,
+                     event_type AS dst_type
+              FROM events
+            ),
+            c AS (
+              SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE src_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT src_type, dst_type, n,
+                   CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY src_type) AS p
+            FROM c
+        """,
+        "cohort_retention": """
+            WITH e AS (
+              SELECT user_id, epoch_us(date_trunc('week', ts)) AS wk_us
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, min(wk_us) AS cohort_us FROM e GROUP BY user_id
+            ),
+            j AS (
+              SELECT e.user_id, f.cohort_us,
+                     CAST((e.wk_us - f.cohort_us) / 604800000000 AS BIGINT)
+                       AS week_offset
+              FROM e JOIN f USING (user_id)
+            )
+            SELECT make_timestamp(cohort_us) AS cohort_week, week_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM j GROUP BY 1, 2
+        """,
         "zscore_outliers": f"""
             WITH mom AS (
               SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
@@ -2914,6 +2984,29 @@ def _pages_pipeline_sql_oracle() -> str:
                 ((ed.y1 > p.py) <> (ed.y2 > p.py))
                 AND p.px < ed.x1 + (p.py - ed.y1) / (ed.y2 - ed.y1)
                                    * (ed.x2 - ed.x1))) % 2 = 1
+    """
+
+
+def _cell_smooth_sql_oracle() -> str:
+    n = 1 << SMOOTH_LEVEL
+    cell = S.grid_cell_sql(S.lon_sql("doc_id"), S.lat_sql("doc_id"), SMOOTH_LEVEL)
+    offs = ", ".join(
+        f"({dx}, {dy}, {4 if (dx, dy) == (0, 0) else (8 if dx == 0 or dy == 0 else 16)})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    return f"""
+        WITH counts AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT {cell} AS cell FROM documents) GROUP BY cell
+        ),
+        c2 AS (SELECT cell // {n} AS ix, cell % {n} AS iy, n FROM counts),
+        off(dx, dy, w) AS (VALUES {offs})
+        SELECT CAST((ix + dx) * {n} + iy + dy AS BIGINT) AS cell,
+               sum(CAST(n AS DOUBLE) / w) AS density
+        FROM c2, off
+        WHERE ix + dx BETWEEN 0 AND {n - 1} AND iy + dy BETWEEN 0 AND {n - 1}
+        GROUP BY 1
     """
 
 

@@ -121,3 +121,54 @@ def dbscan_grid(
     )
     out._cadastre_cached = [core, clus] + getattr(cc, "_cadastre_cached", [])
     return out
+
+
+def smooth_cell_counts(
+    points: DataFrame, level: int, cell_col: str = "cell"
+) -> DataFrame:
+    """3x3 kernel-smoothed cell density (the heatmap/KDE-lite pass
+    before tile rendering): smoothed(c) = n(c)/4 + edge-neighbors/8 +
+    diagonal-neighbors/16. POWER-OF-TWO weights make every
+    contribution an exact multiple of 1/16, so the double sum is
+    exact and order-independent — the oracle replays it with no
+    rounding grid. Cells outside the grid contribute nothing (zero
+    padding; border mass shrinks, documented).
+
+    Scale shape: one (cell) count aggregate, then a 9-way offset
+    explode of the CELL CENSUS (not the points) re-aggregated on the
+    target cell — both narrow-key hash aggregates with map-side
+    partials."""
+    n = 1 << level
+    counts = (
+        points.select(F.col(cell_col).cast("long").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    iy = F.pmod(F.col("cell"), F.lit(n))
+    ix = (F.col("cell") - iy) / F.lit(n)
+    contribs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            w = 4 if (dx, dy) == (0, 0) else (8 if dx == 0 or dy == 0 else 16)
+            tgt = ((ix + F.lit(dx)) * n + iy + F.lit(dy)).cast("long")
+            ok = (
+                (ix + F.lit(dx) >= 0)
+                & (ix + F.lit(dx) < n)
+                & (iy + F.lit(dy) >= 0)
+                & (iy + F.lit(dy) < n)
+            )
+            contribs.append(
+                F.when(
+                    ok,
+                    F.struct(
+                        tgt.alias("t"),
+                        (F.col("n").cast("double") / F.lit(w)).alias("c"),
+                    ),
+                )
+            )
+    arr = F.filter(F.array(*contribs), lambda s: s.isNotNull())
+    return (
+        counts.select(F.explode(arr).alias("s"))
+        .groupBy(F.col("s.t").alias("cell"))
+        .agg(F.sum("s.c").alias("density"))
+    )

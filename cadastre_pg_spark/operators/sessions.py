@@ -128,3 +128,68 @@ def funnel_steps(
         F.coalesce(F.col("f.step"), F.lit(0)).alias("steps_reached"),
         *[F.col(f"f.{f}").alias(f) for f in t_fields],
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """Per-user event-type bigram transitions -> (src_type, dst_type,
+    n, p): the Markov-chain view of the event stream (journey
+    analytics). Ordering is the house (ts, event_id) tie rule; p is
+    the exact BIGINT ratio n / total-from-src evaluated in doubles
+    (single correctly-rounded division — identical across engines).
+
+    Scale shape: one user-keyed window (exchange + sort) for the lag,
+    then a (src, dst) hash aggregate; the src totals come from a
+    window over the aggregate itself (a few hundred rows), not a
+    second scan."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).filter(F.col("src_type").isNotNull())
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(W.partitionBy("src_type"))
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n",
+        (F.col("n").cast("double") / tot).alias("p"),
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention -> (cohort_week, week_offset, n_users):
+    users bucketed by the Monday week of their FIRST event; each later
+    active week counts them once at its integer week offset. All
+    arithmetic on date_trunc'd microsecond epochs — exact integer
+    multiples of a week, so the offset division is exact in both
+    engines.
+
+    Scale shape: one user-keyed aggregate for the cohort, a broadcast
+    join back (users << events at scale this is the one heavy join —
+    the cohort table is one row per user; at 100 TB bucket both sides
+    by user_id), then a distinct-user count per (cohort, offset)."""
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", F.unix_micros(wk).alias("wk_us"))
+    first = ev.groupBy("user_id").agg(F.min("wk_us").alias("cohort_us"))
+    j = ev.join(first, "user_id")
+    week_us = 7 * 86400 * 1_000_000
+    return (
+        j.select(
+            "user_id",
+            F.col("cohort_us"),
+            ((F.col("wk_us") - F.col("cohort_us")) / F.lit(week_us))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_us", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.timestamp_micros(F.col("cohort_us")).alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
