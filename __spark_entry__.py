@@ -851,6 +851,18 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+DUP_SPAN_W = 8  # window tokens for the exact-substring dedup census
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup report (Lee et al. repeated W-token
+    windows): per-doc duplicated-window count and merged-span token
+    coverage; md5 hash mode for the DuckDB twin."""
+    return D.dup_span_stats(
+        _docs(spark, sf_dir), w=DUP_SPAN_W, min_count=2, hash_fn="md5"
+    )
+
+
 def q_profile(spark, sf_dir):
     """ANALYZE-style one-scan column profile of events (counts, nulls,
     exact distincts, numeric min/max; ts profiled via epoch micros).
@@ -1541,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_smooth": q_cell_smooth,
         "transitions": q_transitions,
         "cohort_retention": q_cohort_retention,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -1579,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_pyramid": _cell_pyramid_sql_oracle(),
         "profile": _profile_sql_oracle(),
         "cell_smooth": _cell_smooth_sql_oracle(),
+        "dup_spans": _dup_spans_sql_oracle(w=DUP_SPAN_W, min_count=2),
         "transitions": """
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -2598,6 +2612,56 @@ def _contamination_sql_oracle(n: int, eval_mod: int) -> str:
                                / CAST(len(ev.sh) AS DOUBLE), 6)
                     ELSE 0.0 END AS contamination
         FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id
+    """
+
+
+def _dup_spans_sql_oracle(w: int, min_count: int) -> str:
+    """Independent replay of dedup.dup_span_stats: repeated W-token
+    window census (md5-prefix hash), lead()-capped integer coverage of
+    merged spans, one rounded division for dup_frac."""
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        hs AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(
+                     [array_to_string(t[i+1:i+{w}], ' ')
+                      for i in range(0, greatest(len(t) - {w - 1}, 0))],
+                     s -> md5(s)),
+                   m -> {_hex32_sql('m')}) AS hs
+          FROM tok
+        ),
+        wins AS (
+          SELECT doc_id,
+                 unnest([i for i in range(0, len(hs))]) AS pos,
+                 unnest(hs) AS h
+          FROM hs
+        ),
+        census AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= {min_count}),
+        dup AS (SELECT doc_id, pos FROM wins JOIN census USING (h)),
+        cov AS (
+          SELECT doc_id,
+                 coalesce(least({w}, lead(pos) OVER (PARTITION BY doc_id
+                              ORDER BY pos) - pos), {w}) AS c
+          FROM dup
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup,
+                 CAST(sum(c) AS BIGINT) AS cut_tokens
+          FROM cov GROUP BY doc_id
+        )
+        SELECT tok.doc_id AS doc_id,
+               CAST(greatest(len(t) - {w - 1}, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+               CAST(coalesce(cut_tokens, 0) AS BIGINT) AS cut_tokens,
+               CASE WHEN len(t) - {w - 1} > 0
+                    THEN round(CAST(coalesce(n_dup, 0) AS DOUBLE)
+                               / CAST(len(t) - {w - 1} AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_frac
+        FROM tok LEFT JOIN agg USING (doc_id)
     """
 
 

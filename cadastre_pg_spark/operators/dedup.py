@@ -784,3 +784,102 @@ def line_dedup(
         F.count(F.when(F.col("_dup").isNull(), 1)).alias("n_kept"),
         F.count(F.col("_dup")).alias("n_dropped"),
     )
+
+
+def repeated_windows(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus repeated token-window census — the exact-substring
+    dedup primitive (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every W-token window whose hash occurs
+    >= min_count times ANYWHERE in the corpus (within-document repeats
+    count too) is an exact duplicated span occurrence.
+
+    Returns (doc_id, pos, h): 0-based window start positions of every
+    duplicated-window occurrence. Feed to dup_span_stats for the
+    per-document removal report.
+
+    Scale shape (100 TB): windows explode to narrow (doc_id, pos, h)
+    rows — the document text itself never leaves the scan stage. The
+    census is a map-side-partial count on the 8-byte hash; the
+    surviving dup-hash set (windows seen twice+) is tiny relative to
+    the corpus, so AQE broadcasts it into the occurrence join when it
+    fits, else the join shuffles on the same narrow key.
+    """
+    hs = F.transform(
+        shingles(F.col(text_col), w), lambda s: shingle_hash32(s, hash_fn)
+    )
+    wins = docs.select("doc_id", F.posexplode(hs).alias("pos", "h")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "h"
+    )
+    census = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= F.lit(min_count))
+    )
+    return wins.join(census.select("h"), "h").select("doc_id", "pos", "h")
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document exact-substring dedup report from repeated_windows:
+    (doc_id, n_windows, n_dup, cut_tokens, dup_frac) where cut_tokens
+    is the token count covered by the UNION of the duplicated W-token
+    windows (overlapping windows merge into maximal spans — the text a
+    substring-dedup pass would cut) and dup_frac = n_dup / n_windows
+    rounded to 6 dp (0.0 when the doc is shorter than W tokens).
+
+    All span arithmetic is integer (coverage via lead(pos) capped at
+    W), so the DuckDB oracle replays it exactly; the one division is a
+    single correctly-rounded double op behind round().
+
+    Scale shape: adds one doc_id window (exchange + sort over only the
+    duplicated occurrences) and a per-doc count aggregate on top of
+    repeated_windows; the n_windows branch re-derives counts from the
+    scan (cheap column arithmetic) rather than persisting exploded
+    windows.
+    """
+    from pyspark.sql import Window as W
+
+    dup = repeated_windows(docs, w, min_count, hash_fn, text_col)
+    lead = F.lead("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+    cov = dup.select(
+        "doc_id",
+        F.coalesce(F.least(F.lit(w), lead - F.col("pos")), F.lit(w)).alias("c"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup"),
+        F.sum("c").cast("long").alias("cut_tokens"),
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_win = docs.select(
+        "doc_id",
+        F.greatest(F.size(toks) - F.lit(w - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
+    return n_win.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        F.coalesce(F.col("cut_tokens"), F.lit(0)).cast("long").alias("cut_tokens"),
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
