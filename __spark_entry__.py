@@ -852,6 +852,32 @@ def q_cohort_retention(spark, sf_dir):
 
 
 DUP_SPAN_W = 8  # window tokens for the exact-substring dedup census
+IDW_LEVEL = 5  # 32x32: cell spans 14/32 and 10/32 deg, both exact doubles
+
+
+def q_surprisal(spark, sf_dir):
+    """Per-doc mean unigram surprisal under the corpus's own
+    hash-bucketed unigram model (md5 mode for the DuckDB twin)."""
+    from cadastre_pg_spark.operators.textanalysis import surprisal
+
+    return surprisal(_docs(spark, sf_dir), hash_fn="md5")
+
+
+def q_idw(spark, sf_dir):
+    """Power-2 IDW interpolation of a deterministic doc value surface
+    onto grid-cell centers (3x3-ring candidates, integer-quantized
+    weights -> bitwise-identical division in the oracle)."""
+    from cadastre_pg_spark.operators.density import idw_grid
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), IDW_LEVEL).alias("cell"),
+        S.lon_col(key).alias("x"),
+        S.lat_col(key).alias("y"),
+        (key % F.lit(97)).cast("double").alias("v"),
+    )
+    return idw_grid(pts, IDW_LEVEL)
 
 
 def q_dup_spans(spark, sf_dir):
@@ -1554,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "cohort_retention": q_cohort_retention,
         "dup_spans": q_dup_spans,
+        "surprisal": q_surprisal,
+        "idw": q_idw,
     }
 
 
@@ -1593,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "profile": _profile_sql_oracle(),
         "cell_smooth": _cell_smooth_sql_oracle(),
         "dup_spans": _dup_spans_sql_oracle(w=DUP_SPAN_W, min_count=2),
+        "surprisal": _surprisal_sql_oracle(),
+        "idw": _idw_sql_oracle(level=IDW_LEVEL),
         "transitions": """
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -2662,6 +2692,95 @@ def _dup_spans_sql_oracle(w: int, min_count: int) -> str:
                                / CAST(len(t) - {w - 1} AS DOUBLE), 6)
                     ELSE 0.0 END AS dup_frac
         FROM tok LEFT JOIN agg USING (doc_id)
+    """
+
+
+def _surprisal_sql_oracle() -> str:
+    """Independent replay of textanalysis.surprisal: md5-prefix token
+    buckets, integer micro-nat quantization of ln on the census, exact
+    BIGINT sums, one rounded final expression."""
+    return rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ),
+        mx AS (SELECT doc_id, md5(tok) AS m FROM tk),
+        ex AS (SELECT doc_id, {_hex32_sql('m')} AS h FROM mx),
+        census AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY h),
+        cu AS (
+          SELECT h, CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS u
+          FROM census
+        ),
+        tot AS (
+          SELECT CAST(round(ln(CAST(sum(n) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                   AS ln_n_u
+          FROM census
+        ),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(u) AS BIGINT) AS su
+          FROM ex JOIN cu USING (h) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round((CAST(ln_n_u AS DOUBLE)
+                      - CAST(su AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6,
+                     6) AS surprisal
+        FROM per, tot
+    """
+
+
+def _idw_sql_oracle(
+    level: int, hit_eps: float = 1e-8, unit: float = 1e4
+) -> str:
+    """Independent replay of density.idw_grid over the doc points:
+    identical op order for cell centers / squared distances / weights,
+    floor-quantized integer weight sums, single final division."""
+    from cadastre_pg_spark.kernels import cells as C
+
+    n = 1 << level
+    wx = (C.GRID_LON1 - C.GRID_LON0) / n
+    wy = (C.GRID_LAT1 - C.GRID_LAT0) / n
+    cell = S.grid_cell_sql(S.lon_sql("doc_id"), S.lat_sql("doc_id"), level)
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    eps = f"CAST('{hit_eps!r}' AS DOUBLE)"
+    return f"""
+        WITH pts AS (
+          SELECT {cell} AS cell, {S.lon_sql("doc_id")} AS x,
+                 {S.lat_sql("doc_id")} AS y,
+                 CAST(doc_id % 97 AS DOUBLE) AS v
+          FROM documents
+        ),
+        c2 AS (SELECT cell // {n} AS ix, cell % {n} AS iy, x, y, v FROM pts),
+        off(dx, dy) AS (VALUES {offs}),
+        pr0 AS (
+          SELECT CAST((ix + dx) * {n} + iy + dy AS BIGINT) AS cell, v,
+                 x - (CAST('{C.GRID_LON0!r}' AS DOUBLE)
+                      + (ix + dx + 0.5) * CAST('{wx!r}' AS DOUBLE)) AS ddx,
+                 y - (CAST('{C.GRID_LAT0!r}' AS DOUBLE)
+                      + (iy + dy + 0.5) * CAST('{wy!r}' AS DOUBLE)) AS ddy
+          FROM c2, off
+          WHERE ix + dx BETWEEN 0 AND {n - 1} AND iy + dy BETWEEN 0 AND {n - 1}
+        ),
+        pr AS (
+          SELECT cell, v, ddx * ddx + ddy * ddy AS d2,
+                 CASE WHEN ddx * ddx + ddy * ddy > {eps}
+                      THEN CAST(1.0 AS DOUBLE) / (ddx * ddx + ddy * ddy)
+                 END AS w
+          FROM pr0
+        ),
+        agg AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_samples,
+                 min(CASE WHEN d2 <= {eps} THEN v END) AS hit_v,
+                 CAST(sum(CAST(floor(w * v * {unit}) AS BIGINT)) AS BIGINT)
+                   AS su,
+                 CAST(sum(CAST(floor(w * {unit}) AS BIGINT)) AS BIGINT) AS sw
+          FROM pr GROUP BY cell
+        )
+        SELECT cell, n_samples,
+               CASE WHEN hit_v IS NOT NULL THEN hit_v
+                    ELSE CAST(su AS DOUBLE) / CAST(sw AS DOUBLE) END AS est
+        FROM agg
     """
 
 

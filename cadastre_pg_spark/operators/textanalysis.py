@@ -337,3 +337,66 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
         red.alias("redacted"),
     )
+
+
+def surprisal(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-document mean unigram surprisal -> (doc_id, n_tokens,
+    surprisal): mean over tokens of -ln p(tok) under the corpus's own
+    hash-bucketed unigram model (the KenLM-lite quality signal that
+    flags gibberish-high and boilerplate-low documents). p(tok) =
+    n_bucket / N over 32-bit token-hash buckets — the standard hashing
+    trick; collisions merge rare tokens and are part of the defined
+    semantics (both engines hash identically).
+
+    Numeric rule: ln is taken ONCE PER DISTINCT BUCKET on the census
+    and quantized to integer micro-nats (round(ln(n)*1e6) -> BIGINT),
+    so the per-document accumulation is an exact integer sum —
+    order-independent, replayed exactly by the DuckDB twin; the final
+    (lnN - su/T)/1e6 is three correctly-rounded double ops behind a
+    6 dp round (the hll_distinct ln-behind-round policy).
+
+    Scale shape (100 TB): tokens explode to narrow (doc_id, h) rows;
+    the census is a map-side-partial count on the 4-byte hash; the
+    token->bucket join is Zipfian-skewed by construction (stopword
+    buckets), which is exactly the shape AQE's skew-join split
+    handles — the build side is one row per bucket, the probe side
+    splits. One final doc_id aggregate. No Python, no collect.
+    """
+    from cadastre_pg_spark.operators.dedup import shingle_hash32
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ex = docs.select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select("doc_id", shingle_hash32(F.col("tok"), hash_fn).alias("h"))
+    census = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    cu = census.select(
+        "h",
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("u"),
+    )
+    tot = census.agg(
+        F.round(F.log(F.sum("n").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("ln_n_u")
+    )
+    per = (
+        ex.join(cu, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("u").cast("long").alias("su"),
+        )
+    )
+    return per.crossJoin(tot).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (
+                F.col("ln_n_u").cast("double")
+                - F.col("su").cast("double") / F.col("n_tokens").cast("double")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("surprisal"),
+    )
