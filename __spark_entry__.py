@@ -855,6 +855,28 @@ DUP_SPAN_W = 8  # window tokens for the exact-substring dedup census
 IDW_LEVEL = 5  # 32x32: cell spans 14/32 and 10/32 deg, both exact doubles
 
 
+OVL_LEVEL = 7  # rect-overlap cover level (cell 14/128 x 10/128 deg)
+
+
+def q_parcel_overlap(spark, sf_dir):
+    """All parcel pairs with strictly-positive bbox overlap area —
+    the overlay/conflation primitive; cell-bucketed first-shared-cell
+    join vs a brute-force inequality-join oracle."""
+    from cadastre_pg_spark.operators.overlay import rect_overlap_join
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    key = F.col("p_partkey").cast("long")
+    cx, cy, hw, hh = S.parcel_box_cols(key)
+    rects = parts.select(
+        key.alias("rect_id"),
+        (cx - hw).alias("x0"),
+        (cy - hh).alias("y0"),
+        (cx + hw).alias("x1"),
+        (cy + hh).alias("y1"),
+    )
+    return rect_overlap_join(rects, level=OVL_LEVEL)
+
+
 def q_surprisal(spark, sf_dir):
     """Per-doc mean unigram surprisal under the corpus's own
     hash-bucketed unigram model (md5 mode for the DuckDB twin)."""
@@ -1582,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "surprisal": q_surprisal,
         "idw": q_idw,
+        "parcel_overlap": q_parcel_overlap,
     }
 
 
@@ -1623,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql_oracle(w=DUP_SPAN_W, min_count=2),
         "surprisal": _surprisal_sql_oracle(),
         "idw": _idw_sql_oracle(level=IDW_LEVEL),
+        "parcel_overlap": _parcel_overlap_sql_oracle(),
         "transitions": """
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -2692,6 +2716,29 @@ def _dup_spans_sql_oracle(w: int, min_count: int) -> str:
                                / CAST(len(t) - {w - 1} AS DOUBLE), 6)
                     ELSE 0.0 END AS dup_frac
         FROM tok LEFT JOIN agg USING (doc_id)
+    """
+
+
+def _parcel_overlap_sql_oracle() -> str:
+    """Brute-force inequality-join replay of overlay.rect_overlap_join
+    over the parcel bboxes — O(n^2) predicate evaluation (DuckDB
+    IEJoin), completely independent of the cell-bucket plan; identical
+    least/greatest/product op order for the area."""
+    cx, cy, hw, hh = S.parcel_box_sql("p.p_partkey")
+    return f"""
+        WITH r AS (
+          SELECT CAST(p.p_partkey AS BIGINT) AS id,
+                 ({cx} - {hw}) AS x0, ({cy} - {hh}) AS y0,
+                 ({cx} + {hw}) AS x1, ({cy} + {hh}) AS y1
+          FROM part p
+        )
+        SELECT a.id AS a_id, b.id AS b_id,
+               (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                 * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS area
+        FROM r a JOIN r b
+          ON a.id < b.id
+         AND least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+         AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
     """
 
 

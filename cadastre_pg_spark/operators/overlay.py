@@ -1,0 +1,147 @@
+"""2D overlay: all-pairs rectangle (bbox) overlap self-join.
+
+The parcel-vs-parcel companion to the point-in-polygon join (SURVEY.md
+J9): which parcels overlap each other, and by how much — the overlay/
+conflation primitive (duplicate-parcel detection across vintages,
+boundary-dispute candidates, multi-source map merge).
+
+Same engineering as the interval overlap join (operators/intervals.py)
+lifted to 2D: candidates meet in grid cells of their bbox COVER at a
+fixed level, and a pair sharing k cells is kept only in its FIRST
+shared cell — for axis-aligned rectangles the shared cover is itself a
+rectangle, so the first shared cell is simply (max(a_ix0, b_ix0),
+max(a_iy0, b_iy0)) — an arithmetic residual instead of a distinct
+stage (one exchange, dedup-free).
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import cells as C
+
+
+def _axis_idx(v, lo: float, span: float, n: int):
+    """floor((v - lo) / span * n) clamped to [0, n-1] — the grid_cell
+    floor arithmetic, one axis."""
+    i = F.floor((v - F.lit(lo)) / F.lit(span) * F.lit(float(n)))
+    return F.least(F.greatest(i, F.lit(0)), F.lit(n - 1))
+
+
+def rect_overlap_join(
+    rects: DataFrame,
+    level: int = 7,
+    id_col: str = "rect_id",
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    max_cells_per_rect: int = 4096,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """All pairs of rectangles with strictly-positive overlap area
+    (touching edges do NOT pair). Output (a_id, b_id, area) with
+    a_id < b_id, each pair exactly once; area = ow * oh where
+    ow = min(x1) - max(x0) (one subtraction each axis, one product —
+    deterministic IEEE, replayed bitwise by the SQL oracle).
+
+    Scale shape (100 TB): cover explode is per-rect bounded (loud
+    raise_error above max_cells_per_rect — no silent fan-out), the
+    pair join is a narrow-key equi-join on the cell id with the
+    first-shared-cell residual, and hot cells (urban parcel clusters)
+    ride AQE's skew split. For adversarial density, max_per_cell SKIPS
+    cells whose population exceeds it and reports them on the result
+    as `_skipped_cells` (cell, n) — the engine's no-silent-cap rule.
+    The per-cell candidate grid is quadratic BEFORE the residual, so
+    `level` (cell size) is the first lever, the cap the last resort.
+    """
+    n = 1 << level
+
+    def side(tag):
+        ix0 = _axis_idx(F.col(x0), C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+        ix1 = _axis_idx(F.col(x1), C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+        iy0 = _axis_idx(F.col(y0), C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+        iy1 = _axis_idx(F.col(y1), C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+        fan = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        guard = F.when(
+            fan > F.lit(max_cells_per_rect),
+            F.raise_error(
+                F.concat(
+                    F.lit("rect_overlap_join: rect "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" covers more than {max_cells_per_rect} cells at"
+                        f" level {level}; coarsen level or raise the bound"
+                    ),
+                )
+            ).cast("array<bigint>"),
+        ).otherwise(F.sequence(ix0, ix1))
+        return (
+            rects.select(
+                F.col(id_col).alias(f"{tag}_id"),
+                F.col(x0).alias(f"{tag}_x0"),
+                F.col(y0).alias(f"{tag}_y0"),
+                F.col(x1).alias(f"{tag}_x1"),
+                F.col(y1).alias(f"{tag}_y1"),
+                ix0.alias(f"{tag}_ix0"),
+                iy0.alias(f"{tag}_iy0"),
+                iy1.alias(f"{tag}_iy1"),
+                F.explode(guard).alias("cix"),
+            )
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.col(f"{tag}_iy0"), F.col(f"{tag}_iy1"))
+                ).alias("ciy"),
+            )
+            .select(
+                f"{tag}_id",
+                f"{tag}_x0",
+                f"{tag}_y0",
+                f"{tag}_x1",
+                f"{tag}_y1",
+                f"{tag}_ix0",
+                f"{tag}_iy0",
+                (F.col("cix") * F.lit(n) + F.col("ciy")).alias("cell"),
+                F.col("cix").alias(f"{tag}_cix"),
+                F.col("ciy").alias(f"{tag}_ciy"),
+            )
+        )
+
+    left, right = side("a"), side("b")
+    skipped = None
+    if max_per_cell is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("cell")
+        sized = left.withColumn("_n", F.count(F.lit(1)).over(wc))
+        skipped = (
+            sized.filter(F.col("_n") > max_per_cell)
+            .select("cell", F.col("_n").alias("n"))
+            .distinct()
+        )
+        left = sized.filter(F.col("_n") <= max_per_cell).drop("_n")
+        right = right.join(
+            skipped.select("cell", F.lit(True).alias("_skip")), "cell", "left"
+        ).filter(F.col("_skip").isNull()).drop("_skip")
+
+    ow = F.least(F.col("a_x1"), F.col("b_x1")) - F.greatest(
+        F.col("a_x0"), F.col("b_x0")
+    )
+    oh = F.least(F.col("a_y1"), F.col("b_y1")) - F.greatest(
+        F.col("a_y0"), F.col("b_y0")
+    )
+    cond = (
+        (F.col("a_id") < F.col("b_id"))
+        & (ow > 0)
+        & (oh > 0)
+        & (F.col("a_cix") == F.greatest(F.col("a_ix0"), F.col("b_ix0")))
+        & (F.col("a_ciy") == F.greatest(F.col("a_iy0"), F.col("b_iy0")))
+    )
+    out = (
+        left.join(right, "cell")
+        .filter(cond)
+        .select("a_id", "b_id", (ow * oh).alias("area"))
+    )
+    if skipped is not None:
+        out._skipped_cells = skipped
+    return out

@@ -1,0 +1,70 @@
+"""rect_overlap_join goldens: pair-once semantics, area, guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.overlay import rect_overlap_join
+
+
+def _rects(spark, rows):
+    return spark.createDataFrame(
+        rows, "rect_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+
+
+def test_pair_once_across_many_shared_cells(spark):
+    # two big rects overlapping across many level-6 cells -> one pair
+    df = _rects(
+        spark,
+        [
+            (1, 0.0, 44.0, 2.0, 46.0),
+            (2, 1.0, 45.0, 3.0, 47.0),
+            (3, 6.0, 49.0, 6.5, 49.5),  # far away, no pair
+        ],
+    )
+    out = rect_overlap_join(df, level=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a_id, r.b_id) == (1, 2)
+    assert r.area == pytest.approx(1.0 * 1.0)
+
+
+def test_touching_edges_do_not_pair(spark):
+    df = _rects(spark, [(1, 0.0, 44.0, 1.0, 45.0), (2, 1.0, 44.0, 2.0, 45.0)])
+    assert rect_overlap_join(df, level=6).count() == 0
+
+
+def test_nested_rect_area(spark):
+    df = _rects(spark, [(1, 0.0, 44.0, 4.0, 48.0), (2, 1.0, 45.0, 2.0, 46.0)])
+    out = rect_overlap_join(df, level=6).collect()
+    assert len(out) == 1 and out[0].area == pytest.approx(1.0)
+
+
+def test_identical_rects(spark):
+    df = _rects(spark, [(1, 0.0, 44.0, 1.0, 45.0), (2, 0.0, 44.0, 1.0, 45.0)])
+    out = rect_overlap_join(df, level=6).collect()
+    assert len(out) == 1 and out[0].area == pytest.approx(1.0)
+
+
+def test_fanout_guard_raises(spark):
+    df = _rects(spark, [(1, -4.9, 41.1, 8.9, 50.9), (2, 0.0, 44.0, 1.0, 45.0)])
+    with pytest.raises(Exception, match="covers more than"):
+        rect_overlap_join(df, level=8, max_cells_per_rect=100).count()
+
+
+def test_mega_cell_cap_skips_and_reports(spark):
+    # 40 tiny rects stacked in one spot; cap at 10 -> all skipped,
+    # zero pairs, metric populated
+    rows = [(i, 1.0, 44.5, 1.001, 44.501) for i in range(40)]
+    out = rect_overlap_join(_rects(spark, rows), level=6, max_per_cell=10)
+    assert out.count() == 0
+    sk = out._skipped_cells.collect()
+    assert len(sk) >= 1 and all(r.n > 10 for r in sk)
+
+
+def test_cap_keeps_untouched_cells(spark):
+    rows = [(i, 1.0, 44.5, 1.001, 44.501) for i in range(40)]
+    rows += [(100, 5.0, 47.0, 5.1, 47.1), (101, 5.05, 47.05, 5.2, 47.2)]
+    out = rect_overlap_join(_rects(spark, rows), level=6, max_per_cell=10)
+    got = {(r.a_id, r.b_id) for r in out.collect()}
+    assert got == {(100, 101)}
