@@ -877,6 +877,20 @@ def q_parcel_overlap(spark, sf_dir):
     return rect_overlap_join(rects, level=OVL_LEVEL)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted priority sample, 25 docs per language (one
+    exact double division per doc; bitwise-replayable in SQL)."""
+    from cadastre_pg_spark.operators.corpus import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir),
+        k=25,
+        weight_col="n_chars",
+        group_col="lang",
+        hash_fn="md5",
+    )
+
+
 def q_surprisal(spark, sf_dir):
     """Per-doc mean unigram surprisal under the corpus's own
     hash-bucketed unigram model (md5 mode for the DuckDB twin)."""
@@ -1605,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal": q_surprisal,
         "idw": q_idw,
         "parcel_overlap": q_parcel_overlap,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1647,6 +1662,21 @@ def oracle_sql() -> dict[str, str]:
         "surprisal": _surprisal_sql_oracle(),
         "idw": _idw_sql_oracle(level=IDW_LEVEL),
         "parcel_overlap": _parcel_overlap_sql_oracle(),
+        "weighted_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang AS stratum, CAST(n_chars AS DOUBLE) AS w,
+                     ({_hex32_sql("md5('p:' || CAST(doc_id AS VARCHAR))")} + 1)
+                       / CAST(4294967296 AS DOUBLE) AS u
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, stratum, w, u / w AS priority,
+                     CAST(row_number() OVER (PARTITION BY stratum
+                            ORDER BY u / w ASC, doc_id ASC) AS INT) AS rank
+              FROM b
+            )
+            SELECT doc_id, stratum, w, priority, rank FROM r WHERE rank <= 25
+        """,
         "transitions": """
             WITH p AS (
               SELECT lag(event_type) OVER (PARTITION BY user_id

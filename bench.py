@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "surprisal",
     "idw",
     "parcel_overlap",
+    "weighted_sample",
 ]
 
 _CHILD = r"""

@@ -383,3 +383,65 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "page_id") -> D
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    salt: str = "p:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (priority
+    sampling, Duffield-Lund-Thorup): each doc gets priority = u / w
+    with u = (hash32(doc_id)+1) / 2^32 in (0, 1]; the k SMALLEST
+    priorities win (per group when group_col is given), so inclusion
+    probability scales with the weight while the choice stays a pure
+    function of doc_id. Output (doc_id[, stratum], w, priority, rank).
+
+    Numeric rule: u is exact (integer + division by a power of two)
+    and priority is ONE correctly-rounded double division — bitwise
+    identical in the DuckDB twin, no rounding grid anywhere. Ties
+    break on doc_id ascending. Non-positive weights raise loudly.
+
+    Scale shape (100 TB): global k uses orderBy+limit — Spark's
+    TakeOrdered keeps a k-row heap per partition and merges (no full
+    sort, no single-task window); grouped k is one exchange on the
+    group key + in-partition rank. The hash, u, and priority are all
+    scan-level column arithmetic.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_hash32(F.col("doc_id"), salt, hash_fn) + F.lit(1)) / F.lit(
+        4294967296.0
+    )
+    prio = F.when(
+        w <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight for doc "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(u / w)
+    base = docs.select(
+        "doc_id",
+        *([F.col(group_col).alias("stratum")] if group_col else []),
+        w.alias("w"),
+        prio.alias("priority"),
+    )
+    if group_col is None:
+        ranked = base.orderBy(F.col("priority").asc(), F.col("doc_id").asc()).limit(k)
+        from pyspark.sql import Window
+
+        # rank over the k-row result only (tiny), for a stable output
+        wr = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        return ranked.withColumn("rank", F.row_number().over(wr))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("stratum").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return base.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= k
+    )

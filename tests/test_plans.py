@@ -215,3 +215,58 @@ def test_zscore_stats_join_broadcasts(spark):
     df = zscore_outliers(ev, "event_type", "value", "event_id", threshold=1.65)
     a = audit(df)
     assert a["broadcast_join"], "moments join should broadcast"
+
+
+def test_dup_spans_shuffles_hash_not_text(spark):
+    """The repeated-window census and occurrence join must carry only
+    (doc_id, pos, h) through exchanges — never document text — and
+    stay pure JVM."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["dup_spans"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert s.count("HashAggregate") >= 2
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+    assert not audit(df)["arrow_eval"]
+
+
+def test_surprisal_is_pure_jvm_narrow_keys(spark):
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["surprisal"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["arrow_eval"]
+    for line in explain_string(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_idw_is_one_aggregate_no_join(spark):
+    """IDW is explode + one cell aggregate: no join operator at all,
+    no Python."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["idw"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert "Join" not in s, "idw must not join"
+    assert not audit(df)["arrow_eval"]
+
+
+def test_parcel_overlap_broadcasts_cell_join(spark):
+    df = E.queries()["parcel_overlap"](spark, SF_UNIT)
+    a = audit(df)
+    assert a["broadcast_join"], "cell self-join should broadcast at this scale"
+    assert not a["arrow_eval"]
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    """Global top-k must be a TakeOrdered (per-partition heaps), never
+    a single-task window sort."""
+    from cadastre_pg_spark.operators.corpus import weighted_sample
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    df = weighted_sample(docs, k=10, weight_col="n_chars")
+    assert "TakeOrdered" in explain_string(df)
