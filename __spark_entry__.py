@@ -877,6 +877,18 @@ def q_parcel_overlap(spark, sf_dir):
     return rect_overlap_join(rects, level=OVL_LEVEL)
 
 
+def q_hll_setops(spark, sf_dir):
+    """Pairwise audience overlap between event types from MERGED HLL
+    sketches (union = register max, intersection by inclusion-
+    exclusion) — set relations at 100 TB without re-scanning data."""
+    from cadastre_pg_spark.operators.sketches import hll_set_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    )
+    return hll_set_ops(ev, "event_type", "v", p=HLL_P, hash_fn="md5")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Length-weighted priority sample, 25 docs per language (one
     exact double division per doc; bitwise-replayable in SQL)."""
@@ -1620,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "parcel_overlap": q_parcel_overlap,
         "weighted_sample": q_weighted_sample,
+        "hll_setops": q_hll_setops,
     }
 
 
@@ -1771,6 +1784,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
+        "hll_setops": _hll_setops_sql_oracle(),
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -3442,6 +3456,68 @@ def _hist_quantile_sql_oracle() -> str:
           FROM counts
         )
         {union}
+    """
+
+
+def _hll_setops_sql_oracle() -> str:
+    """Independent replay of sketches.hll_set_ops: the oracle builds
+    each pair's UNION REGISTER TABLE directly (tag join + max) instead
+    of the engine's algebraic sa+sb-s_min decomposition — both are
+    exact double sums of 2^-rho terms, so they agree bitwise."""
+    from cadastre_pg_spark.operators.sketches import _bitlen_sql, hll_alpha_m2
+
+    p = HLL_P
+    m = 1 << p
+    wbits = 32 - p
+    alpha = repr(hll_alpha_m2(p))
+    rho = f"({wbits} - {_bitlen_sql('w', wbits)} + 1)"
+
+    def est(used, s):
+        raw = f"(CAST('{alpha}' AS DOUBLE) / ({s} + ({m} - {used})))"
+        lin = f"(CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / ({m} - {used})))"
+        return (
+            f"round(CASE WHEN ({m} - {used}) > 0 AND {raw} <= {2.5 * m} "
+            f"THEN {lin} ELSE {raw} END, 6)"
+        )
+
+    h = _hex32_sql("m0")
+    return f"""
+        WITH h0 AS (
+          SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS m0
+          FROM events
+        ),
+        hv AS (
+          SELECT grp, ({h} & {m - 1}) AS b, ({h} >> {p}) AS w FROM h0
+        ),
+        regs AS (SELECT grp, b, max({rho}) AS r FROM hv GROUP BY grp, b),
+        per0 AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS used,
+                 sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS s
+          FROM regs GROUP BY grp
+        ),
+        per AS (SELECT grp, {est("used", "s")} AS est FROM per0),
+        gs AS (SELECT DISTINCT grp FROM regs),
+        pairs AS (
+          SELECT a.grp AS ga, b.grp AS gb FROM gs a, gs b WHERE a.grp < b.grp
+        ),
+        ur AS (
+          SELECT p.ga, p.gb, r.b, max(r.r) AS r
+          FROM pairs p JOIN regs r ON r.grp = p.ga OR r.grp = p.gb
+          GROUP BY 1, 2, 3
+        ),
+        gu0 AS (
+          SELECT ga, gb, CAST(count(*) AS BIGINT) AS used,
+                 sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS s
+          FROM ur GROUP BY 1, 2
+        ),
+        gu AS (SELECT ga, gb, {est("used", "s")} AS est_union FROM gu0)
+        SELECT gu.ga AS grp_a, gu.gb AS grp_b, pa.est AS est_a,
+               pb.est AS est_b, gu.est_union,
+               round(greatest(pa.est + pb.est - gu.est_union, 0.0), 6)
+                 AS est_intersect
+        FROM gu
+        JOIN per pa ON pa.grp = gu.ga
+        JOIN per pb ON pb.grp = gu.gb
     """
 
 

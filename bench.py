@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "idw",
     "parcel_overlap",
     "weighted_sample",
+    "hll_setops",
 ]
 
 _CHILD = r"""

@@ -52,31 +52,35 @@ def hll_alpha_m2(p: int) -> float:
     return (0.7213 / (1.0 + 1.079 / m)) * m * m
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    p: int = 7,
+    p: int,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """-> (group, used_buckets, est) — HLL distinct-count estimate of
-    `value_col` per group (m = 2^p registers; p>=7 so the alpha
-    constant's large-m form applies). est is rounded to 6 decimals
-    (the ln note in the module docstring)."""
-    assert p >= 7
+    """(grp, b, r) register table: MAX(rho) per (group, bucket). The
+    mergeable HLL state — unions across any grouping are a further
+    MAX over the same table, never a rescan of the data."""
     m = 1 << p
     wbits = 32 - p
     h = shingle_hash32(F.col(value_col), hash_fn)
     bucket = h.bitwiseAND(F.lit(m - 1))
     w = F.shiftrightunsigned(h, p)
     rho = F.lit(wbits) - _bitlen_col(w, wbits) + F.lit(1)
-
-    regs = (
+    return (
         df.select(F.col(group_col).alias("grp"), bucket.alias("b"), rho.alias("r"))
         .groupBy("grp", "b")
         .agg(F.max("r").alias("r"))
     )
-    g = regs.groupBy("grp").agg(
+
+
+def hll_estimate(regs: DataFrame, keys: list[str], p: int) -> DataFrame:
+    """Collapse a register table to (*keys, used_buckets, est) with the
+    HLL + linear-counting estimator (est rounded to 6 dp — module
+    docstring ln note). `regs` needs columns (*keys, b, r)."""
+    m = 1 << p
+    g = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("used"),
         # shiftleft() the builtin only takes a literal count — expr form
         # accepts the register column
@@ -92,10 +96,134 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
     ).otherwise(est_raw)
     return g.select(
-        F.col("grp").alias(group_col),
+        *keys,
         F.col("used").alias("used_buckets"),
         F.round(est, 6).alias("est"),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """-> (group, used_buckets, est) — HLL distinct-count estimate of
+    `value_col` per group (m = 2^p registers; p>=7 so the alpha
+    constant's large-m form applies). est is rounded to 6 decimals
+    (the ln note in the module docstring)."""
+    assert p >= 7
+    regs = hll_registers(df, group_col, value_col, p, hash_fn)
+    return hll_estimate(regs, ["grp"], p).withColumnRenamed("grp", group_col)
+
+
+def hll_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise set relations between the groups' value sets, entirely
+    from MERGED SKETCHES: for every group pair (a < b) estimate
+    |A|, |B|, |A u B| (union = MAX over the two register columns —
+    the mergeability property, no second scan of the data) and
+    |A n B| by inclusion-exclusion, clamped at 0. Output (grp_a,
+    grp_b, est_a, est_b, est_union, est_intersect), ests 6 dp.
+
+    Scale shape (100 TB): the data is scanned ONCE into the (grp, b)
+    register table; the pair grid is built on registers only (G groups
+    -> G*(G-1)/2 pairs x m rows) via a self-join on the bucket id.
+    A full-outer bucket join per pair is avoided by register algebra:
+    union used-count and indicator sum decompose into per-group terms
+    plus a correction over buckets PRESENT IN BOTH (the inner join),
+    so missing-side buckets never need materializing.
+    """
+    assert p >= 7
+    m = 1 << p
+    regs = hll_registers(df, group_col, value_col, p, hash_fn).persist()
+    per = hll_estimate(regs, ["grp"], p)
+    # per-group raw terms for the union decomposition
+    terms = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), r)")).alias("s"),
+    )
+    a = regs.select(F.col("grp").alias("ga"), "b", F.col("r").alias("ra"))
+    b = regs.select(F.col("grp").alias("gb"), "b", F.col("r").alias("rb"))
+    # buckets present in BOTH groups: union register is max(ra, rb);
+    # the naive per-group sums double-count these, so subtract the
+    # smaller indicator term and one used-count per shared bucket.
+    both = (
+        a.join(b, "b")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum(
+                F.lit(1.0)
+                / F.expr("shiftleft(CAST(1 AS BIGINT), least(ra, rb))")
+            ).alias("s_min"),
+        )
+    )
+    ta = terms.select(
+        F.col("grp").alias("ga"), F.col("used").alias("ua"), F.col("s").alias("sa")
+    )
+    tb = terms.select(
+        F.col("grp").alias("gb"), F.col("used").alias("ub"), F.col("s").alias("sb")
+    )
+    pairs = (
+        ta.crossJoin(tb)
+        .filter(F.col("ga") < F.col("gb"))
+        .join(both, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            (F.col("ua") + F.col("ub") - F.coalesce(F.col("shared"), F.lit(0)))
+            .alias("used"),
+            (
+                F.col("sa") + F.col("sb")
+                - F.coalesce(F.col("s_min"), F.lit(0.0))
+            ).alias("s_used"),
+        )
+    )
+    alpha_m2 = hll_alpha_m2(p)
+    est_raw = F.lit(alpha_m2) / (F.col("s_used") + (F.lit(m) - F.col("used")))
+    v_empty = F.lit(m) - F.col("used")
+    est_u = F.round(
+        F.when(
+            (v_empty > F.lit(0)) & (est_raw <= F.lit(2.5 * m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+        ).otherwise(est_raw),
+        6,
+    )
+    ea = per.select(
+        F.col("grp").alias("ga"), F.col("est").alias("est_a")
+    )
+    eb = per.select(
+        F.col("grp").alias("gb"), F.col("est").alias("est_b")
+    )
+    out = (
+        pairs.withColumn("est_union", est_u)
+        .join(ea, "ga")
+        .join(eb, "gb")
+        .select(
+            F.col("ga").alias("grp_a"),
+            F.col("gb").alias("grp_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("est_intersect"),
+        )
+    )
+    out._cadastre_cached = [regs]
+    return out
 
 
 def hll_distinct_sql(
