@@ -877,6 +877,19 @@ def q_parcel_overlap(spark, sf_dir):
     return rect_overlap_join(rects, level=OVL_LEVEL)
 
 
+RESAMPLE_STEP_US = 6 * 3_600_000_000  # 6h grid over ~700h user spans
+
+
+def q_resample(spark, sf_dir):
+    """Per-user 6h-grid resampling with linear interpolation between
+    bracketing events (join-free window fill; oracled by DuckDB's
+    native two-direction ASOF JOIN — a structurally different plan)."""
+    from cadastre_pg_spark.operators.windows import resample_interpolate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
+
+
 def q_hll_setops(spark, sf_dir):
     """Pairwise audience overlap between event types from MERGED HLL
     sketches (union = register max, intersection by inclusion-
@@ -1633,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parcel_overlap": q_parcel_overlap,
         "weighted_sample": q_weighted_sample,
         "hll_setops": q_hll_setops,
+        "resample": q_resample,
     }
 
 
@@ -1785,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
         "hll_setops": _hll_setops_sql_oracle(),
+        "resample": _resample_sql_oracle(step_us=RESAMPLE_STEP_US),
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -3456,6 +3471,47 @@ def _hist_quantile_sql_oracle() -> str:
           FROM counts
         )
         {union}
+    """
+
+
+def _resample_sql_oracle(step_us: int) -> str:
+    """Structurally independent replay of windows.resample_interpolate:
+    DuckDB's native ASOF JOIN in both directions instead of the
+    engine's union+window fill; identical integer grid arithmetic and
+    interpolation op order."""
+    s = step_us
+    return f"""
+        WITH e0 AS (
+          SELECT user_id, epoch_us(ts) AS t, arg_min(value, event_id) AS v
+          FROM events GROUP BY user_id, epoch_us(ts)
+        ),
+        sp AS (
+          SELECT user_id,
+                 (mn + {s - 1}) - ((mn + {s - 1}) % {s}) AS gs,
+                 mx - (mx % {s}) AS ge
+          FROM (SELECT user_id, min(t) AS mn, max(t) AS mx
+                FROM e0 GROUP BY user_id)
+        ),
+        g AS (
+          SELECT user_id, unnest(generate_series(gs, ge, {s})) AS t
+          FROM sp WHERE gs <= ge
+        ),
+        b AS (
+          SELECT g.user_id, g.t, e.t AS t0, e.v AS v0
+          FROM g ASOF JOIN e0 e
+            ON g.user_id = e.user_id AND g.t >= e.t
+        ),
+        f AS (
+          SELECT g.user_id, g.t, e.t AS t1, e.v AS v1
+          FROM g ASOF JOIN e0 e
+            ON g.user_id = e.user_id AND g.t <= e.t
+        )
+        SELECT b.user_id AS user_id, make_timestamp(b.t) AS grid_ts,
+               round(CASE WHEN b.t0 = b.t THEN b.v0
+                     ELSE b.v0 + (f.v1 - b.v0)
+                          * (CAST(b.t - b.t0 AS DOUBLE)
+                             / CAST(f.t1 - b.t0 AS DOUBLE)) END, 6) AS value
+        FROM b JOIN f ON b.user_id = f.user_id AND b.t = f.t
     """
 
 

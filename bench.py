@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "parcel_overlap",
     "weighted_sample",
     "hll_setops",
+    "resample",
 ]
 
 _CHILD = r"""
@@ -154,7 +155,26 @@ AGG_COL = {{
     "dup_spans": "cut_tokens",
     "surprisal": "surprisal",
     "idw": "est",
+    "resample": "value",
 }}
+RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
+
+
+def measure_query(name):
+    import pyspark.sql.functions as F
+    t1 = time.time()
+    d = qs[name](spark, sf_dir)
+    if name in AGG_COL:
+        # aggregate a computed column: a bare count() would let
+        # Catalyst prune the expensive stage (window / join / agg
+        # chain) out of the plan and measure nothing
+        k = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(AGG_COL[name]).alias("s"),
+        ).first()["n"]
+    else:
+        k = d.count()
+    return time.time() - t1, k, d
 
 out = {{}}
 rows = {{}}
@@ -308,26 +328,24 @@ for name in {names!r}:
             best = min(best, time.time() - t1) if best else time.time() - t1
         shutil.rmtree(tmp, ignore_errors=True)
         t0 = time.time() - best  # generic epilogue records ~best
-    elif name in AGG_COL:
-        import pyspark.sql.functions as F
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # aggregate a computed column: a bare count() would let
-        # Catalyst prune the expensive stage (window / join / agg
-        # chain) out of the plan and measure nothing
-        n = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(AGG_COL[name]).alias("s")
-        ).first()["n"]
     else:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        el, n, df = measure_query(name)
+        t0 = time.time() - el
     out[name] = round(time.time() - t0, 3)
     rows[name] = n
     if df is not None:
         release_cached(df)  # cache hygiene: the queries share one session
+
+# steal-wave armor: host steal arrives in MINUTES-long waves (BENCH.md)
+# — an inline retry lands in the same wave, so slow measurements are
+# re-run in a second pass AFTER the whole suite (several minutes later)
+# and the MIN is recorded. A slow single run is weather, not the plan.
+for name in {names!r}:
+    if not name.startswith("__") and out.get(name, 0) > RETRY_SEC:
+        el, n, df = measure_query(name)
+        out[name] = min(out[name], round(el, 3))
+        if df is not None:
+            release_cached(df)
 print("BENCHJSON:" + json.dumps({{"times": out, "rows": rows}}))
 spark.stop()
 """
@@ -354,6 +372,9 @@ def run_child(cores, names, sf_dir, pin_cpus=False):
 
 def main():
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # external load must be sampled BEFORE any child starts: at the end
+    # it reads the bench's own winding-down process tree, not the host
+    load_before = round(os.getloadavg()[0], 2)
     # full suite at the high parallelism level
     hi = run_child(CPUS, BENCH_QUERIES, SF_DIR)
     times = hi["times"]
@@ -487,7 +508,8 @@ def main():
                     "polygons_per_sec": round(gm_n / gm_sec, 1) if gm_sec else None,
                     "impl": "mapInArrow vectorized (fold path == oracle)",
                 },
-                "loadavg_external": round(os.getloadavg()[0], 2),
+                "loadavg_external": load_before,
+                "loadavg_at_end": round(os.getloadavg()[0], 2),
             }
         )
     )

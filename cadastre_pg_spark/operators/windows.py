@@ -81,3 +81,93 @@ def user_path_length(points: DataFrame) -> DataFrame:
         ),
         F.max("dist").alias("max_step"),
     )
+
+
+def resample_interpolate(
+    events: DataFrame, step_us: int = 6 * HOUR_US
+) -> DataFrame:
+    """Per-user time-grid resampling with linear interpolation — the
+    timeseries regularization op (hypertable-rollup cousin of the
+    as-of join): for every user and every absolute grid instant
+    t = k * step_us inside the user's [first, last] event range,
+    v(t) = v0 + (v1 - v0) * (t - t0)/(t1 - t0) between the bracketing
+    events (exact hit short-circuits to the event's value). Events
+    tied on one timestamp collapse first to the min-event_id value
+    (deterministic). Output (user_id, grid_ts, value).
+
+    Numeric rule: the bracket endpoints are exact integer micros and
+    the interpolation is three fixed-order double ops — replayed by a
+    structurally different oracle (DuckDB's native ASOF JOIN both
+    directions), so parity is semantic, not plan-copied.
+
+    Scale shape (100 TB): NO join anywhere — grid rows (from a
+    per-user min/max aggregate) union with event rows, then ONE
+    exchange + sort on (user, t) carries both backward and forward
+    IGNORE-NULLS frame fills; events sort before grid points on ties
+    so an exact-hit grid instant sees its event in the backward frame.
+    """
+    ev = (
+        events.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            "value",
+            "event_id",
+        )
+        .groupBy("user_id", "t")
+        .agg(F.min_by("value", "event_id").alias("v"))
+        .select("user_id", "t", "v", F.lit(1).alias("is_ev"))
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+        .select(
+            "user_id",
+            # ceil/floor to step multiples in pure BIGINT ops
+            (
+                (F.col("mn") + F.lit(step_us - 1))
+                - F.pmod(F.col("mn") + F.lit(step_us - 1), F.lit(step_us))
+            ).alias("gs"),
+            (F.col("mx") - F.pmod(F.col("mx"), F.lit(step_us))).alias("ge"),
+        )
+        .filter(F.col("gs") <= F.col("ge"))  # span may hold no multiple
+        .select(
+            "user_id",
+            F.explode(F.sequence("gs", "ge", F.lit(step_us))).alias("t"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("is_ev"),
+        )
+    )
+    u = ev.unionByName(grid)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("is_ev").desc()
+    )
+    evv = F.when(F.col("is_ev") == 1, F.col("v"))
+    evt = F.when(F.col("is_ev") == 1, F.col("t"))
+    filled = u.select(
+        "user_id",
+        "t",
+        "is_ev",
+        F.last(evv, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("v0"),
+        F.last(evt, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("t0"),
+        F.first(evv, ignorenulls=True)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("v1"),
+        F.first(evt, ignorenulls=True)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("t1"),
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        (F.col("t") - F.col("t0")).cast("double")
+        / (F.col("t1") - F.col("t0")).cast("double")
+    )
+    return filled.filter(F.col("is_ev") == 0).select(
+        "user_id",
+        F.timestamp_micros(F.col("t")).alias("grid_ts"),
+        F.round(
+            F.when(F.col("t0") == F.col("t"), F.col("v0")).otherwise(interp), 6
+        ).alias("value"),
+    )
