@@ -890,6 +890,27 @@ def q_resample(spark, sf_dir):
     return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
 
 
+STAY_LEVEL = 3  # 8x8 grid: "same place" at region granularity
+
+
+def q_stay_points(spark, sf_dir):
+    """Trajectory dwell detection over the event timeline x LCG point
+    derivation: maximal same-cell runs with >= 2 observations."""
+    from cadastre_pg_spark.operators.windows import stay_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), STAY_LEVEL).alias(
+            "cell"
+        ),
+    )
+    return stay_points(pts, min_pts=2)
+
+
 def q_hll_setops(spark, sf_dir):
     """Pairwise audience overlap between event types from MERGED HLL
     sketches (union = register max, intersection by inclusion-
@@ -1647,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "hll_setops": q_hll_setops,
         "resample": q_resample,
+        "stay_points": q_stay_points,
     }
 
 
@@ -1800,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_sql_oracle(),
         "hll_setops": _hll_setops_sql_oracle(),
         "resample": _resample_sql_oracle(step_us=RESAMPLE_STEP_US),
+        "stay_points": _stay_points_sql_oracle(),
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -3471,6 +3494,35 @@ def _hist_quantile_sql_oracle() -> str:
           FROM counts
         )
         {union}
+    """
+
+
+def _stay_points_sql_oracle() -> str:
+    """Window replay of windows.stay_points: lag change flag, ROWS
+    cumsum run id, (user, run) aggregate, min_pts filter."""
+    cell = S.grid_cell_sql(S.lon_sql("event_id"), S.lat_sql("event_id"), STAY_LEVEL)
+    return f"""
+        WITH p AS (
+          SELECT user_id, ts, event_id, {cell} AS cell FROM events
+        ),
+        l AS (
+          SELECT user_id, ts, event_id, cell,
+                 CASE WHEN lag(cell) OVER w IS NULL
+                        OR lag(cell) OVER w <> cell THEN 1 ELSE 0 END AS ns
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        s AS (
+          SELECT user_id, ts, cell,
+                 sum(ns) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS seg
+          FROM l
+        )
+        SELECT user_id, cell, min(ts) AS enter_ts, max(ts) AS exit_ts,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM s GROUP BY user_id, seg, cell
+        HAVING count(*) >= 2
     """
 
 

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "hll_setops",
     "resample",
+    "stay_points",
 ]
 
 _CHILD = r"""

@@ -171,3 +171,50 @@ def resample_interpolate(
             F.when(F.col("t0") == F.col("t"), F.col("v0")).otherwise(interp), 6
         ).alias("value"),
     )
+
+
+def stay_points(
+    points: DataFrame,
+    min_pts: int = 2,
+    min_us: int = 0,
+) -> DataFrame:
+    """Trajectory dwell detection (stay points): maximal runs of
+    CONSECUTIVE same-cell observations per user, kept when the run has
+    >= min_pts points and lasts >= min_us. Input needs (user_id, ts,
+    event_id, cell) — the cell is assigned by the caller at whatever
+    level defines "the same place" (coarse grid = city-block dwell).
+    Output (user_id, cell, enter_ts, exit_ts, n_points).
+
+    Ordering is the house (ts, event_id) tie rule; everything is
+    integer/timestamp arithmetic, so the SQL twin replays it exactly.
+
+    Scale shape (100 TB): the sessionize plan — ONE exchange + sort on
+    user_id for the lag + run-id cumsum, then a (user, run) hash
+    aggregate; no join, no explode.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    new_seg = F.when(
+        F.lag("cell").over(w).isNull()
+        | (F.lag("cell").over(w) != F.col("cell")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = F.sum(new_seg).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = points.select(
+        "user_id", "ts", "cell", seg.alias("seg")
+    ).groupBy("user_id", "seg", "cell").agg(
+        F.min("ts").alias("enter_ts"),
+        F.max("ts").alias("exit_ts"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    return runs.filter(
+        (F.col("n_points") >= F.lit(min_pts))
+        & (
+            F.unix_micros(F.col("exit_ts").cast("timestamp"))
+            - F.unix_micros(F.col("enter_ts").cast("timestamp"))
+            >= F.lit(min_us)
+        )
+    ).select("user_id", "cell", "enter_ts", "exit_ts", "n_points")

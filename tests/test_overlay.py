@@ -68,3 +68,19 @@ def test_cap_keeps_untouched_cells(spark):
     out = rect_overlap_join(_rects(spark, rows), level=6, max_per_cell=10)
     got = {(r.a_id, r.b_id) for r in out.collect()}
     assert got == {(100, 101)}
+
+
+def test_out_of_bbox_rects_still_pair_via_clamped_cells(spark):
+    # both rects fully west of the grid bbox: covers clamp to the
+    # border cells; geometry predicate still decides the pair
+    df = _rects(
+        spark,
+        [
+            (1, -20.0, 44.0, -19.0, 45.0),
+            (2, -19.5, 44.5, -18.5, 45.5),
+            (3, -19.5, 48.0, -18.5, 49.0),  # same clamp column, no overlap
+        ],
+    )
+    out = rect_overlap_join(df, level=6).collect()
+    assert {(r.a_id, r.b_id) for r in out} == {(1, 2)}
+    assert out[0].area == pytest.approx(0.25)
