@@ -890,6 +890,31 @@ def q_resample(spark, sf_dir):
     return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
 
 
+CMS_WIDTH, CMS_DEPTH = 1024, 4
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min frequency estimates for a deterministic probe set of
+    users over the event stream — the frequency member of the sketch
+    triad (cardinality=HLL, rank=histogram, frequency=CMS); integer
+    end to end, exact SQL twin."""
+    from cadastre_pg_spark.operators.sketches import cms_estimate, cms_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    cms = cms_table(ev, "v", width=CMS_WIDTH, depth=CMS_DEPTH, hash_fn="md5")
+    probes = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") % 7 == 0)
+        .select(F.col("user_id").cast("string").alias("v"))
+        .distinct()
+    )
+    return cms_estimate(
+        cms, probes, "v", width=CMS_WIDTH, depth=CMS_DEPTH, hash_fn="md5"
+    )
+
+
 STAY_LEVEL = 3  # 8x8 grid: "same place" at region granularity
 
 
@@ -1669,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_setops": q_hll_setops,
         "resample": q_resample,
         "stay_points": q_stay_points,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -1823,6 +1849,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_setops": _hll_setops_sql_oracle(),
         "resample": _resample_sql_oracle(step_us=RESAMPLE_STEP_US),
         "stay_points": _stay_points_sql_oracle(),
+        "cms_counts": _cms_counts_sql_oracle(CMS_WIDTH, CMS_DEPTH),
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -3494,6 +3521,32 @@ def _hist_quantile_sql_oracle() -> str:
           FROM counts
         )
         {union}
+    """
+
+
+def _cms_counts_sql_oracle(width: int, depth: int) -> str:
+    """Integer replay of sketches.cms_table + cms_estimate: salted
+    md5-prefix buckets, (row, b) counts, min over rows per probe."""
+    rows = ", ".join(f"({r})" for r in range(depth))
+    h = _hex32_sql("md5('c' || CAST(r AS VARCHAR) || ':' || v)")
+    return f"""
+        WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        rr(r) AS (VALUES {rows}),
+        bk AS (SELECT r, ({h}) % {width} AS b FROM vals, rr),
+        cms AS (
+          SELECT r AS row, b, CAST(count(*) AS BIGINT) AS n
+          FROM bk GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE user_id % 7 = 0
+        ),
+        pb AS (SELECT v, r, ({h}) % {width} AS b FROM probes, rr),
+        j AS (
+          SELECT pb.v, coalesce(cms.n, 0) AS n
+          FROM pb LEFT JOIN cms ON cms.row = pb.r AND cms.b = pb.b
+        )
+        SELECT v, CAST(min(n) AS BIGINT) AS est FROM j GROUP BY v
     """
 
 

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "hll_setops",
     "resample",
     "stay_points",
+    "cms_counts",
 ]
 
 _CHILD = r"""

@@ -315,3 +315,76 @@ def histogram_quantile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select(F.col("grp").alias(group_col), "q", "est")
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-min sketch of `value_col` frequencies: (row, b, n) counts
+    over `depth` salted hash rows x `width` buckets — the FREQUENCY
+    member of the sketch triad (hll_* cardinality, histogram_quantile
+    ranks). Mergeable by summing counts per (row, b); the value column
+    never shuffles (only its bucket ids do).
+
+    Scale shape: one explode to depth narrow rows per record, one
+    (row, b) hash aggregate with map-side partials — bounded state
+    depth*width regardless of input size.
+    """
+    salts = F.array(*[F.lit(f"c{r}:") for r in range(depth)])
+    buckets = df.select(
+        F.posexplode(
+            F.transform(
+                salts,
+                lambda s: F.pmod(
+                    shingle_hash32(
+                        F.concat(s, F.col(value_col).cast("string")), hash_fn
+                    ),
+                    F.lit(width),
+                ),
+            )
+        ).alias("row", "b")
+    )
+    return buckets.groupBy("row", "b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates from a cms_table: est(v) = min over
+    rows of the bucket count (never under the true count; collisions
+    only inflate). Missing buckets count 0. Output (*probe columns,
+    est). Integer end to end — the SQL twin replays it exactly.
+
+    Scale shape: probes explode to depth rows and join the
+    depth*width-bounded sketch on (row, b) — Catalyst broadcasts the
+    sketch side; one min-aggregate back per probe.
+    """
+    salts = F.array(*[F.lit(f"c{r}:") for r in range(depth)])
+    pb = probes.select(
+        "*",
+        F.posexplode(
+            F.transform(
+                salts,
+                lambda s: F.pmod(
+                    shingle_hash32(
+                        F.concat(s, F.col(value_col).cast("string")), hash_fn
+                    ),
+                    F.lit(width),
+                ),
+            )
+        ).alias("row", "b"),
+    )
+    keys = [c for c in probes.columns]
+    joined = pb.join(cms, ["row", "b"], "left").select(
+        *keys, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    return joined.groupBy(*keys).agg(F.min("n").cast("long").alias("est"))
