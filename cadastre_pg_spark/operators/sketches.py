@@ -334,8 +334,22 @@ def cms_table(
     (row, b) hash aggregate with map-side partials — bounded state
     depth*width regardless of input size.
     """
+    buckets = cms_buckets(df, value_col, width, depth, hash_fn)
+    return buckets.groupBy("row", "b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_buckets(
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    depth: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(row, b) bucket stream for cms_table — exposed so the streaming
+    twin hashes with the IDENTICAL JVM expression before its stateful
+    counts (works on batch and streaming DataFrames alike)."""
     salts = F.array(*[F.lit(f"c{r}:") for r in range(depth)])
-    buckets = df.select(
+    return df.select(
         F.posexplode(
             F.transform(
                 salts,
@@ -348,7 +362,6 @@ def cms_table(
             )
         ).alias("row", "b")
     )
-    return buckets.groupBy("row", "b").agg(F.count(F.lit(1)).alias("n"))
 
 
 def cms_estimate(

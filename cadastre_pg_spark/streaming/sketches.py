@@ -94,3 +94,50 @@ def hll_stream(
         .outputMode("update")
         .start()
     )
+
+
+CMS_OUTPUT_SCHEMA = "row integer, counts array<long>"
+
+
+def _make_cms_update(width: int):
+    def _update(key, pdfs, state: GroupState):
+        counts = list(state.get[0]) if state.exists else [0] * width
+        for pdf in pdfs:
+            for b in pdf["b"]:
+                counts[int(b)] += 1
+        state.update((counts,))
+        yield pd.DataFrame({"row": [key[0]], "counts": [counts]})
+
+    return _update
+
+
+def cms_stream(
+    bucketed: DataFrame,
+    width: int = 1024,
+    query_name: str = "cms",
+):
+    """Streaming count-min — the stream twin of
+    operators/sketches.cms_table. `bucketed` is a STREAMING DataFrame
+    of (row, b) from operators.sketches.cms_buckets (the identical JVM
+    hash expression the batch sketch uses), one state per sketch row
+    (width longs). Counts are commutative, so the stream is
+    ORDER-INSENSITIVE: the final emitted counts per row equal the
+    batch cms_table exactly, any file arrival order — asserted in
+    tests/test_streaming_cms.py.
+
+    Returns the started memory-sink query emitting (row, counts) per
+    update; the last row per `row` is the current sketch row.
+    """
+    out = bucketed.groupBy("row").applyInPandasWithState(
+        _make_cms_update(width),
+        CMS_OUTPUT_SCHEMA,
+        "counts array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )
