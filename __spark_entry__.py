@@ -890,6 +890,15 @@ def q_resample(spark, sf_dir):
     return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish pretoken counts (contractions / letter / digit /
+    punctuation runs) — the regex tokenizer next to the whitespace
+    one; identical pattern under Java regex and RE2."""
+    from cadastre_pg_spark.operators.textanalysis import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
 CMS_WIDTH, CMS_DEPTH = 1024, 4
 
 
@@ -1695,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "stay_points": q_stay_points,
         "cms_counts": q_cms_counts,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -1850,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "resample": _resample_sql_oracle(step_us=RESAMPLE_STEP_US),
         "stay_points": _stay_points_sql_oracle(),
         "cms_counts": _cms_counts_sql_oracle(CMS_WIDTH, CMS_DEPTH),
+        "bpe_tokens": _bpe_tokens_sql_oracle(),
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -3521,6 +3532,20 @@ def _hist_quantile_sql_oracle() -> str:
           FROM counts
         )
         {union}
+    """
+
+
+def _bpe_tokens_sql_oracle() -> str:
+    """Identical pretokenizer pattern under RE2 (the Java/RE2 shared
+    leftmost-first subset; apostrophe SQL-escaped)."""
+    from cadastre_pg_spark.operators.textanalysis import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
     """
 
 

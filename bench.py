@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "resample",
     "stay_points",
     "cms_counts",
+    "bpe_tokens",
 ]
 
 _CHILD = r"""

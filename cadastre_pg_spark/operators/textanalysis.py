@@ -400,3 +400,30 @@ def surprisal(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
             6,
         ).alias("surprisal"),
     )
+
+
+# GPT-2-style pretokenizer, restricted to syntax Java regex and RE2
+# share (no lookahead — GPT-2's \s+(?!\S) term is dropped and pure-
+# whitespace runs are simply not tokens): contractions, optionally
+# space-prefixed letter runs, digit runs, and punctuation runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish pretoken count per doc — the second tokenizer the
+    whitespace split can't provide: "don't stop!" counts [don]['t]
+    [ stop][!] = 4, digits split from letters, punctuation runs are
+    tokens, and an empty text counts 0 (the whitespace split's ['']
+    artifact does not occur). One JVM regexp_extract_all in
+    whole-stage codegen; the DuckDB twin runs the identical pattern
+    under RE2 (the shared leftmost-first subset — verified by the
+    driver oracle on the corpus).
+    """
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )

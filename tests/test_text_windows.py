@@ -123,3 +123,18 @@ def test_user_path_orders_by_ts_then_id(spark):
     )
     row = user_path_length(df).collect()[0]
     assert (row.n_steps, row.path_len) == (2, 2.0)
+
+
+def test_bpe_token_count_goldens(spark):
+    from cadastre_pg_spark.operators.textanalysis import bpe_token_count
+
+    rows = [
+        (1, "Hello world"),      # [Hello][ world]
+        (2, "don't stop!"),      # [don]['t][ stop][!]
+        (3, "abc123!! x"),       # [abc][123][!!][ x]
+        (4, ""),                 # no tokens (whitespace split says 1)
+        (5, "café über"),  # unicode letters covered by \p{L}
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_tokens for r in bpe_token_count(df).collect()}
+    assert out == {1: 2, 2: 4, 3: 4, 4: 0, 5: 2}
