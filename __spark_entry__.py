@@ -890,6 +890,23 @@ def q_resample(spark, sf_dir):
     return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
 
 
+PREP_QMIN = 0.5
+
+
+def q_corpus_prep(spark, sf_dir):
+    """Composed corpus lifecycle: quality gate -> lang-label
+    consistency -> exact sha dedup -> shard packing, one DAG."""
+    from cadastre_pg_spark.operators.corpus import corpus_prep
+
+    return corpus_prep(
+        _docs(spark, sf_dir),
+        min_quality=PREP_QMIN,
+        capacity=PACK_CAP,
+        n_writers=PACK_WRITERS,
+        hash_fn="md5",
+    )
+
+
 def q_bpe_tokens(spark, sf_dir):
     """BPE-ish pretoken counts (contractions / letter / digit /
     punctuation runs) — the regex tokenizer next to the whitespace
@@ -1705,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "cms_counts": q_cms_counts,
         "bpe_tokens": q_bpe_tokens,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -1861,6 +1879,9 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": _stay_points_sql_oracle(),
         "cms_counts": _cms_counts_sql_oracle(CMS_WIDTH, CMS_DEPTH),
         "bpe_tokens": _bpe_tokens_sql_oracle(),
+        "corpus_prep": _corpus_prep_sql_oracle(
+            PREP_QMIN, PACK_CAP, PACK_WRITERS
+        ),
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -2692,7 +2713,9 @@ def _hex32_sql(m: str) -> str:
     )
 
 
-def _pack_tokens_sql_oracle(cap: int, n_writers: int) -> str:
+def _pack_tokens_sql_oracle(
+    cap: int, n_writers: int, table: str = "documents"
+) -> str:
     """Independent replay of corpus.pack_tokens: md5 writer routing,
     per-writer running token sum in doc_id order, integer chunking."""
     return rf"""
@@ -2702,7 +2725,7 @@ def _pack_tokens_sql_oracle(cap: int, n_writers: int) -> str:
                    AS n_tokens,
                  {_hex32_sql("md5('w:' || CAST(doc_id AS VARCHAR))")} % {n_writers}
                    AS writer
-          FROM documents
+          FROM {table}
         ),
         c AS (
           SELECT doc_id, writer, n_tokens,
@@ -3533,6 +3556,33 @@ def _hist_quantile_sql_oracle() -> str:
         )
         {union}
     """
+
+
+def _corpus_prep_sql_oracle(
+    min_quality: float, cap: int, n_writers: int
+) -> str:
+    """Composed replay of corpus.corpus_prep: the quality/lang-ID
+    builders gate the docs, sha256 grouping picks exact-dedup
+    survivors, then the pack oracle runs over the surviving set (its
+    WITH-clause splices after the chain CTEs)."""
+    from cadastre_pg_spark.operators.textanalysis import (
+        lang_id_sql,
+        quality_score_sql,
+    )
+
+    chain = f"""
+        WITH qq AS ({quality_score_sql('documents')}),
+        ll AS ({lang_id_sql('documents')}),
+        kept AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN qq USING (doc_id) JOIN ll USING (doc_id)
+          WHERE qq.quality >= {min_quality!r} AND ll.pred_lang = d.lang
+        ),
+        surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+        fin AS (SELECT kept.doc_id, kept.text FROM kept JOIN surv USING (doc_id))
+    """
+    pack = _pack_tokens_sql_oracle(cap, n_writers, table="fin")
+    return chain + pack.replace("WITH t AS", ", t AS", 1)
 
 
 def _bpe_tokens_sql_oracle() -> str:

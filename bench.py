@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "stay_points",
     "cms_counts",
     "bpe_tokens",
+    "corpus_prep",
 ]
 
 _CHILD = r"""

@@ -445,3 +445,49 @@ def weighted_sample(
     return base.withColumn("rank", F.row_number().over(wr)).filter(
         F.col("rank") <= k
     )
+
+
+def corpus_prep(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    capacity: int = 2048,
+    n_writers: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end training-corpus preparation — the composed webtext
+    lifecycle (the corpus twin of pipeline.run_import's geo lifecycle):
+
+    1. quality gate     : composite quality >= min_quality
+                          (textanalysis.quality_score; rounded value
+                          compared so both engines gate identically)
+    2. label consistency: stopword-heuristic pred_lang == the labeled
+                          lang column (drops mislabeled docs)
+    3. exact dedup      : survivor = min doc_id per sha2(text) among
+                          the gated docs (narrow 64-char shuffle key)
+    4. shard packing    : pack_tokens manifest over the survivors
+
+    Output: the pack manifest (doc_id, writer, shard, offset,
+    n_tokens, spans_boundary) for exactly the surviving documents.
+
+    Scale shape (100 TB): stages 1-2 are scan-level column arithmetic
+    + filter (no exchange); stage 3 exchanges on the sha; stage 4 is
+    pack_tokens' single writer-key exchange. The full text crosses an
+    exchange zero times.
+    """
+    from .textanalysis import lang_id, quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    l = lang_id(docs)
+    kept = (
+        docs.join(q, "doc_id")
+        .join(l, "doc_id")
+        .where(
+            (F.col("quality") >= F.lit(min_quality))
+            & (F.col("pred_lang") == F.col("lang"))
+        )
+    )
+    surv = kept.groupBy(F.sha2(F.col("text"), 256).alias("sha")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final = kept.join(surv.select("doc_id"), "doc_id").select("doc_id", "text")
+    return pack_tokens(final, capacity, n_writers, hash_fn)

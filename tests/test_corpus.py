@@ -206,3 +206,21 @@ def test_budget_mixture_is_broadcast_no_collect(spark):
     )
     plan = explain_string(budget_mixture(docs, {"en": 1.0}, 10), mode="simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_prep_gates_dedups_and_packs(spark):
+    from cadastre_pg_spark.operators.corpus import corpus_prep
+
+    good = "the cat and the dog sat of the mat " * 8  # en, long, clean
+    rows = [
+        (1, good, "en"),
+        (2, good, "en"),                   # exact dup of 1 -> dropped
+        (3, good, "fr"),                   # label mismatch -> dropped
+        (4, "x!!!!" * 40, "en"),           # punct-heavy -> low quality
+        (5, good + "tail", "en"),          # distinct survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus_prep(df, min_quality=0.5, capacity=64, n_writers=2)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 5}
+    assert all(r.n_tokens > 0 for r in got.values())
