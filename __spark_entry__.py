@@ -890,6 +890,15 @@ def q_resample(spark, sf_dir):
     return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outlier census per event type (bitwise
+    percentile parity — no rounding grid anywhere)."""
+    from cadastre_pg_spark.operators.stats import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
 PREP_QMIN = 0.5
 
 
@@ -1723,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "bpe_tokens": q_bpe_tokens,
         "corpus_prep": q_corpus_prep,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -1882,6 +1892,25 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": _corpus_prep_sql_oracle(
             PREP_QMIN, PACK_CAP, PACK_WRITERS
         ),
+        "mad_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ),
+            madf AS (
+              SELECT e.event_type, m.med,
+                     quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events e JOIN med m USING (event_type)
+              GROUP BY e.event_type, m.med
+            )
+            SELECT f.event_type, f.med, f.mad, f.n,
+                   CAST(count(*) FILTER (abs(e.value - f.med)
+                        > CAST('3.0' AS DOUBLE) * f.mad) AS BIGINT)
+                     AS n_outliers
+            FROM events e JOIN madf f USING (event_type)
+            GROUP BY f.event_type, f.med, f.mad, f.n
+        """,
         "user_path": _user_path_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "bpe_tokens",
     "corpus_prep",
+    "mad_outliers",
 ]
 
 _CHILD = r"""

@@ -147,3 +147,50 @@ def profile_table(
         ]
     )
     return a.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier census per group — the
+    heavy-tail-safe sibling of zscore_outliers (a single wild value
+    shifts a mean but not a median): med = median(x), mad =
+    median(|x - med|), outlier iff |x - med| > k * mad. Output
+    (group, med, mad, n, n_outliers).
+
+    Exactness: Spark's `percentile(0.5)` and DuckDB's quantile_cont
+    interpolate identically on sorted doubles (bitwise, repo-probed),
+    |x - med| and the k*mad threshold are fixed-order double ops, so
+    the twin replays the census exactly — no rounding grid.
+
+    Scale contract: exact medians buffer each group's values (two
+    grouped percentile passes + one broadcast join back); at 100 TB
+    swap approx_percentile (t-digest) into the same shape — this form
+    is the oracle-able sibling.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    j = df.join(med, group_col)
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    madf = j.groupBy(group_col, "med").agg(
+        F.percentile(dev, F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j2 = df.join(madf, group_col)
+    return (
+        j2.groupBy(group_col, "med", "mad", "n")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col(value_col) - F.col("med"))
+                    > F.lit(k) * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+        .select(group_col, "med", "mad", "n", "n_outliers")
+    )

@@ -76,3 +76,25 @@ def test_cell_pyramid_levels_nest(spark):
     # total conserved per level
     totals = {lv: sum(c.values()) for lv, c in by_level.items()}
     assert len(set(totals.values())) == 1
+
+
+def test_mad_outliers_robust_to_single_spike(spark):
+    from cadastre_pg_spark.operators.stats import mad_outliers
+
+    # 20 well-behaved values + one enormous spike: the spike must be
+    # the ONLY outlier (a mean/std zscore would inflate sigma and
+    # potentially flag nothing, or shift the center)
+    rows = [(1, "a", float(v)) for v in range(20)] + [(99, "a", 1e9)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = mad_outliers(df, "event_type", "value", k=3.0).collect()[0]
+    assert r.med == 10.0 and r.n == 21 and r.n_outliers == 1
+
+
+def test_mad_zero_mad_group(spark):
+    from cadastre_pg_spark.operators.stats import mad_outliers
+
+    # constant group: mad 0 -> any deviation is an outlier, none here
+    rows = [(i, "c", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = mad_outliers(df, "event_type", "value").collect()[0]
+    assert (r.med, r.mad, r.n_outliers) == (5.0, 0.0, 0)
