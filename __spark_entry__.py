@@ -890,6 +890,19 @@ def q_resample(spark, sf_dir):
     return resample_interpolate(ev, step_us=RESAMPLE_STEP_US)
 
 
+EWMA_ALPHA = 0.25  # exact binary fraction: fold multiplies are exact
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of event values — sequential fold, bitwise parity
+    via the list_reduce replay rule (no rounding grid)."""
+    from cadastre_pg_spark.operators.windows import ewma
+
+    return ewma(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), alpha=EWMA_ALPHA
+    )
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust median/MAD outlier census per event type (bitwise
     percentile parity — no rounding grid anywhere)."""
@@ -1733,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "corpus_prep": q_corpus_prep,
         "mad_outliers": q_mad_outliers,
+        "ewma": q_ewma,
     }
 
 
@@ -1892,6 +1906,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": _corpus_prep_sql_oracle(
             PREP_QMIN, PACK_CAP, PACK_WRITERS
         ),
+        "ewma": f"""
+            SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+                   list_reduce(vs,
+                     (s, x) -> s * CAST('{1.0 - EWMA_ALPHA!r}' AS DOUBLE)
+                               + x * CAST('{EWMA_ALPHA!r}' AS DOUBLE)) AS ewma
+            FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+                  FROM events GROUP BY user_id)
+        """,
         "mad_outliers": """
             WITH med AS (
               SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "bpe_tokens",
     "corpus_prep",
     "mad_outliers",
+    "ewma",
 ]
 
 _CHILD = r"""

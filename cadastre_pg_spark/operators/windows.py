@@ -218,3 +218,45 @@ def stay_points(
             >= F.lit(min_us)
         )
     ).select("user_id", "cell", "enter_ts", "exit_ts", "n_points")
+
+
+def ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user exponentially weighted moving average of `value` over
+    the (ts, event_id)-ordered event stream: s_1 = x_1, s_i =
+    s_{i-1} * (1-alpha) + x_i * alpha; output (user_id, n, ewma) with
+    the FINAL smoothed level — the online-signal summary (anomaly
+    baselines, engagement decay).
+
+    Exactness: an inherently SEQUENTIAL recurrence — no order-free
+    rewrite exists — so parity uses the repo's sequential-fold rule:
+    Spark's Catalyst aggregate() seeded with the first element folds
+    left-to-right exactly like DuckDB's list_reduce, and the fold body
+    is the identical two-multiply-one-add expression, so the raw
+    doubles match BITWISE (no rounding grid; alpha ships to SQL via
+    repr). Catalyst folds are interpreted, but the fold runs once per
+    USER over that user's values — not per event pair.
+
+    Scale shape: one (user) collect_list aggregate (map-side partial
+    lists), array_sort, one fold — no window, no join.
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    g = events.groupBy("user_id").agg(arr.alias("a"))
+    vals = F.transform(F.col("a"), lambda s: s["v"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return g.select(
+        "user_id",
+        F.size("a").cast("long").alias("n"),
+        fold.alias("ewma"),
+    )
