@@ -793,6 +793,16 @@ def q_pagerank(spark, sf_dir):
     return out.select("node", F.col("rank").alias("pr"))
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts over the deterministic link graph —
+    degree-ordered orientation (the hub-proof wedge join)."""
+    from cadastre_pg_spark.operators.graph import triangle_counts
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    return triangle_counts(edges, nodes)
+
+
 DBSCAN_LEVEL = 4  # 16x16 grid -> ~2 pts/cell at sf0.01: core+border+noise mix
 DBSCAN_MIN_PTS = 3
 
@@ -1747,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "mad_outliers": q_mad_outliers,
         "ewma": q_ewma,
+        "triangles": q_triangles,
     }
 
 
@@ -1895,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql_oracle(),
         "host_stats": _host_stats_sql_oracle(),
         "pagerank": _pagerank_sql_oracle(),
+        "triangles": _triangles_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -3496,6 +3508,56 @@ def _cell_pyramid_sql_oracle() -> str:
           SELECT {ix} AS ix, {iy} AS iy FROM documents
         )
         {union}
+    """
+
+
+def _triangles_sql_oracle() -> str:
+    """Replay of graph.triangle_counts over the same generated link
+    graph: canonical undirected edges, degree census, (deg, id)
+    orientation, wedge join + closing-edge join, corner explode."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    return f"""
+        WITH edges AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        orient AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN a ELSE b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN b ELSE a END AS v
+          FROM und JOIN deg da ON da.node = und.a
+                   JOIN deg db ON db.node = und.b
+        ),
+        wedges AS (
+          SELECT o1.u, o1.v, o2.v AS w
+          FROM orient o1 JOIN orient o2 ON o2.u = o1.v
+        ),
+        tris AS (
+          SELECT w1.u, w1.v, w1.w
+          FROM wedges w1 JOIN orient o3 ON o3.u = w1.u AND o3.v = w1.w
+        ),
+        corners AS (
+          SELECT node, count(*) AS nt FROM (
+            SELECT unnest([u, v, w]) AS node FROM tris
+          ) GROUP BY node
+        )
+        SELECT t.i AS node, CAST(coalesce(c.nt, 0) AS BIGINT) AS n_triangles
+        FROM range(0, {n}) t(i) LEFT JOIN corners c ON c.node = t.i
     """
 
 

@@ -189,3 +189,65 @@ def pagerank(
     res = out.select(F.col("v").alias("node"), F.col("rd").alias("rank"))
     res._cadastre_cached = cached
     return res
+
+
+def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """Per-node triangle participation over the undirected simple
+    graph of `edges` (src, dst): each triangle increments all three
+    corners; nodes in no triangle report 0 (when `nodes` is given).
+    Output (node, n_triangles).
+
+    Algorithm: the degree-ordered orientation (the standard
+    shuffle-bounded shape) — every undirected edge points from the
+    (degree, id)-smaller endpoint to the larger, so each node's
+    out-neighborhood is O(sqrt(E)) on skewed graphs and the wedge join
+    e1(u,v) x e2(v,w) cannot explode on hub nodes; a wedge closes iff
+    the oriented edge (u,w) exists. Each triangle is counted exactly
+    once (its corners are totally ordered by rank). All integer
+    arithmetic — the SQL twin replays it exactly.
+
+    Scale shape: degree census (narrow-key agg), two equi-joins on
+    node ids, one explode + final agg. The orientation is the skew
+    defense — without it a single hub of degree d contributes d^2
+    wedges.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    wd = und.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    orient = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e2 = orient.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = orient.join(e2, "v").select("u", "v", "w")
+    close = orient.select(
+        F.col("u").alias("u"), F.col("v").alias("w"), F.lit(1).alias("_c")
+    )
+    tris = wedges.join(close, ["u", "w"]).select("u", "v", "w")
+    corners = tris.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    if nodes is None:
+        return corners
+    return nodes.join(corners, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
