@@ -803,6 +803,76 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges, nodes)
 
 
+KCORE_K = 3
+KCORE_ORACLE_ROUNDS = 16
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the deterministic link graph — iterative peel to the
+    unique fixpoint (operators/graph.kcore); the oracle replays the
+    peel as unrolled idempotent rounds."""
+    from cadastre_pg_spark.operators.graph import kcore
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    _, edges = _pr_graph(spark, n)
+    return kcore(edges, k=KCORE_K)
+
+
+FUZZ_ROWS_PER_SF = 200_000
+FUZZ_VOCAB = (
+    "alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lam", "mu",
+)
+FUZZ_SUFFIX = ("", "s", "x", "es", "y")
+
+
+def _fuzz_strings(spark, n):
+    """Deterministic noisy-name table: word-pair + hash-chosen suffix
+    (typo-like variants), replayed verbatim by the oracle. Distinct
+    strings are bounded by the vocab combinatorics regardless of n."""
+    i = F.col("id")
+    nv, ns = len(FUZZ_VOCAB), len(FUZZ_SUFFIX)
+    idx1 = ((i * F.lit(S.MULT_H)) % F.lit(S.MOD)) % F.lit(nv)
+    idx2 = ((i * F.lit(S.MULT_W)) % F.lit(S.MOD)) % F.lit(nv)
+    idx3 = ((i * F.lit(S.MULT_LON)) % F.lit(S.MOD)) % F.lit(ns)
+    w = F.array(*[F.lit(x) for x in FUZZ_VOCAB])
+    sx = F.array(*[F.lit(x) for x in FUZZ_SUFFIX])
+    s = F.concat(
+        F.element_at(w, (idx1 + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(w, (idx2 + 1).cast("int")),
+        F.element_at(sx, (idx3 + 1).cast("int")),
+    )
+    return spark.range(n).select(s.alias("s"))
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy self-join (record linkage): distinct noisy names
+    within edit distance 2, candidates only within (2-char prefix,
+    length-band) blocks; banded thresholded Levenshtein."""
+    from cadastre_pg_spark.operators.dedup import fuzzy_pairs
+
+    n = max(500, int(FUZZ_ROWS_PER_SF * _sf_of(sf_dir)))
+    return fuzzy_pairs(_fuzz_strings(spark, n), "s", max_dist=2)
+
+
+MORAN_LEVEL = 4  # 16x16 lattice -> multi-point cells at sf0.01
+
+
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I of the document-point density surface on the
+    16x16 lattice (queen adjacency) — floor-quantized integer sums
+    make the statistic replay bitwise in SQL."""
+    from cadastre_pg_spark.operators.density import morans_i
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), MORAN_LEVEL).alias("cell")
+    )
+    return morans_i(pts, MORAN_LEVEL)
+
+
 DBSCAN_LEVEL = 4  # 16x16 grid -> ~2 pts/cell at sf0.01: core+border+noise mix
 DBSCAN_MIN_PTS = 3
 
@@ -1758,6 +1828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "ewma": q_ewma,
         "triangles": q_triangles,
+        "kcore": q_kcore,
+        "fuzzy_match": q_fuzzy_match,
+        "morans_i": q_morans_i,
     }
 
 
@@ -1907,6 +1980,9 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _host_stats_sql_oracle(),
         "pagerank": _pagerank_sql_oracle(),
         "triangles": _triangles_sql_oracle(),
+        "kcore": _kcore_sql_oracle(),
+        "fuzzy_match": _fuzzy_sql_oracle(),
+        "morans_i": _morans_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -3558,6 +3634,137 @@ def _triangles_sql_oracle() -> str:
         )
         SELECT t.i AS node, CAST(coalesce(c.nt, 0) AS BIGINT) AS n_triangles
         FROM range(0, {n}) t(i) LEFT JOIN corners c ON c.node = t.i
+    """
+
+
+def _kcore_sql_oracle() -> str:
+    """Unrolled idempotent replay of the k-core peel: each round keeps
+    nodes with degree >= k and restricts the edge set; the fixpoint is
+    unique so extra rounds are no-ops. Final census == Spark's alive
+    set at convergence."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""
+        n{r} AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+          ) GROUP BY node HAVING count(*) >= {KCORE_K}
+        ),
+        e{r} AS MATERIALIZED (
+          SELECT a, b FROM {prev}
+          WHERE a IN (SELECT node FROM n{r}) AND b IN (SELECT node FROM n{r})
+        )"""
+        )
+        prev = f"e{r}"
+    return f"""
+        WITH edges AS MATERIALIZED (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),{",".join(rounds)}
+        SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+        GROUP BY node HAVING count(*) >= {KCORE_K}
+    """
+
+
+def _fuzzy_sql_oracle() -> str:
+    """Replay of dedup.fuzzy_pairs over the generated noisy-name
+    table: distinct strings, (2-char prefix | length-band) block key,
+    within-block pairs under Levenshtein <= 2 (both engines implement
+    the standard unit-cost DP — integer parity)."""
+    n = max(500, int(FUZZ_ROWS_PER_SF * 0.01))
+    nv, ns = len(FUZZ_VOCAB), len(FUZZ_SUFFIX)
+    vocab = "[" + ", ".join(f"'{w}'" for w in FUZZ_VOCAB) + "]"
+    suff = "[" + ", ".join(f"'{x}'" for x in FUZZ_SUFFIX) + "]"
+    s_expr = (
+        f"{vocab}[CAST((i * {S.MULT_H}) % {S.MOD} % {nv} AS INT) + 1] || ' ' || "
+        f"{vocab}[CAST((i * {S.MULT_W}) % {S.MOD} % {nv} AS INT) + 1] || "
+        f"{suff}[CAST((i * {S.MULT_LON}) % {S.MOD} % {ns} AS INT) + 1]"
+    )
+    return f"""
+        WITH strs AS (
+          SELECT DISTINCT {s_expr} AS s FROM range(0, {n}) t(i)
+        ),
+        blocked AS (
+          SELECT s,
+                 substr(s, 1, 2) || '|' || CAST(length(s) // 4 AS VARCHAR) AS blk
+          FROM strs
+        )
+        SELECT a.s AS s_a, b.s AS s_b,
+               CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s
+        WHERE abs(length(a.s) - length(b.s)) <= 2
+          AND levenshtein(a.s, b.s) <= 2
+    """
+
+
+def _morans_sql_oracle() -> str:
+    """Replay of density.morans_i at MORAN_LEVEL: same lattice, same
+    fixed-order double deviations, same floor(term * 1e9) BIGINT
+    quantization (floor-on-the-same-double is the portable grid), same
+    three-op final ratio."""
+    lvl = MORAN_LEVEL
+    n = 1 << lvl
+    ncells = n * n
+    cell = S.grid_cell_sql(S.lon_sql("doc_id"), S.lat_sql("doc_id"), lvl)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    )
+    return f"""
+        WITH counts AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT {cell} AS cell FROM documents) GROUP BY cell
+        ),
+        tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS npts FROM counts),
+        lat AS (
+          SELECT t.i AS cell,
+                 CAST(coalesce(c.cnt, 0) AS DOUBLE)
+                   - CAST((SELECT npts FROM tot) AS DOUBLE)
+                     / CAST({ncells} AS DOUBLE) AS dev
+          FROM range(0, {ncells}) t(i) LEFT JOIN counts c ON c.cell = t.i
+        ),
+        den AS (
+          SELECT CAST(sum(CAST(floor((dev * dev) * CAST('1e9' AS DOUBLE))
+                               AS BIGINT)) AS BIGINT) AS den_units
+          FROM lat
+        ),
+        c2 AS (SELECT cell // {n} AS ix, cell % {n} AS iy, dev FROM lat),
+        off(dx, dy) AS (VALUES {offs}),
+        nbr AS (
+          SELECT (ix + dx) * {n} + iy + dy AS cell, dev AS dev_i
+          FROM c2, off
+          WHERE ix + dx BETWEEN 0 AND {n - 1}
+            AND iy + dy BETWEEN 0 AND {n - 1}
+        ),
+        num AS (
+          SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+                 CAST(sum(CAST(floor((nbr.dev_i * lat.dev) * CAST('1e9' AS DOUBLE))
+                               AS BIGINT)) AS BIGINT) AS num_units
+          FROM nbr JOIN lat ON lat.cell = nbr.cell
+        )
+        SELECT CAST({ncells} AS BIGINT) AS n_cells,
+               (SELECT npts FROM tot) AS n_points,
+               w_pairs, num_units, den_units,
+               CASE WHEN den_units <> 0 THEN
+                 (CAST({ncells} AS DOUBLE) * CAST(num_units AS DOUBLE))
+                 / (CAST(w_pairs AS DOUBLE) * CAST(den_units AS DOUBLE))
+               END AS morans_i
+        FROM num, den
     """
 
 

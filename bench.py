@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "corpus_prep",
     "mad_outliers",
     "ewma",
+    "triangles",
+    "kcore",
+    "fuzzy_match",
+    "morans_i",
 ]
 
 _CHILD = r"""
@@ -162,6 +166,10 @@ AGG_COL = {{
     "surprisal": "surprisal",
     "idw": "est",
     "resample": "value",
+    "triangles": "n_triangles",
+    "kcore": "core_deg",
+    "fuzzy_match": "dist",
+    "morans_i": "morans_i",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

@@ -883,3 +883,69 @@ def dup_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    s_col: str = "s",
+    max_dist: int = 2,
+    len_band: int = 4,
+    prefix: int = 2,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy-matching self-join (record linkage): pairs of
+    DISTINCT strings within edit distance <= max_dist, found only
+    among candidates sharing a blocking key. Output
+    (s_a, s_b, dist) with s_a < s_b.
+
+    Blocking contract (standard record-linkage tradeoff, documented
+    rather than hidden): a candidate pair must agree on
+    (first `prefix` chars, length // len_band). Near-matches that
+    straddle a block boundary are NOT found — recall is traded for
+    never running the O(n^2) all-pairs DP. Distance filtering uses
+    Spark's THRESHOLDED levenshtein (banded DP, O(max_dist * len)
+    per pair instead of O(len^2)), after a free length-difference
+    prefilter.
+
+    Scale shape: distinct (hash agg, narrow string keys) -> one
+    equi-join on the block key -> per-pair banded DP. Skew guard:
+    optional `max_block` drops blocks above the cap via a window
+    count over the join's own partition key (one exchange) and
+    reports them as `_skipped_blocks` (blk, n) — the engine's
+    no-silent-cap rule.
+    """
+    strs = (
+        df.select(F.col(s_col).alias("s"))
+        .where(F.col("s").isNotNull() & (F.length("s") > 0))
+        .distinct()
+    )
+    blocked = strs.select(
+        "s",
+        F.concat_ws(
+            "|",
+            F.substring("s", 1, prefix),
+            F.floor(F.length("s") / F.lit(len_band)).cast("string"),
+        ).alias("blk"),
+    )
+    skipped = None
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w_blk = Window.partitionBy("blk")
+        sized = blocked.withColumn("n", F.count(F.lit(1)).over(w_blk))
+        skipped = sized.filter(F.col("n") > max_block).select("blk", "n").distinct()
+        blocked = sized.filter(F.col("n") <= max_block).drop("n")
+    a = blocked.select("blk", F.col("s").alias("s_a"))
+    b = blocked.select("blk", F.col("s").alias("s_b"))
+    dist = F.levenshtein("s_a", "s_b", max_dist)
+    out = (
+        a.join(b, "blk")
+        .where(F.col("s_a") < F.col("s_b"))
+        .where(
+            F.abs(F.length("s_a") - F.length("s_b")) <= F.lit(max_dist)
+        )
+        .select("s_a", "s_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)  # thresholded DP returns -1 past max_dist
+    )
+    out._skipped_blocks = skipped
+    return out

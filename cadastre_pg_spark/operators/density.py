@@ -256,3 +256,79 @@ def idw_grid(
         .otherwise(F.col("su").cast("double") / F.col("sw").cast("double"))
         .alias("est"),
     )
+
+
+def morans_i(
+    points: DataFrame, level: int, cell_col: str = "cell", unit: float = 1e9
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the point-count
+    surface on the full 2^level x 2^level lattice under queen
+    (8-neighbor) adjacency with binary weights. One-row output:
+    (n_cells, n_points, w_pairs, num_units, den_units, morans_i).
+
+    Exactness contract: deviations (count - mean) are IEEE doubles
+    computed in a fixed operation order; every cross/self product is
+    quantized via floor(term * unit) to BIGINT before the SUM, so both
+    aggregations are exact integer sums (order-independent) and the
+    whole statistic replays bitwise in plain SQL (floor-on-the-same-
+    double is the portable quantizer — double->DECIMAL casts round
+    differently across engines). The final ratio is three IEEE ops in
+    a fixed order on integers exactly representable as doubles.
+
+    Scale shape: one (cell) count aggregate over the points, then all
+    work is LATTICE-sized: an 8-way neighbor explode of the cell
+    census re-joined on cell id (narrow long keys, AQE-broadcastable),
+    two scalar aggregates. The points are never self-joined.
+    """
+    n = 1 << level
+    ncells = n * n
+    spark = points.sparkSession
+    counts = (
+        points.select(F.col(cell_col).cast("long").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    npts = counts.agg(F.sum("cnt")).first()[0] or 0
+    mean = npts / ncells  # python double == SQL BIGINT/BIGINT double division
+    full = (
+        spark.range(ncells)
+        .select(F.col("id").alias("cell"))
+        .join(counts, "cell", "left")
+        .select(
+            "cell",
+            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") - F.lit(mean)).alias(
+                "dev"
+            ),
+        )
+    )
+    den = full.agg(
+        F.sum(F.floor(F.col("dev") * F.col("dev") * F.lit(unit))).alias("den_units")
+    )
+    nbr = full.select(
+        F.explode(_neighbors8(F.col("cell"), n)).alias("cell"),
+        F.col("dev").alias("dev_i"),
+    )
+    num = (
+        nbr.join(full, "cell")
+        .agg(
+            F.count(F.lit(1)).alias("w_pairs"),
+            F.sum(F.floor(F.col("dev_i") * F.col("dev") * F.lit(unit))).alias(
+                "num_units"
+            ),
+        )
+    )
+    out = num.crossJoin(den).select(
+        F.lit(ncells).cast("long").alias("n_cells"),
+        F.lit(npts).cast("long").alias("n_points"),
+        F.col("w_pairs").cast("long").alias("w_pairs"),
+        F.col("num_units").cast("long").alias("num_units"),
+        F.col("den_units").cast("long").alias("den_units"),
+        F.when(
+            F.col("den_units") != 0,
+            (F.lit(float(ncells)) * F.col("num_units").cast("double"))
+            / (F.col("w_pairs").cast("double") * F.col("den_units").cast("double")),
+        ).alias("morans_i"),
+    )
+    out._cadastre_cached = [counts]
+    return out

@@ -191,6 +191,61 @@ def pagerank(
     return res
 
 
+def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """k-core of the undirected simple graph of `edges` (src, dst):
+    the maximal subgraph in which every node has degree >= k. Output
+    (node, core_deg) — core_deg is the node's degree WITHIN the core.
+
+    Algorithm: iterative peel — each round computes the degree census
+    on the surviving edge set and drops nodes below k; the fixpoint is
+    unique (independent of peel order), so the oracle can replay it by
+    unrolling rounds until idempotent. All integer arithmetic.
+
+    Scale shape per round: one narrow-key degree agg (map-side
+    partials) + two left-semi joins restricting the edge list, with
+    localCheckpoint truncating lineage so round r plans as cheap as
+    round 1 (same regime as connected_components). Convergence is
+    detected by the surviving-node COUNT: alive sets only shrink, so
+    an unchanged count is set equality — one cheap aggregate per
+    round, no join-and-compare.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").cast("long").alias("a"),
+            F.greatest("src", "dst").cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cached = [und]
+    n_prev = -1
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+        alive = deg.where(F.col("core_deg") >= k)
+        n_alive = alive.count()
+        if n_alive == 0 or n_alive == n_prev:
+            out = alive.select("node", "core_deg")
+            out._cadastre_cached = cached
+            return out
+        und = (
+            und.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cached.append(und)
+        n_prev = n_alive
+    raise RuntimeError(
+        f"kcore: no fixpoint after {max_rounds} peel rounds "
+        f"(still {n_prev} nodes alive); raise max_rounds"
+    )
+
+
 def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
     """Per-node triangle participation over the undirected simple
     graph of `edges` (src, dst): each triangle increments all three
