@@ -856,6 +856,69 @@ def q_fuzzy_match(spark, sf_dir):
     return fuzzy_pairs(_fuzz_strings(spark, n), "s", max_dist=2)
 
 
+def q_trend(spark, sf_dir):
+    """Per-user OLS trend of event value over time — exact integer
+    sufficient statistics (minute/cent floor quantization), fixed-
+    order double slope/intercept."""
+    from cadastre_pg_spark.operators.stats import linear_trend
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = linear_trend(events)
+    return out.select(
+        F.col("grp").alias("user_id"),
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        "slope",
+        "intercept",
+    )
+
+
+def q_skyline(spark, sf_dir):
+    """Pareto frontier of documents under (minimize n_chars, maximize
+    hash-derived score) — bucketed two-level prefix-max plan vs a
+    brute-force NOT EXISTS oracle."""
+    from cadastre_pg_spark.operators.stats import skyline2d
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    t = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("chars"),
+        S.u_col(key, S.MULT_HOT).alias("score"),
+    )
+    out = skyline2d(t, id_col="doc_id", x_col="chars", y_col="score")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("x").alias("chars"),
+        F.col("y").alias("score"),
+    )
+
+
+DISSOLVE_ORACLE_ROUNDS = 8  # pointer-jumped: covers diameter 2^7
+
+
+def q_dissolve(spark, sf_dir):
+    """Dissolve transitively-overlapping parcels into regions —
+    overlap pairs -> connected components -> merged extents; oracle
+    replays CC as unrolled pointer-jumped min-label rounds."""
+    from cadastre_pg_spark.operators.overlay import dissolve_rects
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    key = F.col("p_partkey").cast("long")
+    cx, cy, hw, hh = S.parcel_box_cols(key)
+    rects = parts.select(
+        key.alias("rect_id"),
+        (cx - hw).alias("x0"),
+        (cy - hh).alias("y0"),
+        (cx + hw).alias("x1"),
+        (cy + hh).alias("y1"),
+    )
+    return dissolve_rects(rects, level=OVL_LEVEL)
+
+
 MORAN_LEVEL = 4  # 16x16 lattice -> multi-point cells at sf0.01
 
 
@@ -1831,6 +1894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "fuzzy_match": q_fuzzy_match,
         "morans_i": q_morans_i,
+        "trend": q_trend,
+        "skyline": q_skyline,
+        "dissolve": q_dissolve,
     }
 
 
@@ -1983,6 +2049,9 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql_oracle(),
         "fuzzy_match": _fuzzy_sql_oracle(),
         "morans_i": _morans_sql_oracle(),
+        "trend": _trend_sql_oracle(),
+        "skyline": _skyline_sql_oracle(),
+        "dissolve": _dissolve_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -3765,6 +3834,133 @@ def _morans_sql_oracle() -> str:
                  / (CAST(w_pairs AS DOUBLE) * CAST(den_units AS DOUBLE))
                END AS morans_i
         FROM num, den
+    """
+
+
+def _trend_sql_oracle() -> str:
+    """Replay of stats.linear_trend: identical floor quantizers
+    (minutes since 2024-01-01, value cents), exact BIGINT sums, the
+    same fixed-order double slope/intercept expressions."""
+    from cadastre_pg_spark.operators.stats import T0_2024_US
+
+    x = (
+        f"CAST(floor((epoch_us(ts) - {T0_2024_US})"
+        f" / CAST('60000000' AS DOUBLE)) AS BIGINT)"
+    )
+    y = (
+        "CAST(floor(value * CAST('100.0' AS DOUBLE)"
+        " + CAST('0.5' AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+        WITH q AS (
+          SELECT user_id, {x} AS x, {y} AS y FROM events
+        ),
+        a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM q GROUP BY user_id
+        )
+        SELECT user_id, n, sx, sy, sxx, sxy,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+               THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               END AS slope,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+               THEN (CAST(sy AS DOUBLE)
+                     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+               END AS intercept
+        FROM a
+    """
+
+
+def _skyline_sql_oracle() -> str:
+    """Brute-force NOT EXISTS dominance replay of stats.skyline2d —
+    completely independent of the bucketed prefix-max plan (bucket
+    boundaries prune, they never change the answer)."""
+    score = S.u_sql("doc_id", S.MULT_HOT)
+    return f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(n_chars AS DOUBLE) AS chars,
+                 {score} AS score
+          FROM documents
+        )
+        SELECT doc_id, chars, score FROM t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t o
+          WHERE o.chars <= t.chars AND o.score >= t.score
+            AND (o.chars < t.chars OR o.score > t.score)
+        )
+    """
+
+
+def _dissolve_sql_oracle() -> str:
+    """Replay of overlay.dissolve_rects: brute-force overlap pairs
+    (IEJoin, independent of the cell plan), then unrolled pointer-
+    jumped min-label rounds to the unique CC fixpoint (MATERIALIZED —
+    inlined CTE chains explode), singletons via left join, min/max
+    extent agg (exact double min/max, no rounding grid)."""
+    cx, cy, hw, hh = S.parcel_box_sql("p.p_partkey")
+    rounds = []
+    prev = "l0"
+    for r in range(1, DISSOLVE_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""
+        s{r} AS MATERIALIZED (
+          SELECT node, min(lab) AS lab FROM (
+            SELECT node, lab FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, l.lab FROM sym e
+            JOIN {prev} l ON l.node = e.src
+          ) GROUP BY node
+        ),
+        l{r} AS MATERIALIZED (
+          SELECT s.node, coalesce(m.lab, s.lab) AS lab
+          FROM s{r} s LEFT JOIN s{r} m ON m.node = s.lab
+        )"""
+        )
+        prev = f"l{r}"
+    return f"""
+        WITH r AS MATERIALIZED (
+          SELECT CAST(p.p_partkey AS BIGINT) AS id,
+                 ({cx} - {hw}) AS x0, ({cy} - {hh}) AS y0,
+                 ({cx} + {hw}) AS x1, ({cy} + {hh}) AS y1
+          FROM part p
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id
+          FROM r a JOIN r b
+            ON a.id < b.id
+           AND least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+           AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+        ),
+        sym AS MATERIALIZED (
+          SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL
+          SELECT b_id AS src, a_id AS dst FROM pairs
+        ),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS lab FROM sym
+        ),{",".join(rounds)}
+        SELECT coalesce(l.lab, r.id) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_rects,
+               min(r.x0) AS x0, min(r.y0) AS y0,
+               max(r.x1) AS x1, max(r.y1) AS y1
+        FROM r LEFT JOIN {prev} l ON l.node = r.id
+        GROUP BY 1
     """
 
 

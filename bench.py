@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "kcore",
     "fuzzy_match",
     "morans_i",
+    "trend",
+    "skyline",
+    "dissolve",
 ]
 
 _CHILD = r"""
@@ -170,6 +173,9 @@ AGG_COL = {{
     "kcore": "core_deg",
     "fuzzy_match": "dist",
     "morans_i": "morans_i",
+    "trend": "slope",
+    "skyline": "score",
+    "dissolve": "x1",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

@@ -145,3 +145,65 @@ def rect_overlap_join(
     if skipped is not None:
         out._skipped_cells = skipped
     return out
+
+
+def dissolve_rects(
+    rects: DataFrame,
+    level: int = 7,
+    id_col: str = "rect_id",
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    max_cells_per_rect: int = 4096,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """Dissolve: merge transitively-overlapping rectangles into
+    regions (the polygon-union analog on bboxes — vintage conflation,
+    contiguous-zone building). Clusters are connected components of
+    the strictly-positive-overlap graph; rectangles overlapping
+    nothing form singleton clusters. Output per cluster:
+    (cluster, n_rects, x0, y0, x1, y1) — cluster = min member id,
+    extent = min/max of member bounds (exact double min/max, order-
+    independent, so the SQL twin needs no rounding grid).
+
+    Pure composition: rect_overlap_join (cell-bucketed, dedup-free
+    first-shared-cell pairs) -> connected_components (pointer-jumping
+    min-label) -> one hash aggregate. Each stage keeps its own scale
+    guards (cover fan-out raise, optional mega-cell cap, O(log d)
+    CC rounds).
+    """
+    from .graph import connected_components
+
+    pairs = rect_overlap_join(
+        rects,
+        level=level,
+        id_col=id_col,
+        x0=x0,
+        y0=y0,
+        x1=x1,
+        y1=y1,
+        max_cells_per_rect=max_cells_per_rect,
+        max_per_cell=max_per_cell,
+    )
+    cc = connected_components(pairs, a="a_id", b="b_id")
+    lab = rects.join(
+        cc, rects[id_col].cast("long") == cc["node"], "left"
+    ).select(
+        F.coalesce(F.col("cluster"), F.col(id_col).cast("long")).alias("cluster"),
+        F.col(x0).alias("_x0"),
+        F.col(y0).alias("_y0"),
+        F.col(x1).alias("_x1"),
+        F.col(y1).alias("_y1"),
+    )
+    out = lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_rects"),
+        F.min("_x0").alias("x0"),
+        F.min("_y0").alias("y0"),
+        F.max("_x1").alias("x1"),
+        F.max("_y1").alias("y1"),
+    )
+    out._cadastre_cached = getattr(cc, "_cadastre_cached", []) + getattr(
+        pairs, "_cadastre_cached", []
+    )
+    return out

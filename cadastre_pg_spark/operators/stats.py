@@ -194,3 +194,137 @@ def mad_outliers(
         )
         .select(group_col, "med", "mad", "n", "n_outliers")
     )
+
+
+T0_2024_US = 1704067200000000  # 2024-01-01T00:00:00Z in epoch micros
+
+
+def linear_trend(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    t0_us: int = T0_2024_US,
+    t_unit_us: float = 60e6,
+    v_unit: float = 100.0,
+) -> DataFrame:
+    """Per-group OLS trend line of value over time (drift/decay
+    detection per user/host/shard). Output per group: the five exact
+    integer sufficient statistics (n, sx, sy, sxx, sxy) plus slope
+    (value-units per time-unit) and intercept; slope NULL when every
+    observation shares one timestamp bucket.
+
+    Exactness contract: x = floor((micros - t0) / t_unit_us) and
+    y = floor(value * v_unit + 0.5) are BIGINTs (floor-on-the-same-
+    double is the portable quantizer), so all five sums are exact
+    integer aggregations — order-independent, no rounding grid. The
+    closing slope/intercept arithmetic is fixed-order IEEE on doubles
+    cast from those integers, identical in the SQL twin.
+
+    Scale shape: one projection + one hash aggregate with map-side
+    partials keyed on the group — no window, no join, no shuffle
+    beyond the single agg exchange.
+    """
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    x = F.floor((m - F.lit(t0_us)).cast("double") / F.lit(float(t_unit_us)))
+    y = F.floor(F.col(value_col) * F.lit(float(v_unit)) + F.lit(0.5))
+    g = events.select(
+        F.col(group_col).alias("grp"), x.alias("x"), y.alias("y")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / den
+    return g.select(
+        "grp",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.when(den != 0, slope).alias("slope"),
+        F.when(den != 0, (syd - slope * sxd) / nd).alias("intercept"),
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """2D skyline (Pareto frontier): rows not dominated under
+    (minimize x, maximize y). Row a dominates b iff a.x <= b.x and
+    a.y >= b.y with at least one strict; ties on BOTH coordinates keep
+    both rows. Output: the input columns of the surviving rows.
+
+    Scale shape (the reason this is not a window over a global sort —
+    an orderBy window with no partition collapses to ONE task): x is
+    range-bucketed on MEASURED min/max (statistics-first rule), then
+    1. per-bucket max y -> a bucket census (tiny),
+    2. prefix max over strictly-lower buckets via a window over the
+       CENSUS ONLY (<= n_buckets rows in one task — bounded by
+       construction),
+    3. within a bucket, prefix max over strictly-smaller DISTINCT x
+       (groupBy (bucket, x) then a per-bucket ROWS window over
+       distinct-x rows — parallel across buckets),
+    4. equal-x domination via the per-x max.
+    floor-bucketing is monotone, so bucket(b') < bucket(b) implies
+    x' < x regardless of float fuzz — bucket boundaries cannot change
+    the answer, only the pruning, which is why the oracle can be a
+    plain brute-force NOT EXISTS.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    lo, hi = t.agg(F.min("x"), F.max("x")).first()
+    if lo is None:
+        return t
+    width = (hi - lo) / n_buckets or 1.0
+    b = F.least(
+        F.greatest(F.floor((F.col("x") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    tb = t.select("id", "x", "y", b.alias("b")).persist()
+
+    # (1)+(2): census -> prefix max over lower buckets (census-sized)
+    from pyspark.sql import Window
+
+    census = tb.groupBy("b").agg(F.max("y").alias("bmax"))
+    w_pref = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    pref = census.select("b", F.max("bmax").over(w_pref).alias("cross_max"))
+
+    # (3): distinct-x rows per bucket, prefix max over smaller x
+    dx = tb.groupBy("b", "x").agg(F.max("y").alias("xmax"))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dxp = dx.select(
+        "b", "x", F.col("xmax").alias("eq_max"), F.max("xmax").over(w_in).alias("lt_max")
+    )
+
+    dominated = (
+        (F.col("cross_max").isNotNull() & (F.col("cross_max") >= F.col("y")))
+        | (F.col("lt_max").isNotNull() & (F.col("lt_max") >= F.col("y")))
+        | (F.col("eq_max") > F.col("y"))
+    )
+    out = (
+        tb.join(F.broadcast(pref), "b", "left")
+        .join(dxp, ["b", "x"])
+        .where(~dominated)
+        .select("id", "x", "y")
+    )
+    out._cadastre_cached = [tb]
+    return out
