@@ -919,6 +919,72 @@ def q_dissolve(spark, sf_dir):
     return dissolve_rects(rects, level=OVL_LEVEL)
 
 
+def q_mutual_info(spark, sf_dir):
+    """Mutual-information census between event type and hour-of-day —
+    integer micro-nat quantization makes every cell contribution an
+    exact BIGINT (the surprisal pattern applied to dependence)."""
+    from cadastre_pg_spark.operators.stats import mutual_info
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = events.select("event_type", F.hour("ts").alias("hr"))
+    out = mutual_info(t, "event_type", "hr")
+    return out.select(
+        F.col("a").alias("event_type"),
+        F.col("b").alias("hr"),
+        "n_ab",
+        "n_a",
+        "n_b",
+        "mi_u",
+    )
+
+
+PHASH_PER_SF = 30_000
+
+
+def q_phash(spark, sf_dir):
+    """Perceptual-hash image near-dup: deterministic media payloads
+    (every 4th image duplicates its predecessor), chunked fake decode
+    through the mapInPandas codec injection point, aHash banding +
+    exact Hamming verify — complete by pigeonhole at h <= 3."""
+    from cadastre_pg_spark.operators.multimodal import (
+        AHASH_BITS,
+        _fake_decode_wide,
+        ahash_pairs,
+        image_features,
+    )
+
+    n = max(200, int(PHASH_PER_SF * _sf_of(sf_dir)))
+    i = F.col("id")
+    key = F.when(i % 4 == F.lit(3), i - 1).otherwise(i)
+    media = spark.range(n).select(
+        i.alias("media_id"),
+        F.unhex(
+            F.sha2(F.concat(F.lit("media:"), key.cast("string")), 256)
+        ).alias("payload"),
+    )
+    feats = image_features(media, dim=AHASH_BITS, decode_fn=_fake_decode_wide)
+    return ahash_pairs(feats)
+
+
+TOPCELL_LEVEL = 6  # 64x64 tiles
+TOPCELL_K = 3
+
+
+def q_top_per_cell(spark, sf_dir):
+    """Top-3 documents per map tile by hash-derived score (total order
+    via the doc_id tiebreak) — the tile labeling primitive."""
+    from cadastre_pg_spark.operators.tiling import top_per_cell
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        "doc_id",
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), TOPCELL_LEVEL).alias("cell"),
+        S.u_col(key, S.MULT_W).alias("score"),
+    )
+    return top_per_cell(pts, k=TOPCELL_K)
+
+
 MORAN_LEVEL = 4  # 16x16 lattice -> multi-point cells at sf0.01
 
 
@@ -1897,6 +1963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "skyline": q_skyline,
         "dissolve": q_dissolve,
+        "mutual_info": q_mutual_info,
+        "phash": q_phash,
+        "top_per_cell": q_top_per_cell,
     }
 
 
@@ -2052,6 +2121,9 @@ def oracle_sql() -> dict[str, str]:
         "trend": _trend_sql_oracle(),
         "skyline": _skyline_sql_oracle(),
         "dissolve": _dissolve_sql_oracle(),
+        "mutual_info": _mutual_info_sql_oracle(),
+        "phash": _phash_sql_oracle(),
+        "top_per_cell": _top_per_cell_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -3961,6 +4033,114 @@ def _dissolve_sql_oracle() -> str:
                max(r.x1) AS x1, max(r.y1) AS y1
         FROM r LEFT JOIN {prev} l ON l.node = r.id
         GROUP BY 1
+    """
+
+
+def _mutual_info_sql_oracle() -> str:
+    """Replay of stats.mutual_info over event_type x hour: identical
+    micro-nat quantizer (round(ln(x)*1e6) BIGINT), marginals as
+    rollups of the contingency census, exact integer mi_u."""
+    u = lambda x: f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6, 0) AS BIGINT)"
+    return f"""
+        WITH t AS (
+          SELECT event_type AS a, CAST(hour(ts) AS INT) AS b FROM events
+        ),
+        nab AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM t GROUP BY a, b
+        ),
+        na AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM nab GROUP BY a),
+        nb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM nab GROUP BY b),
+        tot AS (SELECT {u("sum(n_ab)")} AS ln_n_u FROM nab)
+        SELECT nab.a AS event_type, nab.b AS hr, n_ab, n_a, n_b,
+               CAST(n_ab * ({u("n_ab")} + ln_n_u - {u("n_a")} - {u("n_b")})
+                    AS BIGINT) AS mi_u
+        FROM nab JOIN na ON na.a = nab.a JOIN nb ON nb.b = nab.b, tot
+    """
+
+
+def _phash_sql_oracle() -> str:
+    """Replay of the aHash pipeline: payload hex == sha256 hex of the
+    media key; chunked fake decode (sha256(hex || ':' || chunk), 8
+    uint32-LE features per chunk); mean via list_reduce (sequential-
+    fold parity, elements non-negative); unrolled bit sum; 4x15-bit
+    bands; bit_count Hamming verify."""
+    from cadastre_pg_spark.operators.multimodal import AHASH_BITS
+
+    n = max(200, int(PHASH_PER_SF * 0.01))
+    n_chunks = (AHASH_BITS + 7) // 8
+
+    def u32(hexpr: str, off: int) -> str:
+        terms = []
+        for j in range(4):
+            c = 2 * (off + j)
+            pair = (
+                f"((strpos('0123456789abcdef', substring({hexpr}, {c + 1}, 1)) - 1)"
+                f" * 16 + (strpos('0123456789abcdef', substring({hexpr}, {c + 2}, 1))"
+                f" - 1))"
+            )
+            terms.append(f"{pair} * {256 ** j}")
+        return "(" + " + ".join(terms) + ")"
+
+    chunk_cols = ", ".join(
+        f"sha256(hx0 || ':' || {c}) AS h{c}" for c in range(n_chunks)
+    )
+    feats = ", ".join(
+        f"{u32(f'h{j // 8}', 4 * (j % 8))} / CAST(4294967296 AS DOUBLE)"
+        for j in range(AHASH_BITS)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN fs[{j + 1}] >= m THEN {1 << j} ELSE 0 END)"
+        for j in range(AHASH_BITS)
+    )
+    bw = AHASH_BITS // 4
+    return f"""
+        WITH m0 AS (
+          SELECT i AS media_id,
+                 sha256('media:' || CAST(CASE WHEN i % 4 = 3 THEN i - 1
+                                              ELSE i END AS VARCHAR)) AS hx0
+          FROM range(0, {n}) t(i)
+        ),
+        ch AS (SELECT media_id, {chunk_cols} FROM m0),
+        fl AS (SELECT media_id, [{feats}] AS fs FROM ch),
+        mn AS (
+          SELECT media_id, fs,
+                 list_reduce(fs, (a, b) -> a + b)
+                   / CAST('{AHASH_BITS}' AS DOUBLE) AS m
+          FROM fl
+        ),
+        hsh AS (SELECT media_id, CAST({hash_expr} AS BIGINT) AS h FROM mn),
+        bexp AS (
+          SELECT media_id, h, b, (h >> ({bw} * b)) & {(1 << bw) - 1} AS bv
+          FROM hsh, (VALUES (0), (1), (2), (3)) bands(b)
+        )
+        SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+               CAST(bit_count(xor(l.h, r.h)) AS INT) AS hamming
+        FROM bexp l JOIN bexp r
+          ON l.b = r.b AND l.bv = r.bv AND l.media_id < r.media_id
+        WHERE bit_count(xor(l.h, r.h)) <= 3
+    """
+
+
+def _top_per_cell_sql_oracle() -> str:
+    """Replay of tiling.top_per_cell: identical total order
+    (score DESC, doc_id ASC) over exact hash-derived doubles."""
+    cell = S.grid_cell_sql(S.lon_sql("doc_id"), S.lat_sql("doc_id"), TOPCELL_LEVEL)
+    score = S.u_sql("doc_id", S.MULT_W)
+    return f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, {cell} AS cell,
+                 {score} AS score
+          FROM documents
+        ),
+        r AS (
+          SELECT cell,
+                 CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY score DESC, doc_id ASC
+                 ) AS BIGINT) AS rank,
+                 doc_id, score
+          FROM t
+        )
+        SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
     """
 
 

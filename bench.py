@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "trend",
     "skyline",
     "dissolve",
+    "mutual_info",
+    "phash",
+    "top_per_cell",
 ]
 
 _CHILD = r"""
@@ -176,6 +179,9 @@ AGG_COL = {{
     "trend": "slope",
     "skyline": "score",
     "dissolve": "x1",
+    "mutual_info": "mi_u",
+    "phash": "hamming",
+    "top_per_cell": "score",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

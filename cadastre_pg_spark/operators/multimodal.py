@@ -161,3 +161,115 @@ def generate_media(spark, n: int, partitions: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode_wide(payload: bytes, dim: int) -> np.ndarray:
+    """Chunked fake decode for dim > 8: chunk c is
+    sha256(hex(payload) + ':' + str(c)), each chunk yielding 8
+    uint32-LE features / 2^32 — unlike _fake_decode, features do NOT
+    repeat with period 8, so hash-style downstream ops (aHash) see a
+    full-entropy vector. SQL-replayable chunk by chunk."""
+    hexs = payload.hex()
+    out: list = []
+    c = 0
+    while len(out) * 4 < dim * 4:
+        h = hashlib.sha256(f"{hexs}:{c}".encode()).digest()
+        out.extend(np.frombuffer(h, dtype=np.uint32).astype(np.float64) / 2**32)
+        c += 1
+    return np.asarray(out[:dim])
+
+
+AHASH_BITS = 60  # 4 bands x 15 bits; bit 59 keeps the hash in BIGINT
+
+
+def ahash_pairs(
+    features: DataFrame,
+    bits: int = AHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    feat_col: str = "features",
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over decoded image feature
+    vectors: aHash bit j = feat[j] >= mean(feats); candidates share at
+    least one of `bands` hash bands; exact Hamming verify. With
+    max_hamming <= bands - 1 the banding is COMPLETE by pigeonhole —
+    the result is exactly all pairs within the Hamming radius, not an
+    approximation. Output (media_a, media_b, hamming), media_a <
+    media_b.
+
+    Exactness: the mean uses the sequential 0.0-seeded Catalyst fold
+    (elements are non-negative, so it replays bitwise as DuckDB
+    list_reduce per the sequential-fold parity rule); bit selection
+    and band extraction are integer ops. Scale shape: per-row
+    arithmetic, a `bands`-way explode of the HASH table (not the
+    features), a narrow-key equi-join on (band, value), bit_count
+    verify — the image twin of the text simhash join. Interpreted
+    Catalyst folds bound the hash stage ~10k rows/s; at real scale
+    compute the hash inside the decode batch with the same sequential
+    accumulation order.
+    """
+    assert bits % bands == 0 and bits <= 62
+    assert max_hamming <= bands - 1, "banding completeness needs h <= bands-1"
+    bw = bits // bands
+    s = F.aggregate(F.col(feat_col), F.lit(0.0), lambda a, x: a + x)
+    t = features.select(id_col, feat_col).withColumn("m", s / F.lit(float(bits)))
+    # shiftleft needs a literal bit count, the index here is a Column:
+    # pow(2, i) is exact for i <= 62 (powers of two are representable)
+    bit = lambda x, i: (
+        F.when(x >= F.col("m"), F.pow(F.lit(2.0), i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    h = t.select(
+        F.col(id_col).alias("mid"),
+        F.aggregate(
+            F.transform(F.col(feat_col), bit),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("h"),
+    )
+    bexp = h.select(
+        "mid",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        (
+                            F.shiftright(F.col("h"), b * bw)
+                            .bitwiseAND(F.lit((1 << bw) - 1))
+                        ).alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("mid", "h", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv"))
+    left = bexp.select(
+        F.col("bi").alias("l_bi"),
+        F.col("bv").alias("l_bv"),
+        F.col("mid").alias("media_a"),
+        F.col("h").alias("h_a"),
+    )
+    right = bexp.select(
+        F.col("bi").alias("r_bi"),
+        F.col("bv").alias("r_bv"),
+        F.col("mid").alias("media_b"),
+        F.col("h").alias("h_b"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l_bi") == F.col("r_bi"))
+            & (F.col("l_bv") == F.col("r_bv"))
+            & (F.col("media_a") < F.col("media_b")),
+        )
+        .select(
+            "media_a",
+            "media_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -328,3 +328,50 @@ def skyline2d(
     )
     out._cadastre_cached = [tb]
     return out
+
+
+def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information census between two discrete columns (the
+    dependence screen between, e.g., event type and hour-of-day).
+    Output one row per observed (a, b) cell: (a, b, n_ab, n_a, n_b,
+    mi_u) where mi_u = n_ab * (ln_u(n_ab) + ln_u(N) - ln_u(n_a)
+    - ln_u(n_b)) in integer MICRO-NATS; MI in nats =
+    sum(mi_u) / (N * 1e6).
+
+    Numeric rule (the surprisal micro-nat pattern): ln is taken once
+    per distinct count and quantized to round(ln(x)*1e6) BIGINT, so
+    every product/sum is exact integer arithmetic — order-independent,
+    replayed exactly by the SQL twin.
+
+    Scale shape: ONE scan — the (a, b) contingency aggregate; the a-
+    and b-marginals and the total are rollups of that (tiny) census,
+    broadcast back onto it. No second pass over the data.
+    """
+    u = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    nab = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()
+    )
+    na = nab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    nb = nab.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = nab.agg(u(F.sum("n_ab")).alias("ln_n_u"))
+    out = (
+        nab.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab")
+                * (u(F.col("n_ab")) + F.col("ln_n_u") - u(F.col("n_a")) - u(F.col("n_b")))
+            ).alias("mi_u"),
+        )
+    )
+    out._cadastre_cached = [nab]
+    return out

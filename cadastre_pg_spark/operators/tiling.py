@@ -54,3 +54,30 @@ def tile_extract(tiles: DataFrame, burn: DataFrame) -> DataFrame:
     return burn.join(tiles.select("tile").distinct(), "tile").select(
         "tile", "parcel_id", "n_cells"
     )
+
+
+def top_per_cell(
+    points: DataFrame,
+    k: int,
+    cell_col: str = "cell",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-k rows per grid cell by (score DESC, id ASC) — the tile
+    labeling / per-tile feature selection primitive (which k documents
+    to render or keep per map tile). The id tiebreak makes the ranking
+    total, hence deterministic and exactly SQL-replayable.
+
+    Scale shape: one window partitioned BY THE CELL (thousands of
+    partitions — parallel, never the single-task global-sort shape);
+    rank <= k filter pushes nothing extra through the exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cell_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        points.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(cell_col, F.col("rank").cast("long").alias("rank"), id_col, score_col)
+    )
