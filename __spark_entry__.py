@@ -818,6 +818,39 @@ def q_kcore(spark, sf_dir):
     return kcore(edges, k=KCORE_K)
 
 
+BFS_SEED_MOD = 25  # every 25th page is a crawl seed
+BFS_ORACLE_ROUNDS = 16
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS crawl depth over the deterministic link graph:
+    minimum hop count from the seed set (every 25th page) to every
+    reachable page — frontier-synchronous rounds (operators/
+    graph.bfs_hops); the unique fixpoint lets the oracle replay the
+    expansion as unrolled idempotent rounds."""
+    from cadastre_pg_spark.operators.graph import bfs_hops
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    seeds = nodes.where(F.col("node") % BFS_SEED_MOD == 0)
+    return bfs_hops(edges, seeds)
+
+
+LINKPRED_MIN_COMMON = 2
+
+
+def q_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction over the deterministic link
+    graph: non-adjacent page pairs sharing >= 2 neighbors, with the
+    exact neighborhood Jaccard (one IEEE division of exact integers —
+    bitwise parity, no rounding grid)."""
+    from cadastre_pg_spark.operators.graph import neighborhood_overlap
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    _, edges = _pr_graph(spark, n)
+    return neighborhood_overlap(edges, min_common=LINKPRED_MIN_COMMON)
+
+
 FUZZ_ROWS_PER_SF = 200_000
 FUZZ_VOCAB = (
     "alpha", "beta", "gamma", "delta", "eps", "zeta",
@@ -1000,6 +1033,37 @@ def q_morans_i(spark, sf_dir):
         S.grid_cell_col(S.lon_col(key), S.lat_col(key), MORAN_LEVEL).alias("cell")
     )
     return morans_i(pts, MORAN_LEVEL)
+
+
+def q_hotspot(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores of the document-point density
+    surface on the 16x16 lattice (3x3 window incl. center) — the LOCAL
+    sibling of morans_i; exact integer sufficient statistics + a fixed
+    IEEE expression tree make the z-scores replay bitwise in SQL."""
+    from cadastre_pg_spark.operators.density import local_gi
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), MORAN_LEVEL).alias("cell")
+    )
+    return local_gi(pts, MORAN_LEVEL)
+
+
+CUSUM_DRIFT = 60.0  # above the value mean (~49.6): level decays between bursts
+CUSUM_THRESHOLD = 200.0
+
+
+def q_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM drift detector over the event value
+    stream (final level, running max, alarm count) — the prefix
+    identity s_i = P_i - min(0, min P_j) turns the sequential fold
+    into two window scans over exact integer cents; the oracle replays
+    the identical BIGINT arithmetic."""
+    from cadastre_pg_spark.operators.windows import cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum(ev, drift=CUSUM_DRIFT, threshold=CUSUM_THRESHOLD)
 
 
 DBSCAN_LEVEL = 4  # 16x16 grid -> ~2 pts/cell at sf0.01: core+border+noise mix
@@ -1958,6 +2022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "triangles": q_triangles,
         "kcore": q_kcore,
+        "bfs_hops": q_bfs_hops,
+        "link_predict": q_link_predict,
+        "hotspot": q_hotspot,
+        "cusum": q_cusum,
         "fuzzy_match": q_fuzzy_match,
         "morans_i": q_morans_i,
         "trend": q_trend,
@@ -2116,6 +2184,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql_oracle(),
         "triangles": _triangles_sql_oracle(),
         "kcore": _kcore_sql_oracle(),
+        "bfs_hops": _bfs_sql_oracle(),
+        "link_predict": _link_predict_sql_oracle(),
+        "hotspot": _hotspot_sql_oracle(),
+        "cusum": _cusum_sql_oracle(),
         "fuzzy_match": _fuzzy_sql_oracle(),
         "morans_i": _morans_sql_oracle(),
         "trend": _trend_sql_oracle(),
@@ -3820,6 +3892,92 @@ def _kcore_sql_oracle() -> str:
     """
 
 
+def _bfs_sql_oracle() -> str:
+    """Unrolled replay of graph.bfs_hops: per round, the frontier is
+    the set of edge targets of the previous frontier not yet labeled;
+    hop = the round that first reached the node (== minimum, rounds
+    expand in hop order). Rounds past convergence are no-ops, so the
+    fixed unroll equals Spark's run-to-empty-frontier result."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    rounds = []
+    for r in range(1, BFS_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""
+        f{r} AS MATERIALIZED (
+          SELECT DISTINCT e.dst AS node
+          FROM edges e JOIN f{r - 1} p ON e.src = p.node
+          WHERE e.dst NOT IN (SELECT node FROM h{r - 1})
+        ),
+        h{r} AS MATERIALIZED (
+          SELECT node, hop FROM h{r - 1}
+          UNION ALL SELECT node, {r} AS hop FROM f{r}
+        )"""
+        )
+    return f"""
+        WITH edges AS MATERIALIZED (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        h0 AS MATERIALIZED (
+          SELECT i AS node, 0 AS hop FROM range(0, {n}) t(i)
+          WHERE i % {BFS_SEED_MOD} = 0
+        ),
+        f0 AS MATERIALIZED (SELECT node FROM h0),{",".join(rounds)}
+        SELECT node, CAST(hop AS INT) AS hop FROM h{BFS_ORACLE_ROUNDS}
+    """
+
+
+def _link_predict_sql_oracle() -> str:
+    """Replay of graph.neighborhood_overlap: canonical undirected
+    edges, two-directional adjacency, center self-join for
+    common-neighbor counts, NOT EXISTS anti-join against the edge set,
+    one double division for the Jaccard (exact-integer operands)."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    return f"""
+        WITH edges AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        adj AS (
+          SELECT a AS v, b AS x FROM und
+          UNION ALL SELECT b AS v, a AS x FROM und
+        ),
+        deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        pairs AS (
+          SELECT l.x AS u, r.x AS w, count(*) AS common
+          FROM adj l JOIN adj r ON l.v = r.v AND l.x < r.x
+          GROUP BY 1, 2 HAVING count(*) >= {LINKPRED_MIN_COMMON}
+        ),
+        sel AS (
+          SELECT * FROM pairs p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM und WHERE und.a = p.u AND und.b = p.w
+          )
+        )
+        SELECT u, w, CAST(common AS BIGINT) AS common,
+               CAST(du.deg AS BIGINT) AS deg_u,
+               CAST(dw.deg AS BIGINT) AS deg_w,
+               CAST(common AS DOUBLE)
+                 / CAST(du.deg + dw.deg - common AS DOUBLE) AS jaccard
+        FROM sel JOIN deg du ON du.v = sel.u
+                 JOIN deg dw ON dw.v = sel.w
+    """
+
+
 def _fuzzy_sql_oracle() -> str:
     """Replay of dedup.fuzzy_pairs over the generated noisy-name
     table: distinct strings, (2-char prefix | length-band) block key,
@@ -3906,6 +4064,113 @@ def _morans_sql_oracle() -> str:
                  / (CAST(w_pairs AS DOUBLE) * CAST(den_units AS DOUBLE))
                END AS morans_i
         FROM num, den
+    """
+
+
+def _hotspot_sql_oracle() -> str:
+    """Replay of density.local_gi at MORAN_LEVEL: same lattice, same
+    integer sufficient statistics (no quantizer — counts are already
+    exact), same fixed IEEE expression tree for xbar/s/z. The xbar and
+    s Spark embeds as Python-computed literals are recomputed here by
+    the identical division/sqrt chain — bitwise equal."""
+    lvl = MORAN_LEVEL
+    n = 1 << lvl
+    ncells = n * n
+    cell = S.grid_cell_sql(S.lon_sql("doc_id"), S.lat_sql("doc_id"), lvl)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    xbar = f"(CAST(npts AS DOUBLE) / CAST({ncells} AS DOUBLE))"
+    svar = f"(CAST(sumsq AS DOUBLE) / CAST({ncells} AS DOUBLE) - {xbar} * {xbar})"
+    return f"""
+        WITH counts AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT {cell} AS cell FROM documents) GROUP BY cell
+        ),
+        tot AS (
+          SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS npts,
+                 CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS sumsq
+          FROM counts
+        ),
+        st AS (
+          SELECT {xbar} AS xbar,
+                 CASE WHEN {svar} > 0 THEN sqrt({svar})
+                      ELSE CAST('0.0' AS DOUBLE) END AS s
+          FROM tot
+        ),
+        c2 AS (SELECT cell // {n} AS ix, cell % {n} AS iy, cnt FROM counts),
+        off(dx, dy) AS (VALUES {offs}),
+        nbr AS (
+          SELECT (ix + dx) * {n} + iy + dy AS cell, cnt
+          FROM c2, off
+          WHERE ix + dx BETWEEN 0 AND {n - 1}
+            AND iy + dy BETWEEN 0 AND {n - 1}
+        ),
+        w AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS w_sum
+              FROM nbr GROUP BY cell),
+        lat AS (
+          SELECT t.i AS cell,
+                 CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+                 CAST((least(t.i // {n} + 1, {n - 1})
+                       - greatest(t.i // {n} - 1, 0) + 1)
+                    * (least(t.i % {n} + 1, {n - 1})
+                       - greatest(t.i % {n} - 1, 0) + 1) AS BIGINT) AS k_win,
+                 CAST(coalesce(wt.w_sum, 0) AS BIGINT) AS w_sum
+          FROM range(0, {ncells}) t(i)
+          LEFT JOIN counts c ON c.cell = t.i
+          LEFT JOIN w wt ON wt.cell = t.i
+        )
+        SELECT cell, cnt, k_win, w_sum,
+               CASE WHEN st.s <> 0 THEN
+                 (CAST(w_sum AS DOUBLE) - st.xbar * CAST(k_win AS DOUBLE))
+                 / (st.s * sqrt(CAST({ncells} * k_win - k_win * k_win AS DOUBLE)
+                                / CAST({ncells - 1} AS DOUBLE)))
+               END AS gi_z
+        FROM lat, st
+    """
+
+
+def _cusum_sql_oracle() -> str:
+    """Replay of windows.cusum via the SAME prefix identity
+    s_i = P_i - min(0, min_{j<=i} P_j): identical cents quantizer
+    (floor(x*100 + 0.5) — floor of an exact-integer-valued double, so
+    the BIGINT cast is exact in both engines), then pure BIGINT window
+    arithmetic over the same (ts, event_id) order — no doubles at all,
+    so parity is exact by construction."""
+    dc = int(round(CUSUM_DRIFT * 100))
+    hc = int(round(CUSUM_THRESHOLD * 100))
+    return f"""
+        WITH base AS (
+          SELECT user_id,
+                 CAST(floor(value * CAST('100.0' AS DOUBLE)
+                            + CAST('0.5' AS DOUBLE)) AS BIGINT)
+                   - {dc} AS d,
+                 ts, event_id
+          FROM events
+        ),
+        pre AS (
+          SELECT user_id, d, ts, event_id,
+                 sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS p
+          FROM base
+        ),
+        stepped AS (
+          SELECT user_id, d, p,
+                 min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rmin
+          FROM pre
+        ),
+        s AS (
+          SELECT user_id, d, p, p - least(0, rmin) AS s FROM stepped
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) - least(0, min(p)) AS BIGINT)
+                 AS cusum_final_cents,
+               CAST(max(s) AS BIGINT) AS cusum_max_cents,
+               CAST(sum(CAST(s > {hc} AS BIGINT)) AS BIGINT) AS n_alarms
+        FROM s GROUP BY user_id
     """
 
 

@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "mutual_info",
     "phash",
     "top_per_cell",
+    "bfs_hops",
+    "link_predict",
+    "hotspot",
+    "cusum",
 ]
 
 _CHILD = r"""

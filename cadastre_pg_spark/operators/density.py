@@ -332,3 +332,116 @@ def morans_i(
     )
     out._cadastre_cached = [counts]
     return out
+
+
+def _neighbors9(cell, n: int):
+    """Array of the up-to-9 grid cells in the 3x3 window INCLUDING the
+    center (bounds-checked, no wraparound): cell = ix*n + iy."""
+    iy = F.pmod(cell, F.lit(n))
+    ix = ((cell - iy) / F.lit(n)).cast("long")
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    arr = F.array(
+        *[
+            F.when(
+                (ix + F.lit(dx) >= 0)
+                & (ix + F.lit(dx) < n)
+                & (iy + F.lit(dy) >= 0)
+                & (iy + F.lit(dy) < n),
+                ((ix + F.lit(dx)) * n + iy + F.lit(dy)).cast("long"),
+            )
+            for dx, dy in offs
+        ]
+    )
+    return F.filter(arr, lambda c: c.isNotNull())
+
+
+def local_gi(
+    points: DataFrame, level: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores of the point-count surface on
+    the full 2^level x 2^level lattice: for each cell, how far its
+    3x3-window count sum (center INCLUDED — the * variant) sits above
+    or below the global mean, in units of the window-sum standard
+    deviation. Output one row per lattice cell: (cell, cnt, k_win,
+    w_sum, gi_z) — the local sibling of morans_i (global).
+
+        gi_z = (W_i - xbar*k_i) / (s * sqrt((n*k_i - k_i^2)/(n - 1)))
+
+    with W_i the window count sum, k_i the bounds-clipped window size,
+    n the lattice cell count, xbar/s the global mean/std of the count
+    surface.
+
+    Exactness contract: every sufficient statistic (counts, window
+    sums, window sizes, sum of squared counts) is an exact BIGINT —
+    counts need no quantizer at all — and the z expression is a FIXED
+    tree of single correctly-rounded IEEE ops (div/mul/sub/sqrt), so
+    the doubles replay bitwise in SQL with the same tree (the morans_i
+    final-ratio rule, extended per-row). xbar and s are computed
+    driver-side as Python doubles — bit-identical to the SQL division/
+    sqrt chain on the same integers.
+
+    Scale shape: one (cell) count agg over the points, then all work
+    is CENSUS-sized: a 9-way neighbor explode of the NONZERO cells
+    only (window sums via scatter, not gather — empty cells get their
+    sums by left join), one narrow-key agg, one lattice-range join.
+    The points are never self-joined; a degenerate all-equal surface
+    (s == 0) yields NULL z, not a crash.
+    """
+    import math
+
+    n = 1 << level
+    ncells = n * n
+    spark = points.sparkSession
+    counts = (
+        points.select(F.col(cell_col).cast("long").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    row = counts.agg(
+        F.sum("cnt").alias("np"), F.sum(F.col("cnt") * F.col("cnt")).alias("sq")
+    ).first()
+    npts = int(row["np"] or 0)
+    sumsq = int(row["sq"] or 0)
+    xbar = npts / ncells
+    svar = sumsq / ncells - xbar * xbar
+    s_val = math.sqrt(svar) if svar > 0 else 0.0
+    nbr = counts.select(
+        F.explode(_neighbors9(F.col("cell"), n)).alias("cell"),
+        F.col("cnt").alias("c"),
+    )
+    wsum = nbr.groupBy("cell").agg(F.sum("c").alias("w_sum"))
+    iy = F.pmod(F.col("cell"), F.lit(n))
+    ix = ((F.col("cell") - iy) / F.lit(n)).cast("long")
+    kx = F.least(ix + 1, F.lit(n - 1)) - F.greatest(ix - 1, F.lit(0)) + 1
+    ky = F.least(iy + 1, F.lit(n - 1)) - F.greatest(iy - 1, F.lit(0)) + 1
+    k = (kx * ky).cast("long")
+    full = (
+        spark.range(ncells)
+        .select(F.col("id").alias("cell"))
+        .join(counts, "cell", "left")
+        .join(wsum, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            k.alias("k_win"),
+            F.coalesce(F.col("w_sum"), F.lit(0)).cast("long").alias("w_sum"),
+        )
+    )
+    kd = F.col("k_win").cast("double")
+    num = F.col("w_sum").cast("double") - F.lit(xbar) * kd
+    den = F.lit(s_val) * F.sqrt(
+        (F.lit(ncells) * F.col("k_win") - F.col("k_win") * F.col("k_win")).cast(
+            "double"
+        )
+        / F.lit(float(ncells - 1))
+    )
+    out = full.select(
+        "cell",
+        "cnt",
+        "k_win",
+        "w_sum",
+        (F.when(F.lit(s_val) != 0.0, num / den)).alias("gi_z"),
+    )
+    out._cadastre_cached = [counts]
+    return out

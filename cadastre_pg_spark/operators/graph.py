@@ -306,3 +306,142 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFra
             "n_triangles"
         ),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Multi-source BFS over DIRECTED edges(src, dst): for every node
+    reachable from the seed set, the minimum hop count from any seed.
+    Output (node, hop); unreachable nodes are absent. The crawl-depth /
+    seed-distance primitive (how far is each page from the seed list).
+
+    Algorithm: frontier-synchronous BFS (the Pregel shape) — per round
+    one equi-join of the CURRENT FRONTIER (not the full visited set)
+    against the edge list, one distinct, one left-anti against the
+    visited set. Work per round is proportional to the frontier, the
+    labels are final the round they are assigned (hop = first round
+    seen == minimum, because rounds expand in hop order), and the
+    frontier empties at convergence — detected by its count, which the
+    round must materialize anyway. localCheckpoint truncates lineage
+    so round r plans as cheap as round 1. The fixpoint is unique, so
+    the oracle replays it as unrolled idempotent rounds.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).localCheckpoint(eager=True)
+    lab = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    cached = [e, lab]
+    frontier = lab
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(lab.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        cached.append(nxt)
+        if nxt.count() == 0:
+            out = lab.select("node", F.col("hop").cast("int").alias("hop"))
+            out._cadastre_cached = cached
+            return out
+        lab = lab.unionByName(nxt).localCheckpoint(eager=True)
+        cached.append(lab)
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_hops: frontier still non-empty after {max_rounds} rounds — "
+        "graph eccentricity exceeds the budget; raise max_rounds"
+    )
+
+
+def neighborhood_overlap(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_center_deg: int | None = None,
+) -> DataFrame:
+    """Link prediction over the undirected simple graph of edges(src,
+    dst): for every NON-ADJACENT pair (u, w), u < w, sharing >=
+    min_common neighbors, the common-neighbor count and neighborhood
+    Jaccard |N(u) & N(w)| / |N(u) | N(w)|. Output (u, w, common,
+    deg_u, deg_w, jaccard) — the "suggest an edge" / duplicate-entity
+    candidate primitive on co-citation graphs.
+
+    Exactness: counts and degrees are exact integers; jaccard =
+    common / (deg_u + deg_w - common) is ONE IEEE division of exactly
+    representable integers — bitwise identical across engines, no
+    rounding grid.
+
+    Scale shape: adjacency census (narrow-key agg), one self-join of
+    the adjacency list on the CENTER node (each center of degree d
+    emits d*(d-1)/2 candidate pairs — the true output-complexity of
+    the problem), one (u, w) count agg, an anti-join against the edge
+    set, two degree joins. The quadratic term is per-center: a super
+    hub of degree d contributes O(d^2) wedges, so `max_center_deg`
+    optionally EXCLUDES hub centers (their common-neighbor signal is
+    noise at web scale — everyone co-cites the homepage) and reports
+    how many were dropped via the `_skipped_hubs` attribute, the
+    engine's no-silent-caps rule.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").cast("long").alias("a"),
+            F.greatest("src", "dst").cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("a").alias("v"), F.col("b").alias("x")
+    ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("x")))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    skipped = 0
+    if max_center_deg is not None:
+        hubs = deg.where(F.col("deg") > max_center_deg)
+        skipped = hubs.count()
+        adj_c = adj.join(
+            hubs.select("v"), "v", "left_anti"
+        )
+    else:
+        adj_c = adj
+    left = adj_c.select("v", F.col("x").alias("u"))
+    right = adj_c.select("v", F.col("x").alias("w"))
+    pairs = (
+        left.join(right, "v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    non_adj = pairs.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w"))
+    out = (
+        non_adj.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_w").cast("long").alias("deg_w"),
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    out._skipped_hubs = skipped
+    return out

@@ -260,3 +260,73 @@ def ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
         F.size("a").cast("long").alias("n"),
         fold.alias("ewma"),
     )
+
+def cusum(
+    events: DataFrame,
+    drift: float,
+    threshold: float,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift detector over the (ts, id)-ordered
+    value stream: s_0 = 0, s_i = max(0, s_{i-1} + (x_i - drift)).
+    Output (key, n, cusum_final_cents, cusum_max_cents, n_alarms) —
+    the change-point / quality-drift monitor a corpus pipeline runs
+    per source; n_alarms counts steps with s_i > threshold.
+
+    The recurrence LOOKS inherently sequential (like ewma) but is not:
+    the prefix identity s_i = P_i - min(0, min_{j<=i} P_j), with P the
+    running sum of (x - drift), turns it into two window functions
+    over one (key, time) frame — so unlike ewma there is no
+    collect_list fold at all, and a key with millions of events
+    streams through the window scan instead of materializing an array.
+
+    Exactness: values are quantized to integer CENTS by the shared
+    trend quantizer floor(x*100 + 0.5) (portable: floor on the same
+    double), after which every running sum, running min, max and count
+    is EXACT BIGINT arithmetic — order-free, no rounding grid, no
+    sequential-fold parity rule needed. The final level needs no
+    last-row lookup: s_n = sum(d) - min(0, min P), two plain
+    aggregates.
+
+    Scale shape: ONE exchange on the key, one per-partition sort, two
+    running-frame window functions, one groupBy on the same key (no
+    second exchange under AQE reuse) — the canonical window plan.
+    """
+    dc = int(round(drift * 100))
+    hc = int(round(threshold * 100))
+    cents = F.floor(
+        F.col(value_col) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        F.col(id_col).alias("e"),
+        (cents - F.lit(dc)).alias("d"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum("d").over(w)
+    stepped = base.select(
+        "k", "d", p.alias("p"), F.min(p).over(w).alias("rmin")
+    ).select(
+        "k",
+        "d",
+        "p",
+        (F.col("p") - F.least(F.lit(0), F.col("rmin"))).alias("s"),
+    )
+    return stepped.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("d") - F.least(F.lit(0), F.min("p")))
+        .cast("long")
+        .alias("cusum_final_cents"),
+        F.max("s").cast("long").alias("cusum_max_cents"),
+        F.sum((F.col("s") > hc).cast("long")).cast("long").alias("n_alarms"),
+    ).withColumnRenamed("k", key_col).select(
+        key_col, "n", "cusum_final_cents", "cusum_max_cents", "n_alarms"
+    )

@@ -29,6 +29,12 @@ def test_query_matches_oracle(spark, name):
             "simplify",
             "pagerank",
             "host_stats",
+            "triangles",
+            "kcore",
+            "fuzzy_match",
+            "phash",
+            "bfs_hops",
+            "link_predict",
         )
         else SF_UNIT
     )
