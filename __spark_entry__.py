@@ -909,6 +909,33 @@ def q_trend(spark, sf_dir):
     )
 
 
+ACF_LAG = 1
+
+
+def q_acf(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values ordered by time
+    — exact integer sufficient statistics (cent quantization) through
+    one lead window + one hash aggregate; fixed-order double ACF."""
+    from cadastre_pg_spark.operators.stats import acf_lag
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = acf_lag(events, k=ACF_LAG)
+    return out.select(
+        F.col("grp").alias("user_id"), "n", "s", "q", "p", "sa", "sb", "acf"
+    )
+
+
+def q_clustering_coef(spark, sf_dir):
+    """Local clustering coefficient per node of the deterministic
+    link graph — exact degree + triangle census, one closing
+    division."""
+    from cadastre_pg_spark.operators.graph import clustering_coefficient
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    return clustering_coefficient(edges, nodes)
+
+
 def q_skyline(spark, sf_dir):
     """Pareto frontier of documents under (minimize n_chars, maximize
     hash-derived score) — bucketed two-level prefix-max plan vs a
@@ -2034,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "phash": q_phash,
         "top_per_cell": q_top_per_cell,
+        "acf": q_acf,
+        "clustering_coef": q_clustering_coef,
     }
 
 
@@ -2196,6 +2225,8 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _mutual_info_sql_oracle(),
         "phash": _phash_sql_oracle(),
         "top_per_cell": _top_per_cell_sql_oracle(),
+        "acf": _acf_sql_oracle(),
+        "clustering_coef": _clustering_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -4220,6 +4251,109 @@ def _trend_sql_oracle() -> str:
                     / CAST(n AS DOUBLE)
                END AS intercept
         FROM a
+    """
+
+
+def _acf_sql_oracle() -> str:
+    """Replay of stats.acf_lag at ACF_LAG: identical cent quantizer,
+    lead window over (user_id, ts), exact BIGINT sufficient sums, the
+    same fixed-order double ACF expression (ybar = s/n inlined)."""
+    k = ACF_LAG
+    y = (
+        "CAST(floor(value * CAST('100.0' AS DOUBLE)"
+        " + CAST('0.5' AS DOUBLE)) AS BIGINT)"
+    )
+    ybar = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    num = (
+        f"(CAST(p AS DOUBLE) - {ybar} * CAST(sa + sb AS DOUBLE))"
+        f" + (CAST(n AS DOUBLE) - CAST({float(k)} AS DOUBLE))"
+        f" * ({ybar} * {ybar})"
+    )
+    den = f"CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * {ybar}"
+    return f"""
+        WITH b AS (
+          SELECT user_id, {y} AS y,
+                 lead({y}, {k}) OVER (PARTITION BY user_id ORDER BY ts) AS y_k
+          FROM events
+        ),
+        a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 CAST(sum(y * y) AS BIGINT) AS q,
+                 CAST(sum(CASE WHEN y_k IS NOT NULL THEN y * y_k END)
+                      AS BIGINT) AS p,
+                 CAST(sum(CASE WHEN y_k IS NOT NULL THEN y END)
+                      AS BIGINT) AS sa,
+                 CAST(sum(y_k) AS BIGINT) AS sb
+          FROM b GROUP BY user_id
+        )
+        SELECT user_id, n, s, q,
+               CAST(coalesce(p, 0) AS BIGINT) AS p,
+               CAST(coalesce(sa, 0) AS BIGINT) AS sa,
+               CAST(coalesce(sb, 0) AS BIGINT) AS sb,
+               CASE WHEN n > {k} AND ({den}) <> 0
+                    THEN ({num}) / ({den}) END AS acf
+        FROM a
+    """
+
+
+def _clustering_sql_oracle() -> str:
+    """Replay of graph.clustering_coefficient: the triangles oracle's
+    CTE chain plus the degree census join and the single closing
+    division 2*T / (d*(d-1))."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    return f"""
+        WITH edges AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+          ) GROUP BY node
+        ),
+        orient AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN a ELSE b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN b ELSE a END AS v
+          FROM und JOIN deg da ON da.node = und.a
+                   JOIN deg db ON db.node = und.b
+        ),
+        wedges AS (
+          SELECT o1.u, o1.v, o2.v AS w
+          FROM orient o1 JOIN orient o2 ON o2.u = o1.v
+        ),
+        tris AS (
+          SELECT w1.u, w1.v, w1.w
+          FROM wedges w1 JOIN orient o3 ON o3.u = w1.u AND o3.v = w1.w
+        ),
+        corners AS (
+          SELECT node, count(*) AS nt FROM (
+            SELECT unnest([u, v, w]) AS node FROM tris
+          ) GROUP BY node
+        )
+        SELECT t.i AS node,
+               CAST(coalesce(d.d, 0) AS BIGINT) AS deg,
+               CAST(coalesce(c.nt, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN coalesce(d.d, 0) >= 2 THEN
+                 (2.0 * CAST(coalesce(c.nt, 0) AS DOUBLE))
+                 / (CAST(coalesce(d.d, 0) AS DOUBLE)
+                    * (CAST(coalesce(d.d, 0) AS DOUBLE) - 1.0))
+               END AS cc
+        FROM range(0, {n}) t(i)
+        LEFT JOIN corners c ON c.node = t.i
+        LEFT JOIN deg d ON d.node = t.i
     """
 
 

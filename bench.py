@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "link_predict",
     "hotspot",
     "cusum",
+    "acf",
+    "clustering_coef",
 ]
 
 _CHILD = r"""
@@ -186,6 +188,8 @@ AGG_COL = {{
     "mutual_info": "mi_u",
     "phash": "hamming",
     "top_per_cell": "score",
+    "acf": "acf",
+    "clustering_coef": "cc",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

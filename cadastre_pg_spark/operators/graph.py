@@ -308,6 +308,48 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame | None = None) -> DataFra
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected
+    simple graph of `edges` (src, dst): cc = 2*T / (deg * (deg - 1))
+    where T is the node's triangle count — how tightly a page's link
+    neighborhood closes on itself (link-farm / community signal).
+    Output (node, deg, n_triangles, cc); cc NULL when deg < 2.
+
+    Exactness contract: deg and T are exact integer aggregates
+    (triangle_counts' degree-ordered wedge join); cc is ONE division
+    of doubles cast from those integers — bitwise identical in the
+    SQL twin. Scale shape: triangle_counts' plan plus one extra
+    narrow-key join of the degree census (same agg the orientation
+    already computes).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges, nodes)
+    base = tri.join(deg, "node", "left").select(
+        "node",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+        "n_triangles",
+    )
+    d = F.col("deg").cast("double")
+    cc = (F.lit(2.0) * F.col("n_triangles").cast("double")) / (d * (d - F.lit(1.0)))
+    return base.select(
+        "node", "deg", "n_triangles", F.when(F.col("deg") >= 2, cc).alias("cc")
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

@@ -375,3 +375,75 @@ def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
     out._cadastre_cached = [nab]
     return out
+
+
+def acf_lag(
+    events: DataFrame,
+    k: int = 1,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    v_unit: float = 100.0,
+) -> DataFrame:
+    """Per-group lag-k sample autocorrelation of the value series
+    ordered by time (burstiness / periodicity detection per user,
+    host, or shard). Output per group: the exact integer sufficient
+    statistics (n, s = sum y, q = sum y^2, p = sum y_t * y_{t+k},
+    sa = sum over the first n-k values, sb = sum over the last n-k)
+    plus acf = sum((y_t - ybar)(y_{t+k} - ybar)) / sum((y_t - ybar)^2)
+    with ybar the FULL-series mean (the standard ACF estimator);
+    acf NULL when n <= k or the series is constant (zero variance).
+
+    Exactness contract: y = floor(value * v_unit + 0.5) is BIGINT
+    (floor-on-the-same-double, the portable quantizer), so every sum
+    is an exact integer aggregate — order-independent, no rounding
+    grid. The closing arithmetic is fixed-order IEEE on doubles cast
+    from those integers, replayed bitwise by the SQL twin:
+      ybar = s/n
+      num  = p - ybar*(sa+sb) + (n-k)*(ybar*ybar)
+      den  = q - s*ybar
+    (den is n*var; both engines evaluate the identical expression
+    tree left-to-right).
+
+    Scale shape: one window (lead over the group partition — a single
+    exchange on the group key, no join) feeding one hash aggregate
+    with map-side partials. (group, ts) is required unique; the lead
+    order is (ts) alone so the plan stays sort-within-partition.
+    """
+    from pyspark.sql import Window
+
+    y = F.floor(F.col(value_col) * F.lit(float(v_unit)) + F.lit(0.5))
+    w = Window.partitionBy("grp").orderBy("ts_o")
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).cast("timestamp").alias("ts_o"),
+        y.alias("y"),
+    ).withColumn("y_k", F.lead("y", k).over(w))
+    has = F.col("y_k").isNotNull()
+    g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+        F.sum(F.when(has, F.col("y") * F.col("y_k"))).alias("p"),
+        F.sum(F.when(has, F.col("y"))).alias("sa"),
+        F.sum(F.when(has, F.col("y_k"))).alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ybar = sd / nd
+    num = (
+        F.col("p").cast("double")
+        - ybar * (F.col("sa") + F.col("sb")).cast("double")
+        + (nd - F.lit(float(k))) * (ybar * ybar)
+    )
+    den = F.col("q").cast("double") - sd * ybar
+    return g.select(
+        "grp",
+        "n",
+        "s",
+        "q",
+        F.coalesce(F.col("p"), F.lit(0)).cast("long").alias("p"),
+        F.coalesce(F.col("sa"), F.lit(0)).cast("long").alias("sa"),
+        F.coalesce(F.col("sb"), F.lit(0)).cast("long").alias("sb"),
+        F.when((F.col("n") > k) & (den != 0), num / den).alias("acf"),
+    )
