@@ -1177,6 +1177,26 @@ def q_parcel_overlap(spark, sf_dir):
     return rect_overlap_join(rects, level=OVL_LEVEL)
 
 
+def q_areal(spark, sf_dir):
+    """Areal-weighted interpolation of parcel retail price onto the
+    level-7 grid — dasymetric surface build; exact BIGINT-quantized
+    contributions summed per cell, one hash aggregate."""
+    from cadastre_pg_spark.operators.overlay import areal_interpolate
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    key = F.col("p_partkey").cast("long")
+    cx, cy, hw, hh = S.parcel_box_cols(key)
+    rects = parts.select(
+        key.alias("rect_id"),
+        F.col("p_retailprice").alias("value"),
+        (cx - hw).alias("x0"),
+        (cy - hh).alias("y0"),
+        (cx + hw).alias("x1"),
+        (cy + hh).alias("y1"),
+    )
+    return areal_interpolate(rects, level=OVL_LEVEL)
+
+
 RESAMPLE_STEP_US = 6 * 3_600_000_000  # 6h grid over ~700h user spans
 
 
@@ -2063,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_per_cell": q_top_per_cell,
         "acf": q_acf,
         "clustering_coef": q_clustering_coef,
+        "areal": q_areal,
     }
 
 
@@ -2227,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "top_per_cell": _top_per_cell_sql_oracle(),
         "acf": _acf_sql_oracle(),
         "clustering_coef": _clustering_sql_oracle(),
+        "areal": _areal_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -3265,6 +3287,74 @@ def _parcel_overlap_sql_oracle() -> str:
           ON a.id < b.id
          AND least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
          AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+    """
+
+
+def _areal_sql_oracle() -> str:
+    """Replay of overlay.areal_interpolate at OVL_LEVEL: identical
+    cover-index floors, cell-edge arithmetic (lo + i*w with w the
+    exact binary span/n), fixed-order clip/frac/contribution doubles,
+    BIGINT quantize-then-sum."""
+    from cadastre_pg_spark.kernels import cells as C
+
+    n = 1 << OVL_LEVEL
+    lox, spx = C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0
+    loy, spy = C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0
+    wx, wy = spx / float(n), spy / float(n)
+    cx, cy, hw, hh = S.parcel_box_sql("p.p_partkey")
+
+    def idx(v, lo, sp):
+        return (
+            f"least(greatest(CAST(floor((({v}) - CAST('{lo!r}' AS DOUBLE))"
+            f" / CAST('{sp!r}' AS DOUBLE) * CAST('{float(n)!r}' AS DOUBLE))"
+            f" AS BIGINT), 0), {n - 1})"
+        )
+
+    return f"""
+        WITH r AS (
+          SELECT ({cx} - {hw}) AS x0, ({cy} - {hh}) AS y0,
+                 ({cx} + {hw}) AS x1, ({cy} + {hh}) AS y1,
+                 p.p_retailprice AS v
+          FROM part p
+        ),
+        ix AS (
+          SELECT *, {idx('x0', lox, spx)} AS ix0, {idx('x1', lox, spx)} AS ix1,
+                    {idx('y0', loy, spy)} AS iy0, {idx('y1', loy, spy)} AS iy1
+          FROM r
+        ),
+        cov AS (
+          SELECT *, unnest([i for i in range(ix0, ix1 + 1)]) AS cix FROM ix
+        ),
+        cov2 AS (
+          SELECT *, unnest([j for j in range(iy0, iy1 + 1)]) AS ciy FROM cov
+        ),
+        per AS (
+          SELECT cix * {n} + ciy AS cell,
+                 least(x1, CAST('{lox!r}' AS DOUBLE)
+                           + (cix + 1) * CAST('{wx!r}' AS DOUBLE))
+                   - greatest(x0, CAST('{lox!r}' AS DOUBLE)
+                                  + cix * CAST('{wx!r}' AS DOUBLE)) AS ow,
+                 least(y1, CAST('{loy!r}' AS DOUBLE)
+                           + (ciy + 1) * CAST('{wy!r}' AS DOUBLE))
+                   - greatest(y0, CAST('{loy!r}' AS DOUBLE)
+                                  + ciy * CAST('{wy!r}' AS DOUBLE)) AS oh,
+                 x0, y0, x1, y1, v
+          FROM cov2
+        ),
+        q AS (
+          SELECT cell,
+                 CAST(floor((v * ((ow * oh) / ((x1 - x0) * (y1 - y0))))
+                      * CAST('1e12' AS DOUBLE)) AS BIGINT) AS u
+          FROM per WHERE ow > 0 AND oh > 0
+        ),
+        agg AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_rects,
+                 CAST(sum(u) AS BIGINT) AS units
+          FROM q GROUP BY cell
+        )
+        SELECT cell, n_rects, units,
+               CAST(units AS DOUBLE) / CAST('1e12' AS DOUBLE) AS est
+        FROM agg
     """
 
 

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "cusum",
     "acf",
     "clustering_coef",
+    "areal",
 ]
 
 _CHILD = r"""
@@ -190,6 +191,7 @@ AGG_COL = {{
     "top_per_cell": "score",
     "acf": "acf",
     "clustering_coef": "cc",
+    "areal": "est",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

@@ -207,3 +207,106 @@ def dissolve_rects(
         pairs, "_cadastre_cached", []
     )
     return out
+
+
+def areal_interpolate(
+    rects: DataFrame,
+    level: int = 7,
+    id_col: str = "rect_id",
+    value_col: str = "value",
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    unit: float = 1e12,
+    max_cells_per_rect: int = 4096,
+) -> DataFrame:
+    """Areal-weighted interpolation (the dasymetric rollup): each
+    rectangle's value is redistributed onto the grid cells it covers
+    proportionally to the FRACTION of the rectangle's area inside
+    each cell, then summed per cell — population/price surfaces from
+    parcel attributes, the raster side of overlay analysis. Output
+    (cell, n_rects, units, est): `units` is the exact BIGINT sum of
+    floor(contribution * unit), `est` = units / unit.
+
+    Exactness contract: per (rect, cell) the clipped width/height are
+    one min/max/subtract chain, frac = (ow*oh) / ((x1-x0)*(y1-y0)),
+    contribution = value * frac — fixed-order IEEE identical in the
+    SQL twin — and floor(contribution * unit) lands on a BIGINT, so
+    the per-cell SUM is order-independent (the house quantize-then-sum
+    rule; double summation would be partition-order-dependent).
+
+    Scale shape: per-rect bounded cover explode (loud raise above
+    max_cells_per_rect), then ONE hash aggregate on the narrow cell
+    key with map-side partials. No join, no window; skewed cells ride
+    AQE. Cell-boundary-touching covers contribute zero-area slivers
+    and are filtered before the agg.
+    """
+    n = 1 << level
+    wx = (C.GRID_LON1 - C.GRID_LON0) / float(n)
+    wy = (C.GRID_LAT1 - C.GRID_LAT0) / float(n)
+    ix0 = _axis_idx(F.col(x0), C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+    ix1 = _axis_idx(F.col(x1), C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+    iy0 = _axis_idx(F.col(y0), C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+    iy1 = _axis_idx(F.col(y1), C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+    fan = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    guard = F.when(
+        fan > F.lit(max_cells_per_rect),
+        F.raise_error(
+            F.concat(
+                F.lit("areal_interpolate: rect "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" covers more than {max_cells_per_rect} cells at"
+                    f" level {level}; coarsen level or raise the bound"
+                ),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(ix0, ix1))
+    cov = (
+        rects.select(
+            F.col(value_col).alias("_v"),
+            F.col(x0).alias("_x0"),
+            F.col(y0).alias("_y0"),
+            F.col(x1).alias("_x1"),
+            F.col(y1).alias("_y1"),
+            F.col(id_col).alias("_id"),
+            F.explode(guard).alias("cix"),
+            iy0.alias("_iy0"),
+            iy1.alias("_iy1"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("ciy"),
+        )
+    )
+    cx0 = F.lit(C.GRID_LON0) + F.col("cix").cast("double") * F.lit(wx)
+    cx1 = F.lit(C.GRID_LON0) + (F.col("cix") + F.lit(1)).cast("double") * F.lit(wx)
+    cy0 = F.lit(C.GRID_LAT0) + F.col("ciy").cast("double") * F.lit(wy)
+    cy1 = F.lit(C.GRID_LAT0) + (F.col("ciy") + F.lit(1)).cast("double") * F.lit(wy)
+    ow = F.least(F.col("_x1"), cx1) - F.greatest(F.col("_x0"), cx0)
+    oh = F.least(F.col("_y1"), cy1) - F.greatest(F.col("_y0"), cy0)
+    frac = (ow * oh) / (
+        (F.col("_x1") - F.col("_x0")) * (F.col("_y1") - F.col("_y0"))
+    )
+    units = F.floor(F.col("_v") * frac * F.lit(float(unit)))
+    out = (
+        cov.select(
+            (F.col("cix") * F.lit(n) + F.col("ciy")).alias("cell"),
+            ow.alias("_ow"),
+            oh.alias("_oh"),
+            units.alias("_u"),
+        )
+        .filter((F.col("_ow") > 0) & (F.col("_oh") > 0))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rects"),
+            F.sum("_u").alias("units"),
+        )
+    )
+    return out.select(
+        "cell",
+        "n_rects",
+        "units",
+        (F.col("units").cast("double") / F.lit(float(unit))).alias("est"),
+    )

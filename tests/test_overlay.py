@@ -84,3 +84,60 @@ def test_out_of_bbox_rects_still_pair_via_clamped_cells(spark):
     out = rect_overlap_join(df, level=6).collect()
     assert {(r.a_id, r.b_id) for r in out} == {(1, 2)}
     assert out[0].area == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------- areal
+
+
+def _areal(spark, rows, level=7):
+    from cadastre_pg_spark.operators.overlay import areal_interpolate
+
+    df = spark.createDataFrame(
+        rows, "rect_id long, value double, x0 double, y0 double, x1 double, y1 double"
+    )
+    return areal_interpolate(df, level=level)
+
+
+def test_areal_single_cell_keeps_full_value(spark):
+    # a tiny rect strictly inside one level-7 cell: est == value
+    rows = [(1, 250.0, 0.01, 45.01, 0.02, 45.02)]
+    out = _areal(spark, rows).collect()
+    assert len(out) == 1
+    assert out[0].n_rects == 1
+    assert abs(out[0].est - 250.0) < 1e-9
+
+
+def test_areal_mass_conservation_across_cells(spark):
+    # rects straddling several cells: total est == total value up to
+    # one quantization ulp (1e-12) per (rect, cell) contribution
+    rows = [
+        (1, 100.0, -0.3, 44.9, 0.4, 45.3),
+        (2, 40.0, 2.0, 47.0, 2.5, 47.9),
+        (3, 7.5, -4.99, 41.01, -4.8, 41.2),
+    ]
+    out = _areal(spark, rows).collect()
+    total = sum(r.est for r in out)
+    n_contrib = sum(r.n_rects for r in out)
+    assert abs(total - 147.5) <= n_contrib * 1e-12
+    # every covered cell got a strictly positive share
+    assert all(r.units > 0 for r in out)
+
+
+def test_areal_clamps_out_of_grid_rect(spark):
+    # rect entirely west of the grid: clamped to edge cells, zero-area
+    # slivers filtered, so it contributes nothing
+    rows = [(1, 99.0, -20.0, 45.0, -19.0, 45.5)]
+    assert _areal(spark, rows).count() == 0
+
+
+def test_areal_cover_guard_raises_loudly(spark):
+    from cadastre_pg_spark.operators.overlay import areal_interpolate
+
+    df = spark.createDataFrame(
+        [(1, 5.0, -4.9, 41.1, 8.9, 50.9)],
+        "rect_id long, value double, x0 double, y0 double, x1 double, y1 double",
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="covers more than"):
+        areal_interpolate(df, level=7, max_cells_per_rect=16).collect()
