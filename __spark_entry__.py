@@ -1177,6 +1177,28 @@ def q_parcel_overlap(spark, sf_dir):
     return rect_overlap_join(rects, level=OVL_LEVEL)
 
 
+def q_hausdorff(spark, sf_dir):
+    """Symmetric Hausdorff distance between consecutive users'
+    event-derived trajectories — exact max-min over the pair-confined
+    cross product; one sqrt at the boundary."""
+    from cadastre_pg_spark.operators.windows import hausdorff_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        S.lon_col(key).alias("x"),
+        S.lat_col(key).alias("y"),
+    )
+    users = ev.select("user_id").distinct()
+    pairs = users.select(F.col("user_id").alias("a")).join(
+        users.select(F.col("user_id").alias("b")),
+        F.col("b") == F.col("a") + F.lit(1),
+    )
+    return hausdorff_pairs(pts, pairs)
+
+
 def q_areal(spark, sf_dir):
     """Areal-weighted interpolation of parcel retail price onto the
     level-7 grid — dasymetric surface build; exact BIGINT-quantized
@@ -2084,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "clustering_coef": q_clustering_coef,
         "areal": q_areal,
+        "hausdorff": q_hausdorff,
     }
 
 
@@ -2249,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
         "acf": _acf_sql_oracle(),
         "clustering_coef": _clustering_sql_oracle(),
         "areal": _areal_sql_oracle(),
+        "hausdorff": _hausdorff_sql_oracle(),
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),
@@ -3355,6 +3379,51 @@ def _areal_sql_oracle() -> str:
         SELECT cell, n_rects, units,
                CAST(units AS DOUBLE) / CAST('1e12' AS DOUBLE) AS est
         FROM agg
+    """
+
+
+def _hausdorff_sql_oracle() -> str:
+    """Replay of windows.hausdorff_pairs over the consecutive-user
+    pairing: identical LCG point derivation, fixed-order squared
+    distances, min/max/greatest/sqrt closing chain."""
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    return f"""
+        WITH pts AS (
+          SELECT user_id AS id, event_id AS pt,
+                 {lon} AS x, {lat} AS y
+          FROM events
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        prs AS (
+          SELECT ua.user_id AS a, ub.user_id AS b
+          FROM users ua JOIN users ub ON ub.user_id = ua.user_id + 1
+        ),
+        bd AS (
+          SELECT a AS pa, b AS pb, 0 AS dir FROM prs
+          UNION ALL
+          SELECT b AS pa, a AS pb, 1 AS dir FROM prs
+        ),
+        mins AS (
+          SELECT bd.pa, bd.pb, bd.dir, l.pt,
+                 min((l.x - r.x) * (l.x - r.x)
+                     + (l.y - r.y) * (l.y - r.y)) AS mind2
+          FROM bd
+          JOIN pts l ON l.id = bd.pa
+          JOIN pts r ON r.id = bd.pb
+          GROUP BY bd.pa, bd.pb, bd.dir, l.pt
+        ),
+        directed AS (
+          SELECT pa, pb, dir, max(mind2) AS h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM mins GROUP BY pa, pb, dir
+        )
+        SELECT f.pa AS a, f.pb AS b, f.n AS n_a, w.n AS n_b,
+               greatest(f.h, w.h) AS hd2,
+               sqrt(greatest(f.h, w.h)) AS hd
+        FROM directed f
+        JOIN directed w ON w.dir = 1 AND w.pb = f.pa AND w.pa = f.pb
+        WHERE f.dir = 0
     """
 
 

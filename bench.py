@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "acf",
     "clustering_coef",
     "areal",
+    "hausdorff",
 ]
 
 _CHILD = r"""
@@ -192,6 +193,7 @@ AGG_COL = {{
     "acf": "acf",
     "clustering_coef": "cc",
     "areal": "est",
+    "hausdorff": "hd",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

@@ -330,3 +330,85 @@ def cusum(
     ).withColumnRenamed("k", key_col).select(
         key_col, "n", "cusum_final_cents", "cusum_max_cents", "n_alarms"
     )
+
+
+def hausdorff_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "user_id",
+    pt_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Symmetric Hausdorff distance between trajectory (point-set)
+    pairs — the similarity measure for whole paths (map-matching QA,
+    duplicate-route detection, cross-vintage parcel drift). `points`
+    is (id, pt, x, y); `pairs` is (a, b) with the candidate pairs to
+    score (candidate generation — bbox overlap via rect_overlap_join,
+    shared-cell blocking, or consecutive ids — is the caller's
+    contract, exactly like the fuzzy-join blocking split). Output
+    (a, b, n_a, n_b, hd2, hd): hd2 = max over both directions of
+    min-over-other-set squared euclidean distance, hd = sqrt(hd2).
+
+    Exactness contract: d2 = (ax-bx)*(ax-bx) + (ay-by)*(ay-by) is
+    fixed-order IEEE; min/max are order-independent on doubles; sqrt
+    is correctly rounded everywhere — the SQL twin replays bitwise.
+
+    Scale shape: one equi-join per side on the pair's id (narrow
+    keys), the cross product is CONFINED to each pair (|A|x|B| rows
+    per pair, never global), the directed min is a map-side-combinable
+    hash aggregate on (a, b, pt), and the closing max is a second
+    narrow agg. Per-pair cost is the exact-Hausdorff lower bound;
+    at scale the caller bounds it by simplifying trajectories first
+    (operators/simplify) or capping candidate pairs. A padded-matrix
+    einsum (mapInArrow) is the constant-factor fast path if the join
+    shape ever dominates; the join form keeps the whole plan in
+    whole-stage codegen.
+    """
+    p = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(pt_col).alias("_pt"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    # both directions share one plan: (lo, hi, dir) with dir 0 = a->b
+    both = pairs.select(
+        F.col("a").alias("_a"), F.col("b").alias("_b"), F.lit(0).alias("_dir")
+    ).unionAll(
+        pairs.select(
+            F.col("b").alias("_a"), F.col("a").alias("_b"), F.lit(1).alias("_dir")
+        )
+    )
+    left = both.join(p, F.col("_a") == F.col("_id")).select(
+        "_a", "_b", "_dir",
+        F.col("_pt").alias("_apt"), F.col("_x").alias("_ax"),
+        F.col("_y").alias("_ay"),
+    )
+    q = p.select(
+        F.col("_id").alias("_bid"), F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+    )
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    inner = (
+        left.join(q, F.col("_b") == F.col("_bid"))
+        .groupBy("_a", "_b", "_dir", "_apt")
+        .agg(F.min(d2).alias("_mind2"))
+    )
+    directed = inner.groupBy("_a", "_b", "_dir").agg(
+        F.max("_mind2").alias("_h"), F.count(F.lit(1)).alias("_n")
+    )
+    fwd = directed.filter(F.col("_dir") == 0).select(
+        F.col("_a").alias("a"), F.col("_b").alias("b"),
+        F.col("_n").alias("n_a"), F.col("_h").alias("_hab"),
+    )
+    bwd = directed.filter(F.col("_dir") == 1).select(
+        F.col("_b").alias("a"), F.col("_a").alias("b"),
+        F.col("_n").alias("n_b"), F.col("_h").alias("_hba"),
+    )
+    out = fwd.join(bwd, ["a", "b"])
+    hd2 = F.greatest(F.col("_hab"), F.col("_hba"))
+    return out.select(
+        "a", "b", "n_a", "n_b", hd2.alias("hd2"), F.sqrt(hd2).alias("hd")
+    )

@@ -138,3 +138,67 @@ def test_bpe_token_count_goldens(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.n_tokens for r in bpe_token_count(df).collect()}
     assert out == {1: 2, 2: 4, 3: 4, 4: 0, 5: 2}
+
+
+# ------------------------------------------------------------ hausdorff
+
+
+def _hd(spark, sets, pair_list):
+    from cadastre_pg_spark.operators.windows import hausdorff_pairs
+
+    rows = [
+        (uid, i, float(x), float(y))
+        for uid, pts in sets.items()
+        for i, (x, y) in enumerate(pts)
+    ]
+    points = spark.createDataFrame(
+        rows, "user_id long, event_id long, x double, y double"
+    )
+    pairs = spark.createDataFrame(pair_list, "a long, b long")
+    return {(r.a, r.b): r for r in hausdorff_pairs(points, pairs).collect()}
+
+
+def _brute_hd2(A, B):
+    def directed(P, Q):
+        return max(min((px - qx) ** 2 + (py - qy) ** 2 for qx, qy in Q) for px, py in P)
+
+    return max(directed(A, B), directed(B, A))
+
+
+def test_hausdorff_known_segments(spark):
+    # unit-offset parallel segments: hd = 1
+    A = [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]
+    B = [(0.0, 1.0), (1.0, 1.0), (2.0, 1.0)]
+    got = _hd(spark, {1: A, 2: B}, [(1, 2)])[(1, 2)]
+    assert got.hd2 == 1.0 and got.hd == 1.0
+    assert got.n_a == 3 and got.n_b == 3
+
+
+def test_hausdorff_asymmetric_outlier(spark):
+    # B has a far outlier: the symmetric distance is dominated by it
+    A = [(0.0, 0.0), (1.0, 0.0)]
+    B = [(0.0, 0.0), (10.0, 0.0)]
+    got = _hd(spark, {1: A, 2: B}, [(1, 2)])[(1, 2)]
+    assert got.hd2 == 81.0  # (10-1)^2
+
+
+def test_hausdorff_matches_brute_force(spark):
+    import math
+
+    sets = {
+        u: [(((u * 7 + i * 13) % 29) / 3.0, ((u * 11 + i * 5) % 31) / 4.0)
+            for i in range(6 + u)]
+        for u in range(1, 5)
+    }
+    pair_list = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    got = _hd(spark, sets, pair_list)
+    for a, b in pair_list:
+        want = _brute_hd2(sets[a], sets[b])
+        assert got[(a, b)].hd2 == want, (a, b)
+        assert got[(a, b)].hd == math.sqrt(want)
+
+
+def test_hausdorff_identical_sets_zero(spark):
+    A = [(1.5, 2.5), (3.5, 4.5)]
+    got = _hd(spark, {1: A, 2: list(A)}, [(1, 2)])[(1, 2)]
+    assert got.hd2 == 0.0 and got.hd == 0.0
