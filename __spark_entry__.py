@@ -1783,6 +1783,22 @@ def q_session_overlap(spark, sf_dir):
     )
 
 
+def q_peak_concurrency(spark, sf_dir):
+    """Global concurrency profile of gap-rule sessions — two-level
+    sweep-line cumsum (chunked windows + broadcast prefix, no
+    single-partition stage); max(active) is peak load."""
+    from cadastre_pg_spark.operators.intervals import concurrency_profile
+    from cadastre_pg_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = session_stats(ev).select(
+        (F.col("user_id") * 1_000_000 + F.col("session_idx")).alias("interval_id"),
+        F.col("session_start").alias("start_ts"),
+        F.col("session_end").alias("end_ts"),
+    )
+    return concurrency_profile(sess)
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate n-gram fractions (n=1..3) per doc —
     the boilerplate/spam quality signal."""
@@ -2107,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coef": q_clustering_coef,
         "areal": q_areal,
         "hausdorff": q_hausdorff,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -2273,6 +2290,46 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coef": _clustering_sql_oracle(),
         "areal": _areal_sql_oracle(),
         "hausdorff": _hausdorff_sql_oracle(),
+        "peak_concurrency": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+              FROM events
+            ),
+            sx AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM e
+            ),
+            s AS (
+              SELECT user_id, sidx, min(ts) AS t0, max(ts) AS t1
+              FROM sx GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT epoch_us(t0) AS ts_us, 1 AS st FROM s
+              UNION ALL
+              SELECT epoch_us(t1) AS ts_us, 0 AS st FROM s
+            ),
+            c AS (
+              SELECT ts_us,
+                     CAST(sum(st) AS BIGINT) AS n_start,
+                     CAST(sum(1 - st) AS BIGINT) AS n_end
+              FROM b GROUP BY ts_us
+            )
+            SELECT make_timestamp(ts_us) AS ts, n_start, n_end,
+                   CAST(sum(n_start) OVER (ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING)
+                        - (sum(n_end) OVER (ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) - n_end)
+                     AS BIGINT) AS active
+            FROM c
+        """,
         "geohash": _geohash_sql_oracle(),
         "url_dedup": _url_dedup_sql_oracle(),
         "hll_distinct": _hll_distinct_sql_oracle(),

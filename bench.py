@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "clustering_coef",
     "areal",
     "hausdorff",
+    "peak_concurrency",
 ]
 
 _CHILD = r"""
@@ -194,6 +195,7 @@ AGG_COL = {{
     "clustering_coef": "cc",
     "areal": "est",
     "hausdorff": "hd",
+    "peak_concurrency": "active",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

@@ -183,3 +183,85 @@ def interval_point_join(
         .filter((F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end)))
         .select(pt_id, iv_id, ts, start, end)
     )
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    id_col: str = "interval_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    chunk_seconds: int = 86_400,
+) -> DataFrame:
+    """Sweep-line concurrency profile over CLOSED intervals
+    [start, end]: for every distinct boundary timestamp t, how many
+    intervals are active at t (start <= t AND end >= t) — the peak-
+    load / max-concurrent-sessions primitive. Output (ts, n_start,
+    n_end, active); max(active) is the peak concurrency and it is
+    always attained at a start boundary.
+
+    active(t) = (# starts <= t) - (# ends < t): two running sums over
+    the boundary census. All-integer — exact, and the SQL twin is the
+    same two cumulative windows.
+
+    Scale shape: a bare running sum is a SINGLE-PARTITION window (the
+    classic scale trap). This plan is the two-level scan instead:
+    boundaries aggregate per (chunk, ts) with map-side partials, chunk
+    subtotals (one row per chunk — days, here) cumsum on the driver
+    scale-free as a broadcast-joined prefix, and the within-chunk
+    cumsum windows partition BY CHUNK — every exchange is keyed, no
+    global sort, no single-task stage. chunk_seconds sizes a chunk's
+    boundary census to executor memory.
+    """
+    s = F.col(start_col).cast("timestamp")
+    e = F.col(end_col).cast("timestamp")
+    bounds = intervals.select(
+        F.unix_micros(s).alias("ts_us"), F.lit(1).alias("is_start")
+    ).unionAll(
+        intervals.select(F.unix_micros(e).alias("ts_us"), F.lit(0).alias("is_start"))
+    )
+    census = (
+        bounds.groupBy("ts_us")
+        .agg(
+            F.sum("is_start").alias("n_start"),
+            F.sum(F.lit(1) - F.col("is_start")).alias("n_end"),
+        )
+        .withColumn("chunk", F.floor(F.col("ts_us") / F.lit(chunk_seconds * US)))
+    )
+    census = census.persist()
+    totals = (
+        census.groupBy("chunk")
+        .agg(F.sum("n_start").alias("cs"), F.sum("n_end").alias("ce"))
+        .orderBy("chunk")
+        .collect()
+    )
+    # driver-side prefix over chunk subtotals: one row per chunk — the
+    # scale-free part (a year of days is 365 rows at any data size)
+    pre_s, pre_e, prefix = 0, 0, []
+    for r in totals:
+        prefix.append((r.chunk, pre_s, pre_e))
+        pre_s += r.cs
+        pre_e += r.ce
+    spark = intervals.sparkSession
+    pdf = spark.createDataFrame(prefix, "chunk long, pre_s long, pre_e long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("chunk")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        census.join(F.broadcast(pdf), "chunk")
+        .withColumn("_cum_s", F.sum("n_start").over(w) + F.col("pre_s"))
+        .withColumn("_cum_e", F.sum("n_end").over(w) + F.col("pre_e"))
+        .select(
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            F.col("n_start").cast("long").alias("n_start"),
+            F.col("n_end").cast("long").alias("n_end"),
+            (F.col("_cum_s") - (F.col("_cum_e") - F.col("n_end")))
+            .cast("long")
+            .alias("active"),
+        )
+    )
+    out._cadastre_cached = [census]
+    return out

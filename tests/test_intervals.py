@@ -140,3 +140,65 @@ def test_interval_overlap_mega_bucket_cap(spark):
     # uncapped finds the dense pairs too
     full = interval_overlap_join(df, bucket_seconds=3600)
     assert len({(r.a_id, r.b_id) for r in full.collect()}) > 1000
+
+
+# ------------------------------------------------------- concurrency
+
+
+def _profile(spark, iv, chunk_seconds=86_400):
+    from cadastre_pg_spark.operators.intervals import concurrency_profile
+    from datetime import datetime, timezone
+
+    rows = [
+        (i, datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None),
+         datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None))
+        for i, (s, e) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows, "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    out = concurrency_profile(df, chunk_seconds=chunk_seconds).collect()
+    return sorted((r.ts, r.n_start, r.n_end, r.active) for r in out)
+
+
+def _brute_profile(iv):
+    bounds = sorted({t for s, e in iv for t in (s, e)})
+    out = []
+    for t in bounds:
+        ns = sum(1 for s, e in iv if s == t)
+        ne = sum(1 for s, e in iv if e == t)
+        act = sum(1 for s, e in iv if s <= t <= e)
+        out.append((t, ns, ne, act))
+    return out
+
+
+def test_concurrency_simple_stack(spark):
+    iv = [(100, 200), (150, 250), (180, 190)]
+    got = _profile(spark, iv)
+    want = _brute_profile(iv)
+    assert [(g[1], g[2], g[3]) for g in got] == [(w[1], w[2], w[3]) for w in want]
+    assert max(g[3] for g in got) == 3
+
+
+def test_concurrency_touching_endpoints_closed_semantics(spark):
+    # end == next start: both active at the shared instant (closed)
+    iv = [(0, 100), (100, 200)]
+    got = _profile(spark, iv)
+    shared = [g for g in got if g[1] == 1 and g[2] == 1]
+    assert len(shared) == 1 and shared[0][3] == 2
+
+
+def test_concurrency_across_chunk_boundaries(spark):
+    # 1s chunks: prefix offsets must carry counts across chunks,
+    # including an interval spanning many whole chunks
+    iv = [(0, 10), (1, 2), (3, 12), (5, 6), (11, 13)]
+    got = _profile(spark, iv, chunk_seconds=1)
+    want = _brute_profile(iv)
+    assert [(g[1], g[2], g[3]) for g in got] == [(w[1], w[2], w[3]) for w in want]
+
+
+def test_concurrency_pseudorandom_matches_brute(spark):
+    iv = [((i * 37) % 50, (i * 37) % 50 + 1 + (i * 13) % 40) for i in range(40)]
+    got = _profile(spark, iv, chunk_seconds=7)
+    want = _brute_profile(iv)
+    assert [(g[1], g[2], g[3]) for g in got] == [(w[1], w[2], w[3]) for w in want]
