@@ -836,6 +836,34 @@ def q_bfs_hops(spark, sf_dir):
     return bfs_hops(edges, seeds)
 
 
+SSSP_SEED_MOD = 40
+SSSP_ORACLE_ROUNDS = 24
+
+
+def _sssp_weight_col():
+    """Deterministic positive integer edge weight 1..8 from (src, dst)
+    — replayed verbatim in the oracle."""
+    return F.lit(1) + (
+        ((F.col("src") + F.col("dst") * F.lit(7)) * F.lit(S.MULT_HOT))
+        % F.lit(S.MOD)
+    ) % F.lit(8)
+
+
+def q_sssp(spark, sf_dir):
+    """Multi-source weighted shortest paths (frontier Bellman–Ford)
+    over the deterministic link graph with hash-derived integer
+    weights — minimum total weight from the seed set (every 40th
+    page); the unique fixpoint lets the oracle replay full-relaxation
+    rounds unrolled."""
+    from cadastre_pg_spark.operators.graph import sssp
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    ew = edges.select("src", "dst", _sssp_weight_col().cast("long").alias("w"))
+    seeds = nodes.where(F.col("node") % SSSP_SEED_MOD == 0)
+    return sssp(ew, seeds)
+
+
 LINKPRED_MIN_COMMON = 2
 
 
@@ -2108,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "kcore": q_kcore,
         "bfs_hops": q_bfs_hops,
+        "sssp": q_sssp,
         "link_predict": q_link_predict,
         "hotspot": q_hotspot,
         "cusum": q_cusum,
@@ -2275,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql_oracle(),
         "kcore": _kcore_sql_oracle(),
         "bfs_hops": _bfs_sql_oracle(),
+        "sssp": _sssp_sql_oracle(),
         "link_predict": _link_predict_sql_oracle(),
         "hotspot": _hotspot_sql_oracle(),
         "cusum": _cusum_sql_oracle(),
@@ -4176,6 +4206,48 @@ def _bfs_sql_oracle() -> str:
         ),
         f0 AS MATERIALIZED (SELECT node FROM h0),{",".join(rounds)}
         SELECT node, CAST(hop AS INT) AS hop FROM h{BFS_ORACLE_ROUNDS}
+    """
+
+
+def _sssp_sql_oracle() -> str:
+    """Unrolled replay of graph.sssp: per round a FULL relaxation
+    (lab' = min(lab, min over edges of lab(src)+w)) — labels only
+    decrease and the fixpoint is unique, so rounds past convergence
+    are no-ops and the fixed unroll equals Spark's frontier run."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    w_expr = f"(1 + (((src + dst * 7) * {S.MULT_HOT}) % {S.MOD}) % 8)"
+    rounds = []
+    for r in range(1, SSSP_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""
+        l{r} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM l{r - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + e.w AS dist
+            FROM edges e JOIN l{r - 1} p ON e.src = p.node
+          ) GROUP BY node
+        )"""
+        )
+    return f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        edges AS MATERIALIZED (
+          SELECT src, dst, CAST({w_expr} AS BIGINT) AS w FROM e0
+        ),
+        l0 AS MATERIALIZED (
+          SELECT i AS node, CAST(0 AS BIGINT) AS dist FROM range(0, {n}) t(i)
+          WHERE i % {SSSP_SEED_MOD} = 0
+        ),{",".join(rounds)}
+        SELECT node, CAST(dist AS BIGINT) AS dist
+        FROM l{SSSP_ORACLE_ROUNDS}
     """
 
 

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "areal",
     "hausdorff",
     "peak_concurrency",
+    "sssp",
 ]
 
 _CHILD = r"""
@@ -196,6 +197,7 @@ AGG_COL = {{
     "areal": "est",
     "hausdorff": "hd",
     "peak_concurrency": "active",
+    "sssp": "dist",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

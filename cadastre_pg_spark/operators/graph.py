@@ -487,3 +487,90 @@ def neighborhood_overlap(
     )
     out._skipped_hubs = skipped
     return out
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str = "w",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path (Bellman–Ford) over
+    DIRECTED weighted edges(src, dst, w>=0, integer): for every node
+    reachable from the seed set, the minimum total weight from any
+    seed. Output (node, dist BIGINT); unreachable nodes absent. The
+    weighted sibling of bfs_hops — crawl cost, latency radius,
+    cheapest-route labeling.
+
+    Algorithm: frontier Bellman–Ford — per round, relax only edges
+    leaving nodes whose label IMPROVED last round (the delta frontier;
+    a full-edge relax every round would be E x rounds work), min-merge
+    candidates per target map-side, then compare against the label
+    set (full-outer shape via left join on the candidate side). The
+    frontier empties exactly at the fixpoint, which is unique (labels
+    only decrease, bounded below), so the oracle replays it as
+    unrolled idempotent FULL relaxation rounds. Integer weights keep
+    every label exact. localCheckpoint truncates per-round lineage.
+
+    Scale shape: each round is one equi-join keyed on src (edges can
+    be pre-partitioned on src once — the loop reuses the layout), one
+    map-side-combinable min agg on dst, one narrow join against the
+    label set. Work is proportional to the frontier's out-edges, the
+    Pregel bound.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    lab = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    cached = [e, lab]
+    frontier = lab
+    for _ in range(max_rounds):
+        cand = (
+            e.join(
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("_d"))
+            .groupBy("node")
+            .agg(F.min("_d").alias("_d"))
+        )
+        improved = (
+            cand.join(lab.select("node", F.col("dist").alias("_old")), "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("_d") < F.col("_old")))
+            .select("node", F.col("_d").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        cached.append(improved)
+        if improved.count() == 0:
+            out = lab.select("node", "dist")
+            out._cadastre_cached = cached
+            return out
+        lab = (
+            lab.join(improved.select("node", F.col("dist").alias("_new")), "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("_new").isNotNull()
+                    & (F.col("_new") < F.col("dist")),
+                    F.col("_new"),
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+            .unionByName(
+                improved.join(lab.select("node"), "node", "left_anti")
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached.append(lab)
+        frontier = improved
+    raise RuntimeError(
+        f"sssp: labels still improving after {max_rounds} rounds — "
+        "negative weights or a deeper graph than the budget; raise max_rounds"
+    )

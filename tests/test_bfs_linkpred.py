@@ -124,3 +124,74 @@ def test_lp_hub_cap_skips_center(spark):
 def test_lp_empty(spark):
     got, skipped = _run_lp(spark, [(0, 0)])  # self-loop only -> no graph
     assert got == {} and skipped == 0
+
+
+# ------------------------------------------------------------- sssp
+
+
+def _sssp(spark, edge_list, seed_list, **kw):
+    from cadastre_pg_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(s,) for s in seed_list], "node long")
+    return {r.node: r.dist for r in sssp(edges, seeds, **kw).collect()}
+
+
+def _dijkstra(edge_list, seed_list):
+    import heapq
+
+    adj = {}
+    for s, d, w in edge_list:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0 for s in seed_list}
+    pq = [(0, s) for s in seed_list]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_prefers_light_long_path(spark):
+    # direct heavy edge 0->3 (10) vs 3-hop light path (1+1+1)
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    got = _sssp(spark, edges, [0])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_multi_seed_takes_nearest(spark):
+    edges = [(0, 1, 5), (9, 1, 2), (1, 2, 1)]
+    got = _sssp(spark, edges, [0, 9])
+    assert got == {0: 0, 9: 0, 1: 2, 2: 3}
+
+
+def test_sssp_unreachable_absent_and_directedness(spark):
+    edges = [(0, 1, 1), (2, 3, 1)]  # 2,3 in another component; 1->0 absent
+    got = _sssp(spark, edges, [0])
+    assert got == {0: 0, 1: 1}
+
+
+def test_sssp_matches_dijkstra_pseudorandom(spark):
+    n = 40
+    edges = [
+        (i, (i * 7 + j * 11 + 1) % n, 1 + (i * 13 + j * 5) % 9)
+        for i in range(n)
+        for j in range(3)
+    ]
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    seeds = [0, 17]
+    assert _sssp(spark, edges, seeds) == _dijkstra(edges, seeds)
+
+
+def test_sssp_round_budget_raises_loudly(spark):
+    import pytest as _pt
+
+    chain = [(i, i + 1, 1) for i in range(10)]
+    with _pt.raises(RuntimeError, match="still improving"):
+        _sssp(spark, chain, [0], max_rounds=3)
