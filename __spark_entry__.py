@@ -1227,6 +1227,29 @@ def q_hausdorff(spark, sf_dir):
     return hausdorff_pairs(pts, pairs)
 
 
+SEG_LEVEL = 7
+
+
+def q_seg_intersect(spark, sf_dir):
+    """Crossing detection over hash-derived short road segments —
+    cell-blocked first-shared-cell candidate join + CLRS orientation
+    predicate; proper crossings carry the parametric crossing point."""
+    from cadastre_pg_spark.operators.overlay import segment_intersection_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    ax = S.lon_col(key)
+    ay = S.lat_col(key)
+    segs = ev.select(
+        key.alias("seg_id"),
+        ax.alias("ax"),
+        ay.alias("ay"),
+        (ax + (F.lit(0.4) * S.u_col(key, S.MULT_HOT) - F.lit(0.2))).alias("bx"),
+        (ay + (F.lit(0.4) * S.u_col(key, S.MULT_W) - F.lit(0.2))).alias("by"),
+    )
+    return segment_intersection_join(segs, level=SEG_LEVEL)
+
+
 def q_areal(spark, sf_dir):
     """Areal-weighted interpolation of parcel retail price onto the
     level-7 grid — dasymetric surface build; exact BIGINT-quantized
@@ -2152,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coef": q_clustering_coef,
         "areal": q_areal,
         "hausdorff": q_hausdorff,
+        "seg_intersect": q_seg_intersect,
         "peak_concurrency": q_peak_concurrency,
     }
 
@@ -2320,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coef": _clustering_sql_oracle(),
         "areal": _areal_sql_oracle(),
         "hausdorff": _hausdorff_sql_oracle(),
+        "seg_intersect": _seg_intersect_sql_oracle(),
         "peak_concurrency": """
             WITH e AS (
               SELECT user_id, event_id, ts,
@@ -3466,6 +3491,73 @@ def _areal_sql_oracle() -> str:
         SELECT cell, n_rects, units,
                CAST(units AS DOUBLE) / CAST('1e12' AS DOUBLE) AS est
         FROM agg
+    """
+
+
+def _seg_intersect_sql_oracle() -> str:
+    """Brute-force replay of overlay.segment_intersection_join —
+    bbox-overlap prefilter join (materialized), then the identical
+    CLRS orientation predicate and parametric crossing point as
+    staged scalar projections, fixed operand order throughout."""
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    uh = S.u_sql("event_id", S.MULT_HOT)
+    uw = S.u_sql("event_id", S.MULT_W)
+    straddle = (
+        "((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))"
+        " AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))"
+    )
+
+    def on_seg(sx, sy, ex, ey, px, py):
+        return (
+            f"(least({sx}, {ex}) <= {px} AND {px} <= greatest({sx}, {ex})"
+            f" AND least({sy}, {ey}) <= {py} AND {py} <= greatest({sy}, {ey}))"
+        )
+
+    touch = (
+        f"((d1 = 0 AND {on_seg('bax','bay','bbx','bby','aax','aay')})"
+        f" OR (d2 = 0 AND {on_seg('bax','bay','bbx','bby','abx','aby')})"
+        f" OR (d3 = 0 AND {on_seg('aax','aay','abx','aby','bax','bay')})"
+        f" OR (d4 = 0 AND {on_seg('aax','aay','abx','aby','bbx','bby')}))"
+    )
+    return f"""
+        WITH s0 AS MATERIALIZED (
+          SELECT event_id AS id,
+                 {lon} AS ax, {lat} AS ay,
+                 ({lon} + (0.4 * ({uh}) - 0.2)) AS bx,
+                 ({lat} + (0.4 * ({uw}) - 0.2)) AS by
+          FROM events
+        ),
+        s AS MATERIALIZED (
+          SELECT *, least(ax, bx) AS x0, greatest(ax, bx) AS x1,
+                    least(ay, by) AS y0, greatest(ay, by) AS y1
+          FROM s0
+        ),
+        cand AS MATERIALIZED (
+          SELECT a.id AS a_id, b.id AS b_id,
+                 a.ax AS aax, a.ay AS aay, a.bx AS abx, a.by AS aby,
+                 b.ax AS bax, b.ay AS bay, b.bx AS bbx, b.by AS bby
+          FROM s a JOIN s b
+            ON a.id < b.id
+           AND a.x0 <= b.x1 AND b.x0 <= a.x1
+           AND a.y0 <= b.y1 AND b.y0 <= a.y1
+        ),
+        d AS (
+          SELECT *,
+                 (bbx - bax) * (aay - bay) - (bby - bay) * (aax - bax) AS d1,
+                 (bbx - bax) * (aby - bay) - (bby - bay) * (abx - bax) AS d2,
+                 (abx - aax) * (bay - aay) - (aby - aay) * (bax - aax) AS d3,
+                 (abx - aax) * (bby - aay) - (aby - aay) * (bbx - aax) AS d4,
+                 ((bax - aax) * (bby - bay) - (bay - aay) * (bbx - bax))
+                   / ((abx - aax) * (bby - bay) - (aby - aay) * (bbx - bax)) AS t
+          FROM cand
+        )
+        SELECT a_id, b_id,
+               CAST(CASE WHEN {straddle} THEN 1 ELSE 0 END AS INT) AS proper,
+               CASE WHEN {straddle} THEN aax + t * (abx - aax) END AS px,
+               CASE WHEN {straddle} THEN aay + t * (aby - aay) END AS py
+        FROM d
+        WHERE ({straddle}) OR ({touch})
     """
 
 

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "hausdorff",
     "peak_concurrency",
     "sssp",
+    "seg_intersect",
 ]
 
 _CHILD = r"""
@@ -198,6 +199,7 @@ AGG_COL = {{
     "hausdorff": "hd",
     "peak_concurrency": "active",
     "sssp": "dist",
+    "seg_intersect": "px",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

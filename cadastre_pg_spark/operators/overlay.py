@@ -310,3 +310,137 @@ def areal_interpolate(
         "units",
         (F.col("units").cast("double") / F.lit(float(unit))).alias("est"),
     )
+
+
+def segment_intersection_join(
+    segs: DataFrame,
+    level: int = 8,
+    id_col: str = "seg_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    max_cells_per_seg: int = 1024,
+) -> DataFrame:
+    """All pairs of 2D line segments that intersect (share at least
+    one point: proper crossings, T-touches, endpoint touches, and
+    collinear overlaps) — the road-network / boundary-conflation
+    primitive. Output (a_id, b_id, proper, px, py) with a_id < b_id:
+    `proper` = 1 for a strict transversal crossing, in which case
+    (px, py) is the crossing point; touch/collinear cases report
+    proper = 0 and NULL coordinates (a collinear overlap has no
+    single point to report).
+
+    Predicate: the CLRS orientation test — four cross products
+    d = (bx-ax)*(cy-ay) - (by-ay)*(cx-ax), straddle both ways, plus
+    the d == 0 on-segment bbox checks. Intersection point by the
+    parametric form t = ((cx-ax)*(dy-cy) - (cy-ay)*(dx-cx)) / denom,
+    px = ax + t*(bx-ax). Every operand chain is fixed-order IEEE —
+    the brute-force SQL oracle replays it bitwise.
+
+    Scale shape: identical to rect_overlap_join — per-segment bounded
+    bbox cover (loud raise over max_cells_per_seg), narrow-key cell
+    equi-join, first-shared-cell residual instead of a distinct, hot
+    cells ride AQE. Choose `level` so a cell is about a segment
+    length: the candidate grid within a cell is the quadratic term.
+    """
+    n = 1 << level
+
+    def side(tag):
+        x0 = F.least(F.col(ax), F.col(bx))
+        x1 = F.greatest(F.col(ax), F.col(bx))
+        y0 = F.least(F.col(ay), F.col(by))
+        y1 = F.greatest(F.col(ay), F.col(by))
+        ix0 = _axis_idx(x0, C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+        ix1 = _axis_idx(x1, C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+        iy0 = _axis_idx(y0, C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+        iy1 = _axis_idx(y1, C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+        fan = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        guard = F.when(
+            fan > F.lit(max_cells_per_seg),
+            F.raise_error(
+                F.concat(
+                    F.lit("segment_intersection_join: segment "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" covers more than {max_cells_per_seg} cells at"
+                        f" level {level}; coarsen level or raise the bound"
+                    ),
+                )
+            ).cast("array<bigint>"),
+        ).otherwise(F.sequence(ix0, ix1))
+        return (
+            segs.select(
+                F.col(id_col).alias(f"{tag}_id"),
+                F.col(ax).alias(f"{tag}_ax"),
+                F.col(ay).alias(f"{tag}_ay"),
+                F.col(bx).alias(f"{tag}_bx"),
+                F.col(by).alias(f"{tag}_by"),
+                ix0.alias(f"{tag}_ix0"),
+                iy0.alias(f"{tag}_iy0"),
+                iy1.alias(f"{tag}_iy1"),
+                F.explode(guard).alias("cix"),
+            )
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(F.col(f"{tag}_iy0"), F.col(f"{tag}_iy1"))
+                ).alias("ciy"),
+            )
+            .select(
+                f"{tag}_id", f"{tag}_ax", f"{tag}_ay", f"{tag}_bx", f"{tag}_by",
+                f"{tag}_ix0", f"{tag}_iy0",
+                (F.col("cix") * F.lit(n) + F.col("ciy")).alias("cell"),
+                F.col("cix").alias(f"{tag}_cix"),
+                F.col("ciy").alias(f"{tag}_ciy"),
+            )
+        )
+
+    left, right = side("a"), side("b")
+
+    def cross(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    a1x, a1y = F.col("a_ax"), F.col("a_ay")
+    a2x, a2y = F.col("a_bx"), F.col("a_by")
+    b1x, b1y = F.col("b_ax"), F.col("b_ay")
+    b2x, b2y = F.col("b_bx"), F.col("b_by")
+    d1 = cross(b1x, b1y, b2x, b2y, a1x, a1y)
+    d2 = cross(b1x, b1y, b2x, b2y, a2x, a2y)
+    d3 = cross(a1x, a1y, a2x, a2y, b1x, b1y)
+    d4 = cross(a1x, a1y, a2x, a2y, b2x, b2y)
+    straddle_a = ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+    straddle_b = ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+
+    def on_seg(sx, sy, ex, ey, px_, py_):
+        return (
+            (F.least(sx, ex) <= px_) & (px_ <= F.greatest(sx, ex))
+            & (F.least(sy, ey) <= py_) & (py_ <= F.greatest(sy, ey))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(b1x, b1y, b2x, b2y, a1x, a1y))
+        | ((d2 == 0) & on_seg(b1x, b1y, b2x, b2y, a2x, a2y))
+        | ((d3 == 0) & on_seg(a1x, a1y, a2x, a2y, b1x, b1y))
+        | ((d4 == 0) & on_seg(a1x, a1y, a2x, a2y, b2x, b2y))
+    )
+    proper = straddle_a & straddle_b
+    denom = (a2x - a1x) * (b2y - b1y) - (a2y - a1y) * (b2x - b1x)
+    t = ((b1x - a1x) * (b2y - b1y) - (b1y - a1y) * (b2x - b1x)) / denom
+    cond = (
+        (F.col("a_id") < F.col("b_id"))
+        & (proper | touch)
+        & (F.col("a_cix") == F.greatest(F.col("a_ix0"), F.col("b_ix0")))
+        & (F.col("a_ciy") == F.greatest(F.col("a_iy0"), F.col("b_iy0")))
+    )
+    return (
+        left.join(right, "cell")
+        .filter(cond)
+        .select(
+            "a_id",
+            "b_id",
+            proper.cast("int").alias("proper"),
+            F.when(proper, a1x + t * (a2x - a1x)).alias("px"),
+            F.when(proper, a1y + t * (a2y - a1y)).alias("py"),
+        )
+    )

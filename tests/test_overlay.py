@@ -141,3 +141,86 @@ def test_areal_cover_guard_raises_loudly(spark):
 
     with _pt.raises(Exception, match="covers more than"):
         areal_interpolate(df, level=7, max_cells_per_rect=16).collect()
+
+
+# --------------------------------------------------------- segments
+
+
+def _segs(spark, seg_list, level=9):
+    from cadastre_pg_spark.operators.overlay import segment_intersection_join
+
+    df = spark.createDataFrame(
+        seg_list, "seg_id long, ax double, ay double, bx double, by double"
+    )
+    out = segment_intersection_join(df, level=level)
+    return {(r.a_id, r.b_id): r for r in out.collect()}
+
+
+def test_seg_proper_crossing_point(spark):
+    # X crossing at (1.0, 45.0)
+    got = _segs(spark, [
+        (1, 0.9, 44.9, 1.1, 45.1),
+        (2, 0.9, 45.1, 1.1, 44.9),
+    ])
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.proper == 1
+    assert abs(r.px - 1.0) < 1e-12 and abs(r.py - 45.0) < 1e-12
+
+
+def test_seg_t_touch_and_endpoint_touch(spark):
+    got = _segs(spark, [
+        (1, 0.0, 45.0, 1.0, 45.0),
+        (2, 0.5, 45.0, 0.5, 45.5),   # T-touch onto 1's interior
+        (3, 1.0, 45.0, 1.5, 45.5),   # endpoint touch with 1
+        (4, 3.0, 46.0, 3.5, 46.0),   # far away
+    ])
+    assert set(got) == {(1, 2), (1, 3)}
+    assert got[(1, 2)].proper == 0 and got[(1, 2)].px is None
+    assert got[(1, 3)].proper == 0
+
+
+def test_seg_collinear_overlap_and_disjoint(spark):
+    got = _segs(spark, [
+        (1, 0.0, 45.0, 1.0, 45.0),
+        (2, 0.5, 45.0, 2.0, 45.0),   # collinear overlap
+        (3, 1.5, 45.1, 2.5, 45.1),   # parallel, disjoint
+    ])
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].proper == 0
+
+
+def _brute_seg(seg_list):
+    def cross(o, p, q):
+        return (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+
+    def on(s, e, p):
+        return (min(s[0], e[0]) <= p[0] <= max(s[0], e[0])
+                and min(s[1], e[1]) <= p[1] <= max(s[1], e[1]))
+
+    out = set()
+    for i in range(len(seg_list)):
+        for j in range(i + 1, len(seg_list)):
+            i1, a1, a2 = seg_list[i][0], seg_list[i][1:3], seg_list[i][3:5]
+            i2, b1, b2 = seg_list[j][0], seg_list[j][1:3], seg_list[j][3:5]
+            d1, d2 = cross(b1, b2, a1), cross(b1, b2, a2)
+            d3, d4 = cross(a1, a2, b1), cross(a1, a2, b2)
+            strad = (((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0))
+                     and ((d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)))
+            tch = ((d1 == 0 and on(b1, b2, a1)) or (d2 == 0 and on(b1, b2, a2))
+                   or (d3 == 0 and on(a1, a2, b1)) or (d4 == 0 and on(a1, a2, b2)))
+            if strad or tch:
+                out.add((min(i1, i2), max(i1, i2)))
+    return out
+
+
+def test_seg_matches_brute_force_pseudorandom(spark):
+    segs = []
+    for i in range(60):
+        x = -4.0 + ((i * 37) % 100) * 0.12
+        y = 42.0 + ((i * 53) % 80) * 0.1
+        dx = (((i * 29) % 21) - 10) * 0.03
+        dy = (((i * 41) % 21) - 10) * 0.03
+        segs.append((i, x, y, x + dx, y + dy))
+    got = set(_segs(spark, segs, level=7))
+    assert got == _brute_seg(segs)
