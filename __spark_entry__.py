@@ -1636,6 +1636,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
 
 
+SETSIM_NUM, SETSIM_DEN = 9, 10
+
+
+def q_setsim(spark, sf_dir):
+    """Exact set-similarity self-join at Jaccard >= 0.9 via LOSSLESS
+    rarest-first prefix filtering (PPJoin family) — integer
+    cross-multiplied threshold, no float cutoffs; the brute-force
+    oracle proves the prefix filter drops nothing."""
+    from cadastre_pg_spark.operators.dedup import setsim_join
+
+    return setsim_join(
+        _docs(spark, sf_dir),
+        threshold_num=SETSIM_NUM,
+        threshold_den=SETSIM_DEN,
+    )
+
+
 def q_line_assembly(spark, sf_dir):
     """G5 line builders over a deterministic arc table derived from doc
     ids: 3 arcs per feature with LCG vertices; every 5th feature's
@@ -2176,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal": q_areal,
         "hausdorff": q_hausdorff,
         "seg_intersect": q_seg_intersect,
+        "setsim": q_setsim,
         "peak_concurrency": q_peak_concurrency,
     }
 
@@ -2345,6 +2363,27 @@ def oracle_sql() -> dict[str, str]:
         "areal": _areal_sql_oracle(),
         "hausdorff": _hausdorff_sql_oracle(),
         "seg_intersect": _seg_intersect_sql_oracle(),
+        "setsim": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS toks
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(a.toks) AS sa, len(b.toks) AS sb
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+            )
+            SELECT a_id, b_id,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(sa + sb - inter AS BIGINT) AS uni,
+                   CAST(inter AS DOUBLE)
+                     / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+            FROM p
+            WHERE {SETSIM_DEN} * inter >= {SETSIM_NUM} * (sa + sb - inter)
+        """,
         "peak_concurrency": """
             WITH e AS (
               SELECT user_id, event_id, ts,

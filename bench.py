@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "peak_concurrency",
     "sssp",
     "seg_intersect",
+    "setsim",
 ]
 
 _CHILD = r"""
@@ -200,6 +201,7 @@ AGG_COL = {{
     "peak_concurrency": "active",
     "sssp": "dist",
     "seg_intersect": "px",
+    "setsim": "jaccard",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

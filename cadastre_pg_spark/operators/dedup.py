@@ -949,3 +949,95 @@ def fuzzy_pairs(
     )
     out._skipped_blocks = skipped
     return out
+
+
+def setsim_join(
+    docs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact set-similarity self-join with LOSSLESS prefix filtering
+    (the PPJoin family, Xiao et al.): all document pairs whose
+    DISTINCT-token-set Jaccard >= threshold_num/threshold_den. Output
+    (a_id, b_id, inter, uni, jaccard) — a_id < b_id, each pair once.
+
+    Why lossless: order every doc's tokens by global rarity (document
+    frequency asc, token asc — rarest first), and keep only the first
+    |s| - ceil(t*|s|) + 1 tokens as the PREFIX. Two sets with Jaccard
+    >= t MUST share a prefix token (pigeonhole on the ordered sets),
+    so the equi-join on prefix tokens misses nothing — unlike minhash
+    this is exact candidate generation, and the rarest-first order
+    makes prefix buckets the SMALLEST available. A length filter
+    (den*|b| >= num*|a| both ways) prunes further, also lossless.
+
+    Exactness: the threshold test is integer cross-multiplication
+    (den*inter >= num*(|a|+|b|-inter)) — no float threshold; jaccard
+    is one closing division of exact integers.
+
+    Scale shape: token census (narrow agg) joined back per token (the
+    rarity key rides WITH the token — no global rank window, which
+    would be a single-partition sort); per-doc sort is array_sort
+    inside the row; candidates meet in a token equi-join deduped by
+    the same groupBy that carries the pair (no distinct stage);
+    verify is JVM array_intersect on the two sorted arrays. Prefix
+    buckets are bounded by rarity ordering; a degenerate vocabulary
+    still bounds each bucket by the token's document frequency.
+    """
+    tok = docs.select(
+        F.col(doc_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(census, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("toks")
+        )
+        .select("id", "toks", F.size("toks").alias("s"))
+    )
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    plen = (F.col("s") - F.ceil(num * F.col("s") / den) + F.lit(1)).cast("int")
+    pref = ordered.select(
+        "id",
+        "toks",
+        "s",
+        F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("p"),
+    ).select("id", "toks", "s", F.col("p.token").alias("ptok"))
+    a = pref.select(
+        F.col("id").alias("a_id"), F.col("toks").alias("ta"),
+        F.col("s").alias("sa"), "ptok",
+    )
+    b = pref.select(
+        F.col("id").alias("b_id"), F.col("toks").alias("tb"),
+        F.col("s").alias("sb"), "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where((den * F.col("sb") >= num * F.col("sa"))
+               & (den * F.col("sa") >= num * F.col("sb")))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.first("ta").alias("ta"), F.first("tb").alias("tb"),
+            F.first("sa").alias("sa"), F.first("sb").alias("sb"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    withi = cand.select(
+        "a_id", "b_id", "sa", "sb", inter.alias("inter")
+    ).where(den * F.col("inter") >= num * (F.col("sa") + F.col("sb") - F.col("inter")))
+    uni = F.col("sa") + F.col("sb") - F.col("inter")
+    return withi.select(
+        "a_id",
+        "b_id",
+        F.col("inter").cast("long").alias("inter"),
+        uni.cast("long").alias("uni"),
+        (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
+    )

@@ -336,3 +336,71 @@ def test_line_dedup_exchange_key_is_hash_not_text(spark):
             key = key.split(")", 1)[0]  # partition key expr list only
             assert "line#" not in key and "text#" not in key, ln
     assert seen >= 2
+
+
+# ---------------------------------------------------------- setsim
+
+
+def _setsim(spark, texts, num=9, den=10):
+    from cadastre_pg_spark.operators.dedup import setsim_join
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = setsim_join(df, threshold_num=num, threshold_den=den)
+    return {(r.a_id, r.b_id): r for r in out.collect()}
+
+
+def _brute_setsim(texts, num, den):
+    sets = [set(t.split()) for t in texts]
+    out = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            if den * inter >= num * uni:
+                out[(i, j)] = (inter, uni)
+    return out
+
+
+def test_setsim_identical_and_near(spark):
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h i j",          # identical: jaccard 1
+        "a b c d e f g h i k",          # 9/11 < 0.9
+        "x y z q w",                     # unrelated
+    ]
+    got = _setsim(spark, texts)
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)].jaccard == 1.0 and got[(0, 1)].inter == 10
+
+
+def test_setsim_threshold_boundary_exact(spark):
+    # |a|=9, |b|=10, inter=9 -> jaccard = 9/10 == threshold: KEPT
+    texts = ["a b c d e f g h i", "a b c d e f g h i j"]
+    got = _setsim(spark, texts)
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)].uni == 10
+
+
+def test_setsim_lossless_vs_brute_force(spark):
+    # pseudorandom overlapping vocab; prefix filter must drop nothing
+    vocab = [f"w{k}" for k in range(30)]
+    texts = [
+        " ".join(vocab[(i * 3 + j) % 30] for j in range(8 + (i % 5)))
+        for i in range(40)
+    ]
+    for num, den in [(1, 2), (7, 10), (9, 10)]:
+        got = _setsim(spark, texts, num, den)
+        want = _brute_setsim(texts, num, den)
+        assert set(got) == set(want), (num, den)
+        for k, (inter, uni) in want.items():
+            assert (got[k].inter, got[k].uni) == (inter, uni)
+
+
+def test_setsim_duplicate_tokens_collapse(spark):
+    # repeated tokens count once (distinct-set semantics)
+    texts = ["a a a b b c", "c b a"]
+    got = _setsim(spark, texts, 1, 1)
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)].inter == 3 and got[(0, 1)].uni == 3
