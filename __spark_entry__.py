@@ -1636,6 +1636,36 @@ def q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
 
 
+SNAP_RADIUS = 0.05
+
+
+def q_snap(spark, sf_dir):
+    """Map-matching: snap every event point to the nearest part-keyed
+    road segment within 0.05 deg — radius-padded lossless cell
+    blocking, exact point-to-segment distance, (d2, seg_id) argmin."""
+    from cadastre_pg_spark.operators.overlay import snap_to_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pkey = F.col("event_id")
+    pts = ev.select(
+        pkey.alias("point_id"),
+        S.lon_col(pkey).alias("px"),
+        S.lat_col(pkey).alias("py"),
+    )
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    skey = F.col("p_partkey").cast("long")
+    sax = S.lon_col(skey)
+    say = S.lat_col(skey)
+    segs = parts.select(
+        skey.alias("seg_id"),
+        sax.alias("ax"),
+        say.alias("ay"),
+        (sax + (F.lit(0.4) * S.u_col(skey, S.MULT_HOT) - F.lit(0.2))).alias("bx"),
+        (say + (F.lit(0.4) * S.u_col(skey, S.MULT_W) - F.lit(0.2))).alias("by"),
+    )
+    return snap_to_segments(pts, segs, radius=SNAP_RADIUS, level=OVL_LEVEL)
+
+
 SETSIM_NUM, SETSIM_DEN = 9, 10
 
 
@@ -2194,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "seg_intersect": q_seg_intersect,
         "setsim": q_setsim,
+        "snap": q_snap,
         "peak_concurrency": q_peak_concurrency,
     }
 
@@ -2363,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         "areal": _areal_sql_oracle(),
         "hausdorff": _hausdorff_sql_oracle(),
         "seg_intersect": _seg_intersect_sql_oracle(),
+        "snap": _snap_sql_oracle(),
         "setsim": f"""
             WITH t AS MATERIALIZED (
               SELECT doc_id,
@@ -3597,6 +3629,61 @@ def _seg_intersect_sql_oracle() -> str:
                CASE WHEN {straddle} THEN aay + t * (aby - aay) END AS py
         FROM d
         WHERE ({straddle}) OR ({touch})
+    """
+
+
+def _snap_sql_oracle() -> str:
+    """Brute-force replay of overlay.snap_to_segments: every (event
+    point, part segment) pair, identical clamped-projection distance
+    chain, radius filter on the same squared constant, row_number
+    argmin ordered (d2, seg_id)."""
+    plon = S.lon_sql("e.event_id")
+    plat = S.lat_sql("e.event_id")
+    slon = S.lon_sql("p.p_partkey")
+    slat = S.lat_sql("p.p_partkey")
+    uh = S.u_sql("p.p_partkey", S.MULT_HOT)
+    uw = S.u_sql("p.p_partkey", S.MULT_W)
+    r2 = SNAP_RADIUS * SNAP_RADIUS
+    return f"""
+        WITH pt AS MATERIALIZED (
+          SELECT e.event_id AS pid, {plon} AS px, {plat} AS py FROM events e
+        ),
+        sg AS MATERIALIZED (
+          SELECT CAST(p.p_partkey AS BIGINT) AS sid,
+                 {slon} AS ax, {slat} AS ay,
+                 ({slon} + (0.4 * ({uh}) - 0.2)) AS bx,
+                 ({slat} + (0.4 * ({uw}) - 0.2)) AS by
+          FROM part p
+        ),
+        c1 AS (
+          SELECT pid, sid, px, py, ax, ay,
+                 bx - ax AS ex, by - ay AS ey
+          FROM pt CROSS JOIN sg
+        ),
+        c2 AS (
+          SELECT *, ex * ex + ey * ey AS len2,
+                 (px - ax) * ex + (py - ay) * ey AS dt
+          FROM c1
+        ),
+        c3 AS (
+          SELECT *,
+                 CASE WHEN len2 = 0 THEN 0.0
+                      ELSE least(greatest(dt / len2, 0.0), 1.0) END AS t
+          FROM c2
+        ),
+        c4 AS (
+          SELECT pid, sid, t,
+                 (px - (ax + t * ex)) * (px - (ax + t * ex))
+                   + (py - (ay + t * ey)) * (py - (ay + t * ey)) AS d2
+          FROM c3
+        ),
+        flt AS (
+          SELECT *, row_number() OVER (PARTITION BY pid
+                      ORDER BY d2 ASC, sid ASC) AS rn
+          FROM c4 WHERE d2 <= CAST('{r2!r}' AS DOUBLE)
+        )
+        SELECT pid AS point_id, sid AS seg_id, d2, t
+        FROM flt WHERE rn = 1
     """
 
 

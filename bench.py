@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "sssp",
     "seg_intersect",
     "setsim",
+    "snap",
 ]
 
 _CHILD = r"""
@@ -202,6 +203,7 @@ AGG_COL = {{
     "sssp": "dist",
     "seg_intersect": "px",
     "setsim": "jaccard",
+    "snap": "d2",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

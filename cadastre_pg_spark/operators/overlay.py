@@ -444,3 +444,124 @@ def segment_intersection_join(
             F.when(proper, a1y + t * (a2y - a1y)).alias("py"),
         )
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    radius: float,
+    level: int = 7,
+    pt_id: str = "point_id",
+    px: str = "px",
+    py: str = "py",
+    seg_id: str = "seg_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    max_cells_per_seg: int = 4096,
+) -> DataFrame:
+    """Map-matching snap: for every point, the NEAREST segment within
+    `radius` (euclidean point-to-segment distance), with the exact
+    distance² and the clamped projection parameter t — GPS-trace to
+    road-network matching, address-to-street assignment. Points with
+    no segment within radius are absent. Output (point_id, seg_id,
+    d2, t); nearest ties break on the smaller seg_id.
+
+    Lossless blocking: each segment's bbox is PADDED by radius before
+    cell covering, so any point within radius of the segment lies in
+    a covered cell — the cell equi-join candidate set is a superset
+    of the true within-radius set, then the exact distance filter and
+    per-point argmin close it. (A point may meet a segment in only
+    its own single cell, so no pair dedup is needed at all.)
+
+    Exactness: t_raw = dot/len2 (one fused expression order), t
+    clamped to [0,1] via least/greatest, d2 = (px-qx)^2 + (py-qy)^2
+    with q = a + t*(b-a); degenerate zero-length segments take t = 0.
+    The argmin is a row_number window ordered (d2, seg_id) — every
+    piece replays bitwise in the SQL twin.
+
+    Scale shape: bounded cover explode on the segment side (loud
+    raise), points carry ONE cell each, the join is a narrow-key cell
+    equi-join (probe side never explodes), then one window partitioned
+    by point (single exchange on point_id). Hot cells ride AQE.
+    """
+    from pyspark.sql import Window
+
+    n = 1 << level
+    r = F.lit(float(radius))
+    x0 = F.least(F.col(ax), F.col(bx)) - r
+    x1 = F.greatest(F.col(ax), F.col(bx)) + r
+    y0 = F.least(F.col(ay), F.col(by)) - r
+    y1 = F.greatest(F.col(ay), F.col(by)) + r
+    ix0 = _axis_idx(x0, C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+    ix1 = _axis_idx(x1, C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+    iy0 = _axis_idx(y0, C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+    iy1 = _axis_idx(y1, C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+    fan = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    guard = F.when(
+        fan > F.lit(max_cells_per_seg),
+        F.raise_error(
+            F.concat(
+                F.lit("snap_to_segments: segment "),
+                F.col(seg_id).cast("string"),
+                F.lit(
+                    f" covers more than {max_cells_per_seg} cells at"
+                    f" level {level}; coarsen level or shrink radius"
+                ),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(ix0, ix1))
+    s = (
+        segs.select(
+            F.col(seg_id).alias("_sid"),
+            F.col(ax).alias("_ax"), F.col(ay).alias("_ay"),
+            F.col(bx).alias("_bx"), F.col(by).alias("_by"),
+            F.explode(guard).alias("cix"),
+            iy0.alias("_iy0"), iy1.alias("_iy1"),
+        )
+        .select(
+            "_sid", "_ax", "_ay", "_bx", "_by", "cix",
+            F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("ciy"),
+        )
+        .select(
+            "_sid", "_ax", "_ay", "_bx", "_by",
+            (F.col("cix") * F.lit(n) + F.col("ciy")).alias("cell"),
+        )
+    )
+    pix = _axis_idx(F.col(px), C.GRID_LON0, C.GRID_LON1 - C.GRID_LON0, n)
+    piy = _axis_idx(F.col(py), C.GRID_LAT0, C.GRID_LAT1 - C.GRID_LAT0, n)
+    p = points.select(
+        F.col(pt_id).alias("_pid"),
+        F.col(px).cast("double").alias("_px"),
+        F.col(py).cast("double").alias("_py"),
+        (pix * F.lit(n) + piy).alias("cell"),
+    )
+    ex = F.col("_bx") - F.col("_ax")
+    ey = F.col("_by") - F.col("_ay")
+    len2 = ex * ex + ey * ey
+    dot = (F.col("_px") - F.col("_ax")) * ex + (F.col("_py") - F.col("_ay")) * ey
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))
+    )
+    qx = F.col("_ax") + t * ex
+    qy = F.col("_ay") + t * ey
+    d2 = (F.col("_px") - qx) * (F.col("_px") - qx) + (
+        F.col("_py") - qy
+    ) * (F.col("_py") - qy)
+    cand = (
+        p.join(s, "cell")
+        .select("_pid", "_sid", d2.alias("d2"), t.alias("t"))
+        .where(F.col("d2") <= F.lit(float(radius) * float(radius)))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("d2").asc(), F.col("_sid").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_pid").alias("point_id"),
+            F.col("_sid").alias("seg_id"),
+            "d2",
+            "t",
+        )
+    )

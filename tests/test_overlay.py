@@ -224,3 +224,57 @@ def test_seg_matches_brute_force_pseudorandom(spark):
         segs.append((i, x, y, x + dx, y + dy))
     got = set(_segs(spark, segs, level=7))
     assert got == _brute_seg(segs)
+
+
+# -------------------------------------------------------------- snap
+
+
+def _snap(spark, pts, segs, radius, level=7):
+    from cadastre_pg_spark.operators.overlay import snap_to_segments
+
+    p = spark.createDataFrame(pts, "point_id long, px double, py double")
+    s = spark.createDataFrame(
+        segs, "seg_id long, ax double, ay double, bx double, by double"
+    )
+    out = snap_to_segments(p, s, radius=radius, level=level)
+    return {r.point_id: r for r in out.collect()}
+
+
+def test_snap_projection_interior_and_endpoint(spark):
+    segs = [(1, 0.0, 45.0, 1.0, 45.0)]
+    pts = [
+        (10, 0.5, 45.03),   # interior projection, t=0.5, d=0.03
+        (11, -0.04, 45.0),  # beyond endpoint a: t=0, d=0.04
+        (12, 2.0, 45.0),    # too far (d=1.0 > radius)
+    ]
+    got = _snap(spark, pts, segs, radius=0.05)
+    assert set(got) == {10, 11}
+    assert abs(got[10].t - 0.5) < 1e-12 and abs(got[10].d2 - 0.03 ** 2) < 1e-15
+    assert got[11].t == 0.0 and abs(got[11].d2 - 0.04 ** 2) < 1e-15
+
+
+def test_snap_picks_nearest_with_id_tiebreak(spark):
+    # exactly-representable offsets (0.25) so the tie is bitwise real
+    segs = [
+        (5, 0.0, 45.0, 1.0, 45.0),
+        (2, 0.0, 45.5, 1.0, 45.5),  # equidistant from y=45.25
+        (9, 0.0, 44.0, 1.0, 44.0),  # farther
+    ]
+    got = _snap(spark, [(1, 0.5, 45.25)], segs, radius=0.3)
+    assert got[1].seg_id == 2  # tie at d=0.25 -> smaller id
+
+
+def test_snap_cross_cell_within_radius_is_found(spark):
+    # point sits in a different level-7 cell than the segment bbox,
+    # but within radius: the radius padding must cover it
+    segs = [(1, 0.0, 45.0, 0.001, 45.0)]
+    cell_h = 10.0 / 128
+    py = 45.0 + cell_h  # at least one cell north
+    got = _snap(spark, [(1, 0.0005, py)], segs, radius=cell_h + 0.01)
+    assert 1 in got
+
+
+def test_snap_degenerate_zero_length_segment(spark):
+    segs = [(1, 0.5, 45.0, 0.5, 45.0)]  # a point "segment"
+    got = _snap(spark, [(7, 0.52, 45.0)], segs, radius=0.05)
+    assert got[7].t == 0.0 and abs(got[7].d2 - 0.02 ** 2) < 1e-15
