@@ -937,6 +937,76 @@ def q_trend(spark, sf_dir):
     )
 
 
+def q_benford(spark, sf_dir):
+    """First-significant-digit Benford screen per event type — CASE
+    ladder digits (no data-side log), Python-precomputed expected
+    probabilities shared as identical literals, fixed-order chi2."""
+    from cadastre_pg_spark.operators.stats import benford
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return benford(events, group_col="event_type", value_col="value")
+
+
+def _benford_sql_oracle() -> str:
+    """Replay of stats.benford: identical descending CASE ladder,
+    the same BENFORD_P double literals, chi2 summed digit order 1..9."""
+    from cadastre_pg_spark.operators.stats import BENFORD_P
+
+    branches = []
+    for k in range(3, -3, -1):
+        scale = 10.0 ** k
+        branches.append(
+            f"WHEN value >= CAST('{scale!r}' AS DOUBLE)"
+            f" THEN CAST(floor(value / CAST('{scale!r}' AS DOUBLE)) AS INT)"
+        )
+    ladder = "CASE " + " ".join(branches) + " ELSE NULL END"
+    counts = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN d = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n{k}"
+        for k in range(1, 10)
+    )
+    terms = []
+    for k in range(1, 10):
+        e = (
+            f"(CAST(n AS DOUBLE) * CAST('{BENFORD_P[k - 1]!r}' AS DOUBLE))"
+        )
+        terms.append(
+            f"((CAST(n{k} AS DOUBLE) - {e}) * (CAST(n{k} AS DOUBLE) - {e})"
+            f" / {e})"
+        )
+    chi2 = " + ".join(terms)
+    return f"""
+        WITH d AS (
+          SELECT event_type AS grp, {ladder} AS d FROM events
+        ),
+        g AS (
+          SELECT grp,
+                 CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_oob,
+                 {counts}
+          FROM d GROUP BY grp
+        )
+        SELECT grp, n, n_oob,
+               n1, n2, n3, n4, n5, n6, n7, n8, n9,
+               CASE WHEN n > 0 THEN {chi2} END AS chi2
+        FROM g
+    """
+
+
+def q_theil_sen(spark, sf_dir):
+    """Per-user Theil–Sen robust slope — median of exact-integer
+    pairwise slopes; Spark percentile == DuckDB quantile_cont
+    bitwise."""
+    from cadastre_pg_spark.operators.stats import theil_sen
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = theil_sen(events)
+    return out.select(
+        F.col("grp").alias("user_id"), "n", "n_pairs", "ts_slope"
+    )
+
+
 ACF_LAG = 1
 
 
@@ -1666,6 +1736,15 @@ def q_snap(spark, sf_dir):
     return snap_to_segments(pts, segs, radius=SNAP_RADIUS, level=OVL_LEVEL)
 
 
+COLLOC_MIN = 2
+
+
+def q_collocations(spark, sf_dir):
+    """Bigram collocation PMI census over the corpus — micro-nat
+    quantized ln on exact integer counts, one-scan marginals."""
+    return TA.collocations(_docs(spark, sf_dir), min_count=COLLOC_MIN)
+
+
 SETSIM_NUM, SETSIM_DEN = 9, 10
 
 
@@ -2224,6 +2303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "seg_intersect": q_seg_intersect,
         "setsim": q_setsim,
+        "collocations": q_collocations,
+        "theil_sen": q_theil_sen,
+        "benford": q_benford,
         "snap": q_snap,
         "peak_concurrency": q_peak_concurrency,
     }
@@ -2395,6 +2477,71 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff": _hausdorff_sql_oracle(),
         "seg_intersect": _seg_intersect_sql_oracle(),
         "snap": _snap_sql_oracle(),
+        "benford": _benford_sql_oracle(),
+        "theil_sen": """
+            WITH q AS (
+              SELECT user_id,
+                     CAST(floor((epoch_us(ts) - 1704067200000000)
+                          / CAST('60000000' AS DOUBLE)) AS BIGINT) AS x,
+                     CAST(floor(value * CAST('100.0' AS DOUBLE)
+                          + CAST('0.5' AS DOUBLE)) AS BIGINT) AS y
+              FROM events
+            ),
+            p AS (
+              SELECT a.user_id,
+                     CAST(b.y - a.y AS DOUBLE)
+                       / CAST(b.x - a.x AS DOUBLE) AS slope
+              FROM q a JOIN q b
+                ON a.user_id = b.user_id AND a.x < b.x
+            ),
+            m AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                     quantile_cont(slope, 0.5) AS ts_slope
+              FROM p GROUP BY user_id
+            ),
+            ns AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM q GROUP BY user_id
+            )
+            SELECT ns.user_id, n,
+                   CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, ts_slope
+            FROM ns LEFT JOIN m ON m.user_id = ns.user_id
+        """,
+        "collocations": f"""
+            WITH tk AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            bg AS (
+              SELECT t[i] AS a, t[i + 1] AS b
+              FROM (
+                SELECT t, unnest([i for i in range(1, len(t))]) AS i
+                FROM tk WHERE len(t) >= 2
+              )
+            ),
+            nab AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM bg GROUP BY a, b
+            ),
+            na AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM nab GROUP BY a),
+            nb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM nab GROUP BY b),
+            tot AS (
+              SELECT CAST(round(ln(CAST(sum(n_ab) AS DOUBLE)) * 1e6, 0)
+                     AS BIGINT) AS ln_n_u
+              FROM nab
+            )
+            SELECT nab.a, nab.b, n_ab, n_a, n_b,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     + ln_n_u
+                     - CAST(round(ln(CAST(n_a AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     - CAST(round(ln(CAST(n_b AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     AS pmi_u
+            FROM nab
+            JOIN na ON na.a = nab.a
+            JOIN nb ON nb.b = nab.b
+            CROSS JOIN tot
+            WHERE n_ab >= {COLLOC_MIN}
+        """,
         "setsim": f"""
             WITH t AS MATERIALIZED (
               SELECT doc_id,

@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "seg_intersect",
     "setsim",
     "snap",
+    "collocations",
+    "theil_sen",
+    "benford",
 ]
 
 _CHILD = r"""
@@ -204,6 +207,9 @@ AGG_COL = {{
     "seg_intersect": "px",
     "setsim": "jaccard",
     "snap": "d2",
+    "collocations": "pmi_u",
+    "theil_sen": "ts_slope",
+    "benford": "chi2",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

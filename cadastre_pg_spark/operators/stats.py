@@ -447,3 +447,135 @@ def acf_lag(
         F.coalesce(F.col("sb"), F.lit(0)).cast("long").alias("sb"),
         F.when((F.col("n") > k) & (den != 0), num / den).alias("acf"),
     )
+
+
+def theil_sen(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    t0_us: int = T0_2024_US,
+    t_unit_us: float = 60e6,
+    v_unit: float = 100.0,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over observation pairs with
+    distinct time buckets — the outlier-immune sibling of
+    linear_trend (one wild value cannot move it). Output (grp, n,
+    n_pairs, ts_slope); groups whose observations all share one time
+    bucket report n_pairs = 0 and NULL slope.
+
+    Exactness: x/y ride the linear_trend floor quantizers (BIGINT),
+    each slope is ONE division of exact integers, and the median is
+    Spark `percentile` == DuckDB `quantile_cont` bitwise (identical
+    linear interpolation on sorted doubles — no rounding grid).
+
+    Scale shape: the pair generation is a per-group self-join —
+    inherently O(n_g^2) pairs per group, the textbook estimator's
+    true cost (this is the exact/oracle form; at web scale cap group
+    size or switch to the sampled/repeated-median variant and keep
+    this as the verifier). The join is a narrow equi-join on the
+    group key; the median is a map-side-partial-free percentile agg
+    on (grp) — one exchange each.
+    """
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    x = F.floor((m - F.lit(t0_us)).cast("double") / F.lit(float(t_unit_us)))
+    y = F.floor(F.col(value_col) * F.lit(float(v_unit)) + F.lit(0.5))
+    q = events.select(F.col(group_col).alias("grp"), x.alias("x"), y.alias("y"))
+    a = q.select("grp", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = q.select("grp", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slope = (F.col("yb") - F.col("ya")).cast("double") / (
+        F.col("xb") - F.col("xa")
+    ).cast("double")
+    pairs = (
+        a.join(b, "grp")
+        .where(F.col("xa") < F.col("xb"))
+        .select("grp", slope.alias("slope"))
+    )
+    meds = pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("ts_slope"),
+    )
+    ns = q.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    return ns.join(meds, "grp", "left").select(
+        "grp",
+        "n",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        "ts_slope",
+    )
+
+
+# first-significant-digit Benford probabilities, precomputed in Python
+# so BOTH engines consume identical double literals (no cross-engine
+# log10 — ln differs by ~1 ulp between libms)
+import math as _math
+
+BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_exp: int = -2,
+    hi_exp: int = 3,
+) -> DataFrame:
+    """Per-group first-significant-digit census with the chi-square
+    statistic against Benford's law — the fraud / synthetic-data /
+    unit-mixing screen on numeric columns. Output (grp, n, n1..n9,
+    chi2); rows with value <= 0 or outside [10^lo_exp, 10^hi_exp) are
+    excluded (and counted in n_oob).
+
+    Exactness: the first digit comes from a FIXED CASE ladder of
+    scale comparisons (no log10 on data — one libm ulp would flip
+    boundary digits across engines); expected counts use Benford
+    probabilities precomputed in Python and inlined as identical
+    literals in both engines; chi2 = sum_d (obs - n*p_d)^2 / (n*p_d)
+    evaluated digit order 1..9 — fixed-order IEEE on exact integer
+    observations, bitwise reproducible.
+
+    Scale shape: one projection + one hash aggregate (9 conditional
+    counts as map-side partials) — no window, no join, no shuffle
+    beyond the single agg exchange.
+    """
+    v = F.col(value_col).cast("double")
+    ladder = None
+    # descending scales: v in [10^k, 10^(k+1)) -> floor(v / 10^k)
+    expr = None
+    for k in range(hi_exp, lo_exp - 1, -1):
+        scale = 10.0 ** k
+        branch_cond = v >= F.lit(scale)
+        branch_val = F.floor(v / F.lit(scale))
+        expr = (
+            F.when(branch_cond, branch_val)
+            if expr is None
+            else expr.when(branch_cond, branch_val)
+        )
+    d = expr.otherwise(F.lit(None)).cast("int")
+    g = (
+        df.select(F.col(group_col).alias("grp"), d.alias("d"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0)).alias("n"),
+            F.sum(F.when(F.col("d").isNull(), 1).otherwise(0)).alias("n_oob"),
+            *[
+                F.sum(F.when(F.col("d") == k, 1).otherwise(0)).alias(f"n{k}")
+                for k in range(1, 10)
+            ],
+        )
+    )
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for k in range(1, 10):
+        e = nd * F.lit(BENFORD_P[k - 1])
+        t = (F.col(f"n{k}").cast("double") - e) * (
+            F.col(f"n{k}").cast("double") - e
+        ) / e
+        chi2 = t if chi2 is None else chi2 + t
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_oob").cast("long").alias("n_oob"),
+        *[F.col(f"n{k}").cast("long").alias(f"n{k}") for k in range(1, 10)],
+        F.when(F.col("n") > 0, chi2).alias("chi2"),
+    )

@@ -427,3 +427,60 @@ def bpe_token_count(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token collocation census with pointwise mutual
+    information — the phrase/named-entity discovery signal for corpus
+    curation ("new york" vs chance co-occurrence). One row per bigram
+    with n_ab >= min_count: (a, b, n_ab, n_a, n_b, pmi_u) where
+    pmi_u = ln_u(n_ab) + ln_u(N) - ln_u(n_a) - ln_u(n_b) in integer
+    MICRO-NATS (the mutual_info/surprisal quantizer: round(ln(x)*1e6)
+    BIGINT once per distinct count, then exact integer adds); n_a /
+    n_b are the left/right positional marginals over ALL bigrams, N
+    the total bigram count.
+
+    Scale shape: bigrams come from one in-row arrays_zip (no
+    self-join, no window); ONE (a, b) hash aggregate with map-side
+    partials is the only full-data exchange; marginals and the total
+    are rollups of the (vocabulary-sized) census broadcast back onto
+    it — the mutual_info one-scan pattern on a composite key.
+    """
+    u = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(toks.alias("t")).where(F.size("t") >= 2)
+    bg = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("a"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    nab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).persist()
+    na = nab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    nb = nab.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = nab.agg(u(F.sum("n_ab")).alias("ln_n_u"))
+    out = (
+        nab.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                u(F.col("n_ab")) + F.col("ln_n_u")
+                - u(F.col("n_a")) - u(F.col("n_b"))
+            ).alias("pmi_u"),
+        )
+    )
+    out._cadastre_cached = [nab]
+    return out

@@ -98,3 +98,106 @@ def test_mad_zero_mad_group(spark):
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     r = mad_outliers(df, "event_type", "value").collect()[0]
     assert (r.med, r.mad, r.n_outliers) == (5.0, 0.0, 0)
+
+
+# --------------------------------------------------- theil_sen / benford
+
+
+def _ts_events(spark, series):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (g, t0 + timedelta(minutes=i), float(v))
+        for g, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_theil_sen_ignores_single_outlier(spark):
+    from cadastre_pg_spark.operators.stats import theil_sen
+
+    # perfect slope 1 cent/min with one wild value: median slope stays 1
+    vs = [1.00, 1.01, 1.02, 1.03, 99.0, 1.05, 1.06, 1.07, 1.08]
+    out = {r.grp: r for r in theil_sen(_ts_events(spark, {1: vs})).collect()}
+    assert out[1].n == 9
+    assert abs(out[1].ts_slope - 1.0) < 1e-9  # cents per minute
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    import numpy as np
+    from cadastre_pg_spark.operators.stats import theil_sen
+
+    vs = [3.0, 1.5, 4.25, 2.0, 5.5, 0.75, 6.0]
+    out = theil_sen(_ts_events(spark, {7: vs})).collect()[0]
+    y = [int(np.floor(v * 100 + 0.5)) for v in vs]
+    slopes = [
+        (y[j] - y[i]) / (j - i)
+        for i in range(len(y))
+        for j in range(i + 1, len(y))
+    ]
+    assert out.n_pairs == len(slopes)
+    assert abs(out.ts_slope - float(np.median(slopes))) < 1e-12
+
+
+def test_theil_sen_constant_time_bucket_null(spark):
+    from datetime import datetime
+    from cadastre_pg_spark.operators.stats import theil_sen
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 2.0), (1, t0, 5.0)], "user_id long, ts timestamp, value double"
+    )
+    out = theil_sen(df).collect()[0]
+    assert out.n_pairs == 0 and out.ts_slope is None
+
+
+def test_benford_digit_ladder_and_chi2(spark):
+    import math
+    from cadastre_pg_spark.operators.stats import benford, BENFORD_P
+
+    vals = [1234.0, 150.0, 19.5, 2.0, 0.31, 0.042, 9999.49, 0.0099, -5.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "event_type string, value double"
+    )
+    out = benford(df).collect()[0]
+    # digits: 1,1,1,2,3,4,9 in range; 0.0099 and -5.0 out of band
+    assert out.n == 7 and out.n_oob == 2
+    assert (out.n1, out.n2, out.n3, out.n4, out.n9) == (3, 1, 1, 1, 1)
+    obs = [out[f"n{k}"] for k in range(1, 10)]
+    chi2 = 0.0
+    for k in range(9):
+        e = 7 * BENFORD_P[k]
+        chi2 += (obs[k] - e) ** 2 / e
+    assert math.isclose(out.chi2, chi2, rel_tol=1e-12)
+
+
+def test_benford_uniform_digits_reject(spark):
+    from cadastre_pg_spark.operators.stats import benford
+
+    # every digit equally often: chi2 far above the 15.5 (8 dof, 5%)
+    df = spark.createDataFrame(
+        [("u", float(d) * 10 + 1) for d in range(1, 10) for _ in range(30)],
+        "event_type string, value double",
+    )
+    out = benford(df).collect()[0]
+    assert out.n == 270 and out.chi2 > 15.5
+
+
+def test_collocations_counts_and_marginals(spark):
+    from cadastre_pg_spark.operators.textanalysis import collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"),
+            (2, "new york new jersey"),
+            (3, "big apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.a, r.b): r for r in collocations(docs, min_count=2).collect()}
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    # bigrams: (new,york)x2, (york,is), (is,big), (york,new), (new,jersey), (big,apple)
+    assert r.n_ab == 2 and r.n_a == 3 and r.n_b == 2
