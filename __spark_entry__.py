@@ -937,6 +937,49 @@ def q_trend(spark, sf_dir):
     )
 
 
+GAP_US = 4 * 3_600_000_000
+ROLL_K = 8
+ENTROPY_LEVEL = 5
+
+
+def q_gaps(spark, sf_dir):
+    """Per-user downtime gaps (> 4h between consecutive events) —
+    single lag window, all-integer micro arithmetic."""
+    from cadastre_pg_spark.operators.windows import gap_report
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = gap_report(events, gap_us=GAP_US)
+    return out.select(
+        F.col("grp").alias("user_id"), "gap_start", "gap_end", "gap_us"
+    )
+
+
+def q_rolling_ols(spark, sf_dir):
+    """Trailing 8-observation OLS slope per event — five integer
+    window sums in one pass, linear_trend's closing expression."""
+    from cadastre_pg_spark.operators.windows import rolling_ols
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_ols(events, k=ROLL_K)
+    return out.select(F.col("grp").alias("user_id"), "ts", "n_win", "slope")
+
+
+def q_cell_entropy(spark, sf_dir):
+    """Per-cell Shannon entropy of the event-type mix (micro-nat
+    integers) — activity-diversity surface at level 5."""
+    from cadastre_pg_spark.operators.density import cell_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        S.grid_cell_col(S.lon_col(key), S.lat_col(key), ENTROPY_LEVEL).alias(
+            "cell"
+        ),
+        "event_type",
+    )
+    return cell_entropy(pts)
+
+
 def q_benford(spark, sf_dir):
     """First-significant-digit Benford screen per event type — CASE
     ladder digits (no data-side log), Python-precomputed expected
@@ -2306,6 +2349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "theil_sen": q_theil_sen,
         "benford": q_benford,
+        "gaps": q_gaps,
+        "rolling_ols": q_rolling_ols,
+        "cell_entropy": q_cell_entropy,
         "snap": q_snap,
         "peak_concurrency": q_peak_concurrency,
     }
@@ -2478,6 +2524,71 @@ def oracle_sql() -> dict[str, str]:
         "seg_intersect": _seg_intersect_sql_oracle(),
         "snap": _snap_sql_oracle(),
         "benford": _benford_sql_oracle(),
+        "gaps": f"""
+            WITH b AS (
+              SELECT user_id, ts, epoch_us(ts) AS us,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts) AS prev_us
+              FROM events
+            )
+            SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+                   CAST(us - prev_us AS BIGINT) AS gap_us
+            FROM b
+            WHERE prev_us IS NOT NULL AND us - prev_us > {GAP_US}
+        """,
+        "rolling_ols": f"""
+            WITH q AS (
+              SELECT user_id, ts,
+                     CAST(floor((epoch_us(ts) - 1704067200000000)
+                          / CAST('60000000' AS DOUBLE)) AS BIGINT) AS x,
+                     CAST(floor(value * CAST('100.0' AS DOUBLE)
+                          + CAST('0.5' AS DOUBLE)) AS BIGINT) AS y
+              FROM events
+            ),
+            wnd AS (
+              SELECT user_id, ts,
+                     CAST(count(*) OVER w AS BIGINT) AS n_win,
+                     CAST(sum(x) OVER w AS BIGINT) AS sx,
+                     CAST(sum(y) OVER w AS BIGINT) AS sy,
+                     CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                     CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+              FROM q
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN {ROLL_K - 1} PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT user_id, ts, n_win,
+                   CASE WHEN CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                   THEN (CAST(n_win AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n_win AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS slope
+            FROM wnd
+        """,
+        "cell_entropy": f"""
+            WITH pts AS (
+              SELECT {S.grid_cell_sql(S.lon_sql('event_id'), S.lat_sql('event_id'), ENTROPY_LEVEL)} AS cell,
+                     event_type AS cat
+              FROM events
+            ),
+            census AS (
+              SELECT cell, cat, CAST(count(*) AS BIGINT) AS n_t
+              FROM pts GROUP BY cell, cat
+            )
+            SELECT cell,
+                   CAST(sum(n_t) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cats,
+                   CAST(CAST(sum(n_t) AS BIGINT)
+                        * CAST(round(ln(CAST(CAST(sum(n_t) AS BIGINT)
+                                 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                        - CAST(sum(n_t * CAST(round(ln(CAST(n_t AS DOUBLE))
+                                 * 1e6, 0) AS BIGINT)) AS BIGINT)
+                     AS BIGINT) AS ent_u
+            FROM census GROUP BY cell
+        """,
         "theil_sen": """
             WITH q AS (
               SELECT user_id,

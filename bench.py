@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "collocations",
     "theil_sen",
     "benford",
+    "gaps",
+    "rolling_ols",
+    "cell_entropy",
 ]
 
 _CHILD = r"""
@@ -210,6 +213,9 @@ AGG_COL = {{
     "collocations": "pmi_u",
     "theil_sen": "ts_slope",
     "benford": "chi2",
+    "gaps": "gap_us",
+    "rolling_ols": "slope",
+    "cell_entropy": "ent_u",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

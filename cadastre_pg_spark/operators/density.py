@@ -445,3 +445,45 @@ def local_gi(
     )
     out._cadastre_cached = [counts]
     return out
+
+
+def cell_entropy(
+    points: DataFrame,
+    cell_col: str = "cell",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Per-cell categorical diversity: Shannon entropy of the
+    category mix inside each grid cell, in integer MICRO-NATS — the
+    land-use-mix / activity-diversity surface (is this cell all
+    'error' traffic or a healthy blend?). Output (cell, n, n_cats,
+    ent_u) where entropy in nats = ent_u / (n * 1e6) and
+    ent_u = n * ln_u(n) - sum_t n_t * ln_u(n_t) over category counts.
+
+    Exactness: the mutual_info micro-nat quantizer (round(ln(x)*1e6)
+    BIGINT once per count) turns the entropy into exact integer
+    products and sums — order-independent, bitwise in the SQL twin.
+
+    Scale shape: one (cell, category) hash aggregate with map-side
+    partials, then a rollup to cells — both exchanges on narrow keys;
+    no window, no join.
+    """
+    u = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    census = (
+        points.select(F.col(cell_col).alias("cell"), F.col(cat_col).alias("cat"))
+        .groupBy("cell", "cat")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    return (
+        census.groupBy("cell")
+        .agg(
+            F.sum("n_t").alias("n"),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum(F.col("n_t") * u(F.col("n_t"))).alias("sum_t"),
+        )
+        .select(
+            "cell",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cats").cast("long").alias("n_cats"),
+            (F.col("n") * u(F.col("n")) - F.col("sum_t")).alias("ent_u"),
+        )
+    )

@@ -412,3 +412,112 @@ def hausdorff_pairs(
     return out.select(
         "a", "b", "n_a", "n_b", hd2.alias("hd2"), F.sqrt(hd2).alias("hd")
     )
+
+
+def gap_report(
+    events: DataFrame,
+    gap_us: int = 4 * 3_600_000_000,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Downtime detection (the complement of sessionize): per group,
+    every gap between CONSECUTIVE observations longer than `gap_us`
+    micros — outage windows, sensor dropouts, churn-risk silences.
+    Output (grp, gap_start, gap_end, gap_us) with gap_start the last
+    event before the silence and gap_end the first one after.
+
+    Exactness: all-integer epoch-micro arithmetic on a lag window;
+    (group, ts) unique makes the order total. Scale shape: ONE lag
+    window partitioned by the group key (single exchange), then a
+    filter — no join, no second pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("ts_o")
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).cast("timestamp").alias("ts_o"),
+        m.alias("us"),
+    ).withColumn("prev_ts", F.lag("ts_o").over(w)).withColumn(
+        "prev_us", F.lag("us").over(w)
+    )
+    return (
+        base.where(
+            F.col("prev_us").isNotNull()
+            & (F.col("us") - F.col("prev_us") > F.lit(gap_us))
+        )
+        .select(
+            "grp",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts_o").alias("gap_end"),
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+def rolling_ols(
+    events: DataFrame,
+    k: int = 8,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    t0_us: int = None,
+    t_unit_us: float = 60e6,
+    v_unit: float = 100.0,
+) -> DataFrame:
+    """Rolling regression: per observation, the OLS slope of the last
+    `k` observations of its group (trailing drift estimate — the
+    windowed sibling of stats.linear_trend). Output (grp, ts, n_win,
+    slope); slope NULL while the window holds < 2 distinct time
+    buckets.
+
+    Exactness: the linear_trend floor quantizers make x and y BIGINT,
+    the five sufficient statistics are INTEGER WINDOW SUMS over ROWS
+    BETWEEN k-1 PRECEDING AND CURRENT ROW (exact, frame-identical in
+    the SQL twin because (group, ts) is unique), and the slope closes
+    in the same fixed-order double expression as linear_trend.
+
+    Scale shape: one window partitioned by the group key computes all
+    five sums in a single pass (Spark evaluates same-frame window
+    aggregates together) — one exchange, no join, no self-join.
+    """
+    from pyspark.sql import Window
+
+    from .stats import T0_2024_US
+
+    if t0_us is None:
+        t0_us = T0_2024_US
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    x = F.floor((m - F.lit(t0_us)).cast("double") / F.lit(float(t_unit_us)))
+    y = F.floor(F.col(value_col) * F.lit(float(v_unit)) + F.lit(0.5))
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).cast("timestamp").alias("ts_o"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("ts_o")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    g = base.select(
+        "grp",
+        F.col("ts_o").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    nd = F.col("n_win").cast("double")
+    sxd = F.col("sx").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    slope = (nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double")) / den
+    return g.select(
+        "grp",
+        "ts",
+        F.col("n_win").cast("long").alias("n_win"),
+        F.when(den != 0, slope).alias("slope"),
+    )

@@ -202,3 +202,59 @@ def test_hausdorff_identical_sets_zero(spark):
     A = [(1.5, 2.5), (3.5, 4.5)]
     got = _hd(spark, {1: A, 2: list(A)}, [(1, 2)])[(1, 2)]
     assert got.hd2 == 0.0 and got.hd == 0.0
+
+
+# ------------------------------------------------ gaps / rolling_ols
+
+
+def test_gap_report_finds_only_long_gaps(spark):
+    from datetime import datetime, timedelta
+    from cadastre_pg_spark.operators.windows import gap_report
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (1, t0), (1, t0 + timedelta(hours=1)),          # 1h: no
+        (1, t0 + timedelta(hours=7)),                    # 6h: yes
+        (1, t0 + timedelta(hours=7, minutes=30)),        # 30m: no
+        (2, t0), (2, t0 + timedelta(hours=5)),           # 5h: yes
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = gap_report(df, gap_us=4 * 3_600_000_000).collect()
+    by = {(r.grp): r for r in got}
+    assert len(got) == 2
+    assert by[1].gap_us == 6 * 3_600_000_000
+    assert by[2].gap_us == 5 * 3_600_000_000
+
+
+def test_rolling_ols_window_matches_full_fit_on_short_series(spark):
+    from datetime import datetime, timedelta
+    import numpy as np
+    from cadastre_pg_spark.operators.windows import rolling_ols
+
+    t0 = datetime(2024, 1, 1)
+    vs = [1.0, 2.0, 4.0, 8.0, 16.0]
+    rows = [(1, t0 + timedelta(minutes=i), v) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(rolling_ols(df, k=3).collect(), key=lambda r: r.ts)
+    # first row: window of 1 -> NULL slope; second: 2 points
+    assert out[0].n_win == 1 and out[0].slope is None
+    y = [int(np.floor(v * 100 + 0.5)) for v in vs]
+    for i in range(1, 5):
+        lo = max(0, i - 2)
+        xs = np.arange(lo, i + 1, dtype=float)
+        ys = np.array(y[lo:i + 1], dtype=float)
+        want = np.polyfit(xs, ys, 1)[0]
+        assert abs(out[i].slope - want) < 1e-9, i
+
+
+def test_cell_entropy_pure_and_even_mix(spark):
+    import math
+    from cadastre_pg_spark.operators.density import cell_entropy
+
+    rows = [(1, "a")] * 8 + [(2, "a")] * 4 + [(2, "b")] * 4
+    df = spark.createDataFrame(rows, "cell long, event_type string")
+    got = {r.cell: r for r in cell_entropy(df).collect()}
+    assert got[1].ent_u == 0 and got[1].n_cats == 1          # pure: H = 0
+    # even 2-way mix: H = ln 2 nats -> ent_u / (n * 1e6) ~ ln 2
+    h = got[2].ent_u / (got[2].n * 1e6)
+    assert abs(h - math.log(2)) < 1e-5
