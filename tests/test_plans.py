@@ -270,3 +270,29 @@ def test_weighted_sample_global_is_take_ordered(spark):
     docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
     df = weighted_sample(docs, k=10, weight_col="n_chars")
     assert "TakeOrdered" in explain_string(df)
+
+
+def test_new_joins_avoid_nested_loop_and_cartesian(spark):
+    """The round-3 candidate-join operators (setsim, snap,
+    seg_intersect, hausdorff) must plan as equi-joins on their
+    blocking keys — never BroadcastNestedLoopJoin / CartesianProduct,
+    which would mean Catalyst saw only a range predicate."""
+    for name in ["setsim", "snap", "seg_intersect", "hausdorff"]:
+        df = E.queries()[name](spark, SF_UNIT)
+        assert not plan_has(df, "CartesianProduct"), name
+        assert not plan_has(df, "BroadcastNestedLoopJoin"), name
+
+
+def test_concurrency_profile_has_no_global_window(spark):
+    """The sweep-line cumsum must window per chunk, never over an
+    empty partition spec (the single-task global sort trap)."""
+    df = E.queries()["peak_concurrency"](spark, SF_UNIT)
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        # a GLOBAL window's spec starts with an ORDER expression
+        # ("ts ASC NULLS FIRST"); a partitioned one starts with the
+        # bare partition attribute
+        assert " ASC" not in first and " DESC" not in first, m.group(1)
