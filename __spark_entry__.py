@@ -937,6 +937,33 @@ def q_trend(spark, sf_dir):
     )
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregation contract: per-user states built from
+    three arbitrary slices of events, merged state == recompute from
+    scratch (the oracle recomputes; equality proves mergeability)."""
+    from cadastre_pg_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+        state_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slices = [
+        ev.where(F.col("event_id") % 3 == k) for k in range(3)
+    ]
+    merged = merge_agg_states(*[agg_state(s) for s in slices])
+    # DECIMAL state -> double at the compare boundary (exact decimal,
+    # deterministic nearest-double on both engines)
+    return state_stats(merged).select(
+        F.col("grp").alias("user_id"),
+        "n",
+        F.col("s").cast("double").alias("s"),
+        "vmin",
+        "vmax",
+        "mean",
+    )
+
+
 GAP_US = 4 * 3_600_000_000
 ROLL_K = 8
 ENTROPY_LEVEL = 5
@@ -2349,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "theil_sen": q_theil_sen,
         "benford": q_benford,
+        "incremental_agg": q_incremental_agg,
         "gaps": q_gaps,
         "rolling_ols": q_rolling_ols,
         "cell_entropy": q_cell_entropy,
@@ -2524,6 +2552,16 @@ def oracle_sql() -> dict[str, str]:
         "seg_intersect": _seg_intersect_sql_oracle(),
         "snap": _snap_sql_oracle(),
         "benford": _benford_sql_oracle(),
+        "incremental_agg": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                        AS DOUBLE) AS s,
+                   min(CAST(value AS DOUBLE)) AS vmin,
+                   max(CAST(value AS DOUBLE)) AS vmax,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean
+            FROM events GROUP BY user_id
+        """,
         "gaps": f"""
             WITH b AS (
               SELECT user_id, ts, epoch_us(ts) AS us,

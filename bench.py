@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "gaps",
     "rolling_ols",
     "cell_entropy",
+    "incremental_agg",
 ]
 
 _CHILD = r"""
@@ -216,6 +217,7 @@ AGG_COL = {{
     "gaps": "gap_us",
     "rolling_ols": "slope",
     "cell_entropy": "ent_u",
+    "incremental_agg": "mean",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 

@@ -35,6 +35,8 @@ def test_query_matches_oracle(spark, name):
             "phash",
             "bfs_hops",
             "link_predict",
+            "clustering_coef",
+            "sssp",
         )
         else SF_UNIT
     )
