@@ -1008,21 +1008,31 @@ def setsim_join(
         "id",
         "toks",
         "s",
-        F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("p"),
-    ).select("id", "toks", "s", F.col("p.token").alias("ptok"))
+        F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("pos", "p"),
+    ).select("id", "toks", "s", "pos", F.col("p.token").alias("ptok"))
     a = pref.select(
         F.col("id").alias("a_id"), F.col("toks").alias("ta"),
-        F.col("s").alias("sa"), "ptok",
+        F.col("s").alias("sa"), F.col("pos").alias("pa"), "ptok",
     )
     b = pref.select(
         F.col("id").alias("b_id"), F.col("toks").alias("tb"),
-        F.col("s").alias("sb"), "ptok",
+        F.col("s").alias("sb"), F.col("pos").alias("pb"), "ptok",
     )
+    # positional filter (the ppjoin refinement): a pair meeting at
+    # 0-based prefix positions (pa, pb) can overlap at most
+    # min(sa - pa, sb - pb); the Jaccard threshold in overlap form is
+    # (num+den)*o >= num*(sa+sb) — drop candidates whose CEILING
+    # cannot reach it. Lossless (o <= ubound by construction), and on
+    # a degenerate near-identical corpus it prunes the common-token
+    # mega-bucket before the array_intersect verify, which is the
+    # expensive stage.
+    ubound = F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
     cand = (
         a.join(b, "ptok")
         .where(F.col("a_id") < F.col("b_id"))
         .where((den * F.col("sb") >= num * F.col("sa"))
                & (den * F.col("sa") >= num * F.col("sb")))
+        .where((num + den) * ubound >= num * (F.col("sa") + F.col("sb")))
         .groupBy("a_id", "b_id")
         .agg(
             F.first("ta").alias("ta"), F.first("tb").alias("tb"),
