@@ -656,6 +656,25 @@ def q_user_path(spark, sf_dir):
     return user_path_length(pts)
 
 
+def q_path_interp(spark, sf_dir):
+    """Midpoint of each user's trajectory (ST_LineInterpolatePoint
+    analog): quantized BIGINT cumulative lengths make the crossing
+    segment portable; the within-segment lerp is fixed-order IEEE on
+    integer-derived doubles — bitwise equal in DuckDB."""
+    from cadastre_pg_spark.operators.windows import path_interpolate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    return path_interpolate(pts, frac_num=1, frac_den=2)
+
+
 def q_hist_quantile(spark, sf_dir):
     """Fixed-histogram quantile sketch of event values per type — the
     mergeable scale path next to the exact value_percentiles; upper-
@@ -1832,6 +1851,29 @@ def q_setsim(spark, sf_dir):
     )
 
 
+HH_MIN_COUNT = 40
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact bigram heavy hitters (count >= 40) WITHOUT shuffling the
+    token tail: measured-N Misra-Gries candidate summaries per
+    partition (no exchange), broadcast-semi-join exact recount. The
+    output provably equals the naive GROUP BY/HAVING, so the oracle is
+    the plain exact SQL — equality IS the candidate-superset proof."""
+    from cadastre_pg_spark.operators.sketches import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("a")
+    ).select(
+        F.expr(
+            "transform(slice(a, 1, greatest(size(a) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(a, i + 2)))"
+        ).alias("toks")
+    )
+    return heavy_hitters(toks, "toks", min_count=HH_MIN_COUNT)
+
+
 def q_line_assembly(spark, sf_dir):
     """G5 line builders over a deterministic arc table derived from doc
     ids: 3 arcs per feature with LCG vertices; every 5th feature's
@@ -2329,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "hll_distinct": q_hll_distinct,
         "user_path": q_user_path,
+        "path_interp": q_path_interp,
         "hist_quantile": q_hist_quantile,
         "extent": q_extent,
         "simplify": q_simplify,
@@ -2373,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "seg_intersect": q_seg_intersect,
         "setsim": q_setsim,
+        "heavy_hitters": q_heavy_hitters,
         "collocations": q_collocations,
         "theil_sen": q_theil_sen,
         "benford": q_benford,
@@ -2552,6 +2596,19 @@ def oracle_sql() -> dict[str, str]:
         "seg_intersect": _seg_intersect_sql_oracle(),
         "snap": _snap_sql_oracle(),
         "benford": _benford_sql_oracle(),
+        "heavy_hitters": f"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+              FROM documents
+            ),
+            g AS (
+              SELECT a[i] || ' ' || a[i + 1] AS token
+              FROM toks, unnest(generate_series(1, len(a) - 1)) AS u(i)
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY token
+            HAVING count(*) >= {HH_MIN_COUNT}
+        """,
         "incremental_agg": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
@@ -2791,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY f.event_type, f.med, f.mad, f.n
         """,
         "user_path": _user_path_sql_oracle(),
+        "path_interp": _path_interp_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
             SELECT lang,
@@ -5418,6 +5476,52 @@ def _user_path_sql_oracle() -> str:
                     AS DOUBLE) / {unit} AS path_len,
                max(dist) AS max_step
         FROM s GROUP BY user_id
+    """
+
+
+def _path_interp_sql_oracle(num: int = 1, den: int = 2) -> str:
+    """Replay of path_interpolate: identical dx*dx+dy*dy+sqrt step
+    shape, floor-to-BIGINT units, exact-integer cumulative crossing,
+    identical-op-order lerp (bitwise, no rounding grid needed)."""
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    unit = "CAST('1e12' AS DOUBLE)"
+    dxy = (
+        "sqrt((lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)"
+        " + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w))"
+    )
+    return f"""
+        WITH pts AS (
+          SELECT event_id, user_id, ts, {lon} AS lon, {lat} AS lat
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts, event_id,
+                 lag(lon) OVER w AS x1, lag(lat) OVER w AS y1,
+                 lon AS x2, lat AS y2,
+                 CAST(floor({dxy} * {unit}) AS BIGINT) AS du
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        c AS (
+          SELECT *,
+                 sum(du) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS csum,
+                 sum(du) OVER (PARTITION BY user_id) AS total
+          FROM s
+        ),
+        t AS (
+          SELECT *, (total * {num}) // {den} AS target
+          FROM c WHERE du IS NOT NULL AND total > 0
+        )
+        SELECT user_id, event_id AS seg_event_id,
+               x1 + (CAST(target - (csum - du) AS DOUBLE)
+                     / CAST(du AS DOUBLE)) * (x2 - x1) AS px,
+               y1 + (CAST(target - (csum - du) AS DOUBLE)
+                     / CAST(du AS DOUBLE)) * (y2 - y1) AS py
+        FROM t WHERE csum > target AND (csum - du) <= target
     """
 
 

@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "rolling_ols",
     "cell_entropy",
     "incremental_agg",
+    "heavy_hitters",
+    "path_interp",
 ]
 
 _CHILD = r"""

@@ -401,3 +401,102 @@ def cms_estimate(
         *keys, F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     return joined.groupBy(*keys).agg(F.min("n").cast("long").alias("est"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    tokens_col: str,
+    min_count: int,
+    k: int | None = None,
+    max_candidates: int = 5_000_000,
+) -> DataFrame:
+    """EXACT heavy hitters (global count >= min_count) over a token-
+    array column WITHOUT shuffling the token tail.
+
+    The naive plan — explode + groupBy + HAVING — shuffles every
+    occurrence of every token; at 100 TB the exchange is dominated by
+    the singleton tail that can never reach min_count. This operator
+    keeps the tail out of the exchange entirely:
+
+    - Pass 0 (statistics-first, house rule): N = SUM(size(tokens)) —
+      a column aggregate, no explode, no shuffle of token strings.
+      k = N // min_count + 1, so min_count > N / (k + 1).
+    - Pass 1 (NO exchange): per-partition batched Misra-Gries with k
+      counters via mapInPandas — merge a batch's exact Counter into
+      the running summary, then subtract the (k+1)-th largest value
+      and keep the survivors (the Agarwal et al. "Mergeable
+      Summaries" MG merge; total undercount <= n_i/(k+1) per
+      partition). Pigeonhole: a token with global count > N/(k+1)
+      must exceed n_i/(k+1) in some partition, so it SURVIVES that
+      partition's summary — the union of summaries is a guaranteed
+      candidate superset. Each partition emits <= k one-column rows.
+    - Pass 2: broadcast-semi-join the candidate tokens against the
+      re-exploded corpus, exact groupBy count, filter >= min_count.
+      Only candidate occurrences enter the exchange.
+
+    The OUTPUT is provably identical to the naive GROUP BY/HAVING —
+    Misra-Gries affects candidate generation only, never counts — so
+    the DuckDB oracle is the plain exact SQL.
+
+    Loud guard, no silent blowup: if k * partitions > max_candidates
+    the candidate union could defeat the broadcast; raise with the
+    measured numbers instead of degrading.
+
+    Scale note: the pandas batch loop boxes list elements; at real
+    scale the same summary runs over mapInArrow reading the
+    ListArray values/offsets buffers zero-copy (house playbook).
+    Returns (token, cnt), cnt >= min_count.
+    """
+    toks = df.select(F.col(tokens_col).alias("toks"))
+    n_total = toks.agg(
+        F.sum(F.size("toks")).cast("long").alias("n")
+    ).collect()[0]["n"] or 0
+    if n_total == 0:
+        return toks.sparkSession.createDataFrame(
+            [], "token string, cnt long"
+        )
+    if k is None:
+        k = int(n_total) // int(min_count) + 1
+    n_parts = toks.rdd.getNumPartitions()
+    if k * n_parts > max_candidates:
+        raise RuntimeError(
+            f"heavy_hitters: candidate budget exceeded — k={k} "
+            f"(N={n_total}, min_count={min_count}) x {n_parts} "
+            f"partitions > max_candidates={max_candidates}; raise "
+            f"min_count, pass a smaller explicit k (loosening the "
+            f"guarantee), or raise max_candidates explicitly"
+        )
+
+    kk = int(k)
+
+    def _mg(batches):
+        import heapq
+        from collections import Counter
+
+        import pandas as pd
+
+        state: Counter = Counter()
+        for pdf in batches:
+            cnt: Counter = Counter()
+            for lst in pdf["toks"]:
+                if lst is not None:
+                    cnt.update(lst)
+            state.update(cnt)
+            if len(state) > kk:
+                m = heapq.nlargest(kk + 1, state.values())[-1]
+                state = Counter(
+                    {t: c - m for t, c in state.items() if c > m}
+                )
+        yield pd.DataFrame({"token": list(state.keys())})
+
+    cand = (
+        toks.mapInPandas(_mg, schema="token string")
+        .distinct()
+    )
+    return (
+        toks.select(F.explode("toks").alias("token"))
+        .join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+    )

@@ -521,3 +521,68 @@ def rolling_ols(
         F.col("n_win").cast("long").alias("n_win"),
         F.when(den != 0, slope).alias("slope"),
     )
+
+
+def path_interpolate(
+    points: DataFrame, frac_num: int = 1, frac_den: int = 2
+) -> DataFrame:
+    """Point at the exact fraction frac_num/frac_den along each user's
+    cumulative path length (the ST_LineInterpolatePoint analog over
+    the event-timeline trajectory). 0 <= frac_num < frac_den.
+
+    Portability by construction (house quantizer, see
+    user_path_length): step lengths floor to BIGINT 1e-12-degree
+    units, the cumulative sum and the target
+    (total * frac_num) div frac_den are exact integers, so the CHOSEN
+    segment — first step whose cumulative strictly exceeds the target
+    — is identical in any engine; the within-segment lerp
+    x1 + f * (x2 - x1) with f = (target - csum_prev)/du runs on
+    integer-derived doubles in one fixed op order, bitwise equal
+    across engines.
+
+    Input: (event_id, user_id, ts, lon, lat). Output one row per user
+    with a nonzero path: (user_id, seg_event_id, px, py).
+
+    Scale shape: one exchange on user_id feeds both the ordered
+    cumulative window and the per-user total (same partition key, one
+    sort); the crossing filter needs no self-join and no row_number —
+    strict monotonicity at the crossing makes the hit row unique.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    dx = F.col("lon") - F.lag("lon").over(w)
+    dy = F.col("lat") - F.lag("lat").over(w)
+    dist = F.sqrt(dx * dx + dy * dy)
+    stepped = points.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("lon").over(w).alias("x1"),
+        F.lag("lat").over(w).alias("y1"),
+        F.col("lon").alias("x2"),
+        F.col("lat").alias("y2"),
+        F.floor(dist * F.lit(PATH_UNIT)).alias("du"),
+    )
+    wc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("user_id")
+    seg = stepped.select(
+        "*",
+        F.sum("du").over(wc).alias("csum"),
+        F.sum("du").over(wt).alias("total"),
+    ).where(F.col("du").isNotNull() & (F.col("total") > 0))
+    target = F.expr(f"(total * {int(frac_num)}) div {int(frac_den)}")
+    hit = seg.where(
+        (F.col("csum") > target) & ((F.col("csum") - F.col("du")) <= target)
+    )
+    f = (target - (F.col("csum") - F.col("du"))).cast("double") / F.col(
+        "du"
+    ).cast("double")
+    return hit.select(
+        "user_id",
+        F.col("event_id").alias("seg_event_id"),
+        (F.col("x1") + f * (F.col("x2") - F.col("x1"))).alias("px"),
+        (F.col("y1") + f * (F.col("y2") - F.col("y1"))).alias("py"),
+    )
