@@ -354,6 +354,21 @@ def q_scd2_current(spark, sf_dir):
     return current_snapshot(q_scd2_history(spark, sf_dir), "o_custkey")
 
 
+SCD2_AT = "1995-06-17 00:00:00"
+
+
+def q_scd2_asof(spark, sf_dir):
+    """J8 point-in-time lookup over the SCD-2 history (the reference's
+    as-of read, tests/postgres_integration.rs:258-295): each key's row
+    whose [valid_from, valid_to) interval covers the fixed instant —
+    a filter on the history, no extra exchange."""
+    from cadastre_pg_spark.operators.scd2 import as_of
+
+    return as_of(
+        q_scd2_history(spark, sf_dir), F.lit(SCD2_AT).cast("timestamp")
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -2319,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "scd2_history": q_scd2_history,
         "scd2_current": q_scd2_current,
+        "scd2_asof": q_scd2_asof,
         "events_windowed": q_events_windowed,
         "dedup_anti": q_dedup_anti,
         "scd2_merge": q_scd2_merge,
@@ -3285,6 +3301,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
                                                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS nxt
               FROM orders) WHERE nxt IS NULL
+        """,
+        "scd2_asof": f"""
+            WITH h AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate ASC,
+                                                      o_orderkey ASC)
+                     AS valid_to
+              FROM orders
+            )
+            SELECT * FROM h
+            WHERE valid_from <= TIMESTAMP '{SCD2_AT}'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_AT}')
         """,
         "events_windowed": """
             SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
