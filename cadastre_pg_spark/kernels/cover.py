@@ -31,8 +31,14 @@ def grid_cover(xs, ys, ring_offsets, level: int = C.DEFAULT_LEVEL):
     ext = slice(offs[0], offs[1])
     ix0, iy0 = C.grid_cell_xy(xs[ext].min(), ys[ext].min(), level)
     ix1, iy1 = C.grid_cell_xy(xs[ext].max(), ys[ext].max(), level)
-    gx = np.arange(int(ix0), int(ix1) + 1, dtype=np.int64)
-    gy = np.arange(int(iy0), int(iy1) + 1, dtype=np.int64)
+    # grid_cell_xy vectorizes; min/max scalars come back as 1-element
+    # arrays — ravel()[0] extraction keeps NumPy >= 1.25 happy
+    gx = np.arange(
+        int(np.ravel(ix0)[0]), int(np.ravel(ix1)[0]) + 1, dtype=np.int64
+    )
+    gy = np.arange(
+        int(np.ravel(iy0)[0]), int(np.ravel(iy1)[0]) + 1, dtype=np.int64
+    )
     mx, my = np.meshgrid(gx, gy, indexing="ij")
     mx = mx.ravel()
     my = my.ravel()
