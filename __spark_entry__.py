@@ -250,6 +250,28 @@ def q_dep_partition(spark, sf_dir):
     )
 
 
+HULL_QUANT = 1e7
+
+
+def q_group_hull(spark, sf_dir):
+    """Per-department strict convex hull of the document point cloud,
+    as directed CCW edge rows on 1e-7-degree integer coordinates —
+    exact integer orientation tests everywhere; the oracle re-derives
+    every edge via the supporting-line predicate, so equality proves
+    the monotone chain and the predicate agree."""
+    from cadastre_pg_spark.operators.overlay import group_hull_edges
+
+    docs = _docs(spark, sf_dir)
+    dep = F.lpad(F.regexp_extract(F.col("source"), r"(\d+)", 1), 3, "0")
+    key = F.col("doc_id")
+    pts = docs.select(
+        dep.alias("grp"),
+        F.floor(S.lon_col(key) * F.lit(HULL_QUANT)).alias("xq"),
+        F.floor(S.lat_col(key) * F.lit(HULL_QUANT)).alias("yq"),
+    )
+    return group_hull_edges(pts)
+
+
 def q_props_extract(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k_str = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
@@ -2322,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "dep_partition": q_dep_partition,
+        "group_hull": q_group_hull,
         "props_extract": q_props_extract,
         "tpch_q1": q_tpch_q1,
         "sales_rollup": q_sales_rollup,
@@ -3212,6 +3235,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": TA.quality_score_sql("documents"),
         "lang_id": TA.lang_id_sql("documents"),
         "repetition_scores": TA.repetition_scores_sql("documents"),
+        "group_hull": _group_hull_sql_oracle(),
         "dep_partition": r"""
             SELECT doc_id,
                    lpad(regexp_extract(source, '(\d+)', 1), 3, '0') AS dep,
@@ -5552,6 +5576,44 @@ def _path_interp_sql_oracle(num: int = 1, den: int = 2) -> str:
                y1 + (CAST(target - (csum - du) AS DOUBLE)
                      / CAST(du AS DOUBLE)) * (y2 - y1) AS py
         FROM t WHERE csum > target AND (csum - du) <= target
+    """
+
+
+def _group_hull_sql_oracle() -> str:
+    """Edge-predicate replay of group_hull_edges: (p1, p2) is a CCW
+    hull edge iff every other point of the group is strictly LEFT of
+    the directed line p1->p2, or collinear and strictly between the
+    endpoints. Exact BIGINT orientation/dot tests on the same
+    floor-quantized coordinates (spans ~1.5e8 units keep every product
+    under 2^55 — no overflow in either engine)."""
+    lon = S.lon_sql("doc_id")
+    lat = S.lat_sql("doc_id")
+    q = "CAST('1e7' AS DOUBLE)"
+    cross = "(p.x2 - p.x1) * (r.yq - p.y1) - (p.y2 - p.y1) * (r.xq - p.x1)"
+    dot = "(r.xq - p.x1) * (p.x2 - p.x1) + (r.yq - p.y1) * (p.y2 - p.y1)"
+    l2 = "(p.x2 - p.x1) * (p.x2 - p.x1) + (p.y2 - p.y1) * (p.y2 - p.y1)"
+    return f"""
+        WITH raw AS (
+          SELECT lpad(regexp_extract(source, '(\\d+)', 1), 3, '0') AS grp,
+                 CAST(floor({lon} * {q}) AS BIGINT) AS xq,
+                 CAST(floor({lat} * {q}) AS BIGINT) AS yq
+          FROM documents
+        ),
+        pts AS (SELECT DISTINCT grp, xq, yq FROM raw),
+        pairs AS (
+          SELECT a.grp, a.xq AS x1, a.yq AS y1, b.xq AS x2, b.yq AS y2
+          FROM pts a JOIN pts b ON a.grp = b.grp
+          WHERE NOT (a.xq = b.xq AND a.yq = b.yq)
+        )
+        SELECT p.grp, p.x1, p.y1, p.x2, p.y2
+        FROM pairs p JOIN pts r ON r.grp = p.grp
+        GROUP BY p.grp, p.x1, p.y1, p.x2, p.y2
+        HAVING min(CASE
+          WHEN (r.xq = p.x1 AND r.yq = p.y1)
+            OR (r.xq = p.x2 AND r.yq = p.y2) THEN 1
+          WHEN {cross} > 0 THEN 1
+          WHEN {cross} = 0 AND {dot} > 0 AND {dot} < {l2} THEN 1
+          ELSE 0 END) = 1
     """
 
 

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "incremental_agg",
     "heavy_hitters",
     "path_interp",
+    "scd2_asof",
+    "group_hull",
 ]
 
 _CHILD = r"""

@@ -565,3 +565,87 @@ def snap_to_segments(
             "t",
         )
     )
+
+
+def group_hull_edges(
+    points: DataFrame,
+    group_col: str = "grp",
+    x_col: str = "xq",
+    y_col: str = "yq",
+) -> DataFrame:
+    """Per-group STRICT convex hull, emitted as directed CCW edge rows
+    (grp, x1, y1, x2, y2) — the geometry-census companion of the G4
+    hull fallback (kernels/hull.py), lifted to a distributed operator.
+
+    Coordinates must be pre-quantized BIGINTs: every orientation test
+    is then exact integer arithmetic, identical in any engine — the
+    SQL oracle re-derives each edge independently via the supporting-
+    line predicate (all other points strictly left, or collinear
+    strictly between the endpoints), so Spark/oracle equality PROVES
+    the chain and the predicate define the same hull.
+
+    Scale shape (the heavy-hitters pattern for geometry): stage 1 runs
+    a per-partition, per-group incremental hull via mapInPandas — NO
+    exchange; convexity is monotone, so a point that is not a corner
+    of its partition-local hull can never be a global corner, and each
+    partition forwards only O(hull) candidate rows per group. Stage 2
+    shuffles just those candidates (applyInPandas on the group key)
+    and runs the exact integer monotone chain. The point cloud itself
+    never enters the exchange.
+
+    Degenerate groups follow the kernel's contract: single-point
+    groups emit nothing; two-point / all-collinear groups emit the
+    segment's two directed edges.
+    """
+    from ..kernels.hull import hull_edges_int
+
+    sel = points.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("long").alias("xq"),
+        F.col(y_col).cast("long").alias("yq"),
+    )
+
+    def _prune(batches):
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("grp"):
+                pts = list(zip(sub["xq"], sub["yq"]))
+                prev = state.get(g, [])
+                edges = hull_edges_int(prev + pts)
+                if edges:
+                    state[g] = [e[0] for e in edges]
+                else:
+                    # < 2 distinct points so far: carry them verbatim
+                    state[g] = sorted(
+                        {(int(x), int(y)) for x, y in prev + pts}
+                    )
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, pts in state.items() for _ in pts],
+                "xq": [p[0] for pts in state.values() for p in pts],
+                "yq": [p[1] for pts in state.values() for p in pts],
+            }
+        )
+
+    cand = sel.mapInPandas(_prune, schema="grp string, xq long, yq long")
+
+    def _edges(pdf):
+        import pandas as pd
+
+        g = pdf["grp"].iloc[0]
+        edges = hull_edges_int(zip(pdf["xq"], pdf["yq"]))
+        return pd.DataFrame(
+            {
+                "grp": [g] * len(edges),
+                "x1": [e[0][0] for e in edges],
+                "y1": [e[0][1] for e in edges],
+                "x2": [e[1][0] for e in edges],
+                "y2": [e[1][1] for e in edges],
+            }
+        )
+
+    return cand.groupBy("grp").applyInPandas(
+        _edges, schema="grp string, x1 long, y1 long, x2 long, y2 long"
+    )
