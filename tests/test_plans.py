@@ -296,3 +296,34 @@ def test_concurrency_profile_has_no_global_window(spark):
         # ("ts ASC NULLS FIRST"); a partitioned one starts with the
         # bare partition attribute
         assert " ASC" not in first and " DESC" not in first, m.group(1)
+
+
+def test_heavy_hitters_recount_is_broadcast(spark):
+    """Pass 2 must broadcast the Misra-Gries candidate set against the
+    exploded corpus — a sort-merge join there would shuffle every
+    token occurrence, the exact cost the operator exists to avoid."""
+    df = E.queries()["heavy_hitters"](spark, SF_UNIT)
+    assert plan_has(df, "BroadcastHashJoin")
+    assert not plan_has(df, "SortMergeJoin")
+
+
+def test_group_hull_single_exchange(spark):
+    """The hull pipeline's only exchange is the candidate shuffle onto
+    the group key — the per-partition prune stage must not add one."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["group_hull"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert s.count("Exchange") <= 2, s  # hash exchange (+AQE read)
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_path_interp_single_exchange(spark):
+    """Cumulative window, per-user total, crossing filter and lerp all
+    ride ONE exchange on user_id — no join, no second shuffle."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["path_interp"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert s.count("Exchange") <= 2, s
+    assert "Join" not in s, s
