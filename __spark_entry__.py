@@ -272,6 +272,19 @@ def q_group_hull(spark, sf_dir):
     return group_hull_edges(pts)
 
 
+def q_hull_area(spark, sf_dir):
+    """Doubled hull area per department — the shoelace sum over the
+    CCW directed edge set, exact BIGINT end to end (degenerate
+    segment hulls cancel to 0 by construction). Composition proof:
+    a derived aggregate over the distributed hull operator."""
+    hull = q_group_hull(spark, sf_dir)
+    return hull.groupBy("grp").agg(
+        F.sum(
+            F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+        ).alias("area2")
+    )
+
+
 def q_props_extract(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k_str = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
@@ -2345,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dep_partition": q_dep_partition,
         "group_hull": q_group_hull,
+        "hull_area": q_hull_area,
         "props_extract": q_props_extract,
         "tpch_q1": q_tpch_q1,
         "sales_rollup": q_sales_rollup,
@@ -3236,6 +3250,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": TA.lang_id_sql("documents"),
         "repetition_scores": TA.repetition_scores_sql("documents"),
         "group_hull": _group_hull_sql_oracle(),
+        "hull_area": f"""
+            WITH edges AS ({_group_hull_sql_oracle()})
+            SELECT grp, CAST(sum(x1 * y2 - x2 * y1) AS BIGINT) AS area2
+            FROM edges GROUP BY grp
+        """,
         "dep_partition": r"""
             SELECT doc_id,
                    lpad(regexp_extract(source, '(\d+)', 1), 3, '0') AS dep,

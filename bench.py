@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "path_interp",
     "scd2_asof",
     "group_hull",
+    "hull_area",
 ]
 
 _CHILD = r"""
@@ -224,6 +225,13 @@ AGG_COL = {{
     "incremental_agg": "mean",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
+# global wall budget for this child: a steal wave that parks on the
+# whole run must produce a PARTIAL result with a loud skipped-list,
+# never a subprocess timeout that loses every measurement (the
+# 2026-08-17 wave held >1 h and did exactly that)
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_CHILD_BUDGET", "2100"))
+_T_START = time.time()
+skipped = []
 
 
 def measure_query(name):
@@ -245,6 +253,9 @@ def measure_query(name):
 out = {{}}
 rows = {{}}
 for name in {names!r}:
+    if time.time() - _T_START > BUDGET_SEC:
+        skipped.append(name)
+        continue
     if name.startswith("__stream_dedup"):
         # bounded-Bloom streaming dedup throughput: N docs (50% exact
         # dups, ~200-char texts) through the stateful per-bucket Bloom
@@ -407,12 +418,15 @@ for name in {names!r}:
 # re-run in a second pass AFTER the whole suite (several minutes later)
 # and the MIN is recorded. A slow single run is weather, not the plan.
 for name in {names!r}:
+    if time.time() - _T_START > BUDGET_SEC:
+        break  # budget exhausted: first-pass numbers stand
     if not name.startswith("__") and out.get(name, 0) > RETRY_SEC:
         el, n, df = measure_query(name)
         out[name] = min(out[name], round(el, 3))
         if df is not None:
             release_cached(df)
-print("BENCHJSON:" + json.dumps({{"times": out, "rows": rows}}))
+print("BENCHJSON:" + json.dumps(
+    {{"times": out, "rows": rows, "skipped": skipped}}))
 spark.stop()
 """
 
@@ -427,6 +441,9 @@ def run_child(cores, names, sf_dir, pin_cpus=False):
     cmd = [sys.executable, "-c", code]
     if pin_cpus:
         cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
+    # the child self-bounds on SPARK_GRAFT_CHILD_BUDGET and always
+    # prints a (possibly partial) BENCHJSON; the subprocess timeout is
+    # the backstop for a hung JVM, sized well above the child budget
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("BENCHJSON:"):
@@ -434,6 +451,16 @@ def run_child(cores, names, sf_dir, pin_cpus=False):
     raise RuntimeError(
         f"bench child (cores={cores}) failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
     )
+
+
+def try_child(cores, names, sf_dir, pin_cpus=False):
+    """run_child that degrades to None instead of killing the whole
+    bench — an aux-throughput failure must not cost the suite record."""
+    try:
+        return run_child(cores, names, sf_dir, pin_cpus=pin_cpus)
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        sys.stderr.write(f"bench aux child {names} failed: {e}\n")
+        return None
 
 
 def main():
@@ -444,9 +471,10 @@ def main():
     # full suite at the high parallelism level
     hi = run_child(CPUS, BENCH_QUERIES, SF_DIR)
     times = hi["times"]
+    suite_skipped = hi.get("skipped", [])
     total = round(sum(times.values()), 3)
-    sj_sec = times["spatial_join_scale"]
-    sj_rows = hi["rows"]["spatial_join_scale"]
+    sj_sec = times.get("spatial_join_scale")
+    sj_rows = hi["rows"].get("spatial_join_scale")
 
     # scaling: identical spatial-join job at lo vs hi parallelism,
     # CPU-pinned, large enough that compute dominates fixed costs;
@@ -456,61 +484,75 @@ def main():
     scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000000"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     scale_job = f"__scale:{scale_n}"
-    t_lo = min(
-        run_child(SCALE_LO, [scale_job], SF_DIR, pin_cpus=True)["times"][scale_job]
-        for _ in range(reps)
+    lo_runs = [
+        r["times"][scale_job]
+        for r in (
+            try_child(SCALE_LO, [scale_job], SF_DIR, pin_cpus=True)
+            for _ in range(reps)
+        )
+        if r and r["times"].get(scale_job) is not None
+    ]
+    hi_runs = [
+        r["times"][scale_job]
+        for r in (
+            try_child(SCALE_HI, [scale_job], SF_DIR, pin_cpus=True)
+            for _ in range(reps)
+        )
+        if r and r["times"].get(scale_job) is not None
+    ]
+    t_lo = min(lo_runs) if lo_runs else None
+    t_hi = min(hi_runs) if hi_runs else None
+    eff = (
+        round((t_lo / t_hi) / (SCALE_HI / SCALE_LO), 3)
+        if t_lo and t_hi
+        else None
     )
-    t_hi = min(
-        run_child(SCALE_HI, [scale_job], SF_DIR, pin_cpus=True)["times"][scale_job]
-        for _ in range(reps)
-    )
-    eff = round((t_lo / t_hi) / (SCALE_HI / SCALE_LO), 3) if t_hi > 0 else None
 
     # forced-shuffle strategy with hot-cell salting, recorded so the
     # skew machinery has a measured number, not just a test
     shuffle_n = int(os.environ.get("SPARK_GRAFT_SHUFFLE_N", "50000000"))
     shuffle_job = f"__scale_shuffle:{shuffle_n}"
-    sh = run_child(CPUS, [shuffle_job], SF_DIR)
-    sh_sec = sh["times"][shuffle_job]
-    sh_rows = sh["rows"][shuffle_job]
+    sh = try_child(CPUS, [shuffle_job], SF_DIR)
+    sh_sec = sh["times"].get(shuffle_job) if sh else None
+    sh_rows = sh["rows"].get(shuffle_job) if sh else None
 
     # streaming placement throughput (stream-static cell join over a
     # file source in 4-file micro-batches; stream==batch equality is
     # pytest-held, this records the measured rows/s)
     stream_n = int(os.environ.get("SPARK_GRAFT_STREAM_N", "2000000"))
     stream_job = f"__stream_place:{stream_n}"
-    st = run_child(CPUS, [stream_job], SF_DIR)
-    st_sec = st["times"][stream_job]
-    st_rows = st["rows"][stream_job]
+    st = try_child(CPUS, [stream_job], SF_DIR)
+    st_sec = st["times"].get(stream_job) if st else None
+    st_rows = st["rows"].get(stream_job) if st else None
 
     # bounded-Bloom streaming dedup (stateful applyInPandasWithState)
     # default sized to the Bloom design load (~2k hashes/bucket x 32
     # buckets): 200k docs at 50% dups -> ~100k uniques, ~3k/bucket
     sd_n = int(os.environ.get("SPARK_GRAFT_STREAM_DEDUP_N", "200000"))
     sd_job = f"__stream_dedup:{sd_n}"
-    sd = run_child(CPUS, [sd_job], SF_DIR)
-    sd_sec = sd["times"][sd_job]
-    sd_rows = sd["rows"][sd_job]
+    sd = try_child(CPUS, [sd_job], SF_DIR)
+    sd_sec = sd["times"].get(sd_job) if sd else None
+    sd_rows = sd["rows"].get(sd_job) if sd else None
 
     # interval-overlap join throughput (dedup-free bucketed self-join)
     iv_n = int(os.environ.get("SPARK_GRAFT_IVJOIN_N", "1000000"))
     iv_job = f"__ivjoin:{iv_n}"
-    iv = run_child(CPUS, [iv_job], SF_DIR)
-    iv_sec = iv["times"][iv_job]
-    iv_rows = iv["rows"][iv_job]
+    iv = try_child(CPUS, [iv_job], SF_DIR)
+    iv_sec = iv["times"].get(iv_job) if iv else None
+    iv_rows = iv["rows"].get(iv_job) if iv else None
 
     # corpus packing throughput (tokenize + hash-route + window cumsum)
     pk_n = int(os.environ.get("SPARK_GRAFT_PACK_N", "5000000"))
     pk_job = f"__pack:{pk_n}"
-    pk = run_child(CPUS, [pk_job], SF_DIR)
-    pk_sec = pk["times"][pk_job]
+    pk = try_child(CPUS, [pk_job], SF_DIR)
+    pk_sec = pk["times"].get(pk_job) if pk else None
 
     # geometry-measures throughput (Arrow-native vectorized path over
     # premade parquet; best-of-2 in-child to shed the import wave)
     gm_n = int(os.environ.get("SPARK_GRAFT_GEOM_N", "2000000"))
     gm_job = f"__geom:{gm_n}"
-    gm = run_child(CPUS, [gm_job], SF_DIR)
-    gm_sec = gm["times"][gm_job]
+    gm = try_child(CPUS, [gm_job], SF_DIR)
+    gm_sec = gm["times"].get(gm_job) if gm else None
 
     print(
         json.dumps(
@@ -576,6 +618,9 @@ def main():
                 },
                 "loadavg_external": load_before,
                 "loadavg_at_end": round(os.getloadavg()[0], 2),
+                # no silent caps: queries the child's wall budget cut
+                # (steal-wave armor) are named, not absent
+                "skipped": suite_skipped,
             }
         )
     )

@@ -101,3 +101,12 @@ def test_distributed_equals_kernel_per_group(spark):
         got.setdefault(r.grp, set()).add(((r.x1, r.y1), (r.x2, r.y2)))
     for g, want in expected.items():
         assert got.get(g, set()) == want, g
+
+
+def test_edge_shoelace_area():
+    # square 0..4: doubled area = 32; degenerate segment cancels to 0
+    def area2(edges):
+        return sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in edges)
+
+    assert area2(hull_edges_int([(0, 0), (4, 0), (4, 4), (0, 4), (2, 2)])) == 32
+    assert area2(hull_edges_int([(0, 0), (4, 0), (2, 0)])) == 0
