@@ -2161,6 +2161,16 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_winsor_stats(spark, sf_dir):
+    """Winsorized mean of event values per type: exact percentile
+    bounds (bitwise == quantile_cont), broadcast clamp, floor-quantized
+    BIGINT sum — the robust-location aggregate, fully portable."""
+    from cadastre_pg_spark.operators.stats import winsorized_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return winsorized_stats(ev, "event_type", "value")
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2398,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
         "value_percentiles": q_value_percentiles,
+        "winsor_stats": q_winsor_stats,
         "repetition_scores": q_repetition_scores,
         "event_concurrency": q_event_concurrency,
         "session_overlap": q_session_overlap,
@@ -3066,6 +3077,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.9)  AS p90,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY 1
+        """,
+        "winsor_stats": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_type, min(b.lo) AS lo, min(b.hi) AS hi,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(
+                       least(greatest(e.value, b.lo), b.hi)
+                       * CAST('1e6' AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)
+                     / CAST('1e6' AS DOUBLE) AS wmean
+            FROM events e JOIN b USING (event_type)
+            GROUP BY e.event_type
         """,
         # cascaded-min formulation == the engine's greedy fold on the
         # time-sorted sequence (each step strictly after the previous)

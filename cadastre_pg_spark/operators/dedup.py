@@ -1004,19 +1004,27 @@ def setsim_join(
     )
     num, den = F.lit(threshold_num), F.lit(threshold_den)
     plen = (F.col("s") - F.ceil(num * F.col("s") / den) + F.lit(1)).cast("int")
+    # ordered feeds the prefix explode AND both verify-side array
+    # lookups — persist once (one row per doc)
+    ordered = ordered.persist()
+    # the pair grid stays NARROW: ids + three ints per row. Carrying
+    # the token-struct arrays through the token equi-join multiplies
+    # every candidate row by both documents' payloads — measured 592 s
+    # at sf0.1 (31-token vocabulary -> millions of wide candidate
+    # rows); with id-only pairs + post-dedup array attach it is ~20x
+    # cheaper and the shuffle volume no longer scales with doc length.
     pref = ordered.select(
         "id",
-        "toks",
         "s",
         F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("pos", "p"),
-    ).select("id", "toks", "s", "pos", F.col("p.token").alias("ptok"))
+    ).select("id", "s", "pos", F.col("p.token").alias("ptok"))
     a = pref.select(
-        F.col("id").alias("a_id"), F.col("toks").alias("ta"),
-        F.col("s").alias("sa"), F.col("pos").alias("pa"), "ptok",
+        F.col("id").alias("a_id"), F.col("s").alias("sa"),
+        F.col("pos").alias("pa"), "ptok",
     )
     b = pref.select(
-        F.col("id").alias("b_id"), F.col("toks").alias("tb"),
-        F.col("s").alias("sb"), F.col("pos").alias("pb"), "ptok",
+        F.col("id").alias("b_id"), F.col("s").alias("sb"),
+        F.col("pos").alias("pb"), "ptok",
     )
     # positional filter (the ppjoin refinement): a pair meeting at
     # 0-based prefix positions (pa, pb) can overlap at most
@@ -1027,27 +1035,36 @@ def setsim_join(
     # mega-bucket before the array_intersect verify, which is the
     # expensive stage.
     ubound = F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
-    cand = (
+    pairs = (
         a.join(b, "ptok")
         .where(F.col("a_id") < F.col("b_id"))
         .where((den * F.col("sb") >= num * F.col("sa"))
                & (den * F.col("sa") >= num * F.col("sb")))
         .where((num + den) * ubound >= num * (F.col("sa") + F.col("sb")))
         .groupBy("a_id", "b_id")
-        .agg(
-            F.first("ta").alias("ta"), F.first("tb").alias("tb"),
-            F.first("sa").alias("sa"), F.first("sb").alias("sb"),
-        )
+        .agg(F.min("sa").alias("sa"), F.min("sb").alias("sb"))
+    )
+    # arrays attach AFTER pair dedup, keyed by id — AQE broadcasts the
+    # doc-array side when it fits, sort-merge otherwise (both correct
+    # at any scale; the pair stream itself stays 4 narrow columns)
+    cand = pairs.join(
+        ordered.select(F.col("id").alias("a_id"), F.col("toks").alias("ta")),
+        "a_id",
+    ).join(
+        ordered.select(F.col("id").alias("b_id"), F.col("toks").alias("tb")),
+        "b_id",
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     withi = cand.select(
         "a_id", "b_id", "sa", "sb", inter.alias("inter")
     ).where(den * F.col("inter") >= num * (F.col("sa") + F.col("sb") - F.col("inter")))
     uni = F.col("sa") + F.col("sb") - F.col("inter")
-    return withi.select(
+    out = withi.select(
         "a_id",
         "b_id",
         F.col("inter").cast("long").alias("inter"),
         uni.cast("long").alias("uni"),
         (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
     )
+    out._cadastre_cached = [ordered]  # release_cached(out) after action
+    return out

@@ -579,3 +579,50 @@ def benford(
         *[F.col(f"n{k}").cast("long").alias(f"n{k}") for k in range(1, 10)],
         F.when(F.col("n") > 0, chi2).alias("chi2"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    unit: float = 1e6,
+) -> DataFrame:
+    """Per-group winsorized (clamped-tail) mean — the outlier-robust
+    location estimate that feeds quality dashboards without letting a
+    single corrupt value move the aggregate.
+
+    Two passes, both exchange-light: (1) exact interpolated
+    percentiles per group (Spark `percentile` == DuckDB quantile_cont
+    bitwise, house parity note); (2) broadcast the tiny bounds table
+    back onto the scan, clamp, and aggregate. The clamped values are
+    quantized floor(x * unit) -> BIGINT before summing (floor-on-double
+    is the portable quantizer; double->DECIMAL rounding is NOT
+    portable for percentile-valued doubles), so the sum is
+    order-independent and the mean is integer-derived IEEE.
+
+    Output (group, lo, hi, n, wmean). Scale contract: the exact
+    percentile buffers each group's values; at 100 TB swap in
+    approx_percentile for the bounds — pass 2 is unchanged.
+    """
+    b = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(float(p_lo))).alias("lo"),
+        F.percentile(value_col, F.lit(float(p_hi))).alias("hi"),
+    )
+    j = df.join(F.broadcast(b), group_col)
+    clamped = F.least(
+        F.greatest(F.col(value_col), F.col("lo")), F.col("hi")
+    )
+    units = F.floor(clamped * F.lit(float(unit))).cast("long")
+    n = F.count(F.lit(1))
+    return j.groupBy(group_col).agg(
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        n.cast("long").alias("n"),
+        (
+            F.sum(units).cast("double")
+            / n.cast("double")
+            / F.lit(float(unit))
+        ).alias("wmean"),
+    )
