@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "scd2_asof",
     "group_hull",
     "hull_area",
+    "winsor_stats",
 ]
 
 _CHILD = r"""
