@@ -53,9 +53,21 @@ def connected_components(
         out = lab.select("node", F.col("lab").alias("cluster"))
         out._cadastre_cached = cached
         return out
+    # measured strategy gate (house rule): the label table is one
+    # (node, lab) long-pair per node — under ~5M nodes it broadcasts
+    # (<~100 MB build), turning BOTH per-round joins map-side so the
+    # static edge table is never re-shuffled per round; above that the
+    # joins fall back to shuffle plans unchanged
+    bcast = lab.count() <= 5_000_000
+
+    def _b(d):
+        return F.broadcast(d) if bcast else d
+
     for _ in range(max_rounds):
-        # (1) neighborhood min
-        nbr = sym.join(lab, sym.src == lab.node).select(
+        # (1) neighborhood min — checkpoint HERE: this aggregate is the
+        # round's one unavoidable edge-sized exchange, and both the
+        # pointer jump below and the next round reuse it
+        nbr = sym.join(_b(lab), sym.src == lab.node).select(
             F.col("dst").alias("node"), "lab"
         )
         stepped = (
@@ -63,7 +75,9 @@ def connected_components(
             .unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
         )
+        cached.append(stepped)
         # (2) pointer jump: lab <- lab(lab(node)). Labels are node ids
         # with lab(m) <= m, so the jump only ever lowers a label; the
         # left join covers the (impossible in practice) dangling case.
@@ -74,14 +88,20 @@ def connected_components(
             F.col("node").alias("m_node"), F.col("lab").alias("m_lab")
         )
         new = (
-            stepped.join(jump, F.col("lab") == F.col("m_node"), "left")
+            stepped.join(_b(jump), F.col("lab") == F.col("m_node"), "left")
             .select(
                 "node",
                 F.coalesce(F.col("m_lab"), F.col("lab")).alias("lab"),
             )
-            .localCheckpoint(eager=True)
         )
-        cached.append(new)
+        if not bcast:
+            # shuffle path: `new` is consumed twice next round — keep
+            # it materialized so the SMJ is not replayed per use (the
+            # broadcast path recomputes it from the cached `stepped`
+            # with a map-side join, which is cheaper than a second
+            # checkpoint write)
+            new = new.localCheckpoint(eager=True)
+            cached.append(new)
         new_sum = new.agg(F.sum("lab")).first()[0]
         lab = new
         if new_sum == prev_sum:
