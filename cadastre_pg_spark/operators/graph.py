@@ -183,11 +183,18 @@ def pagerank(
         F.col("node").cast("long").alias("v"), F.lit(u0).alias("u")
     ).localCheckpoint(eager=True)
     cached = [ed, ranks]
+    # measured gate (same rule as connected_components): a node-sized
+    # rank/contrib table under ~5M rows broadcasts, so the static edge
+    # table is never re-shuffled per round
+    bcast = n_nodes <= 5_000_000
+
+    def _b(d):
+        return F.broadcast(d) if bcast else d
 
     out = None
     for _ in range(iters):
         contrib = (
-            ed.join(ranks, ed.src == ranks.v)
+            ed.join(_b(ranks), ed.src == ranks.v)
             .select(
                 "dst",
                 # units/out-degree, floored to integer units; F.floor on
@@ -198,7 +205,7 @@ def pagerank(
             .agg(F.sum("c").alias("s"))
         )
         stepped = nodes.select(F.col("node").cast("long").alias("v")).join(
-            contrib, F.col("v") == F.col("dst"), "left"
+            _b(contrib), F.col("v") == F.col("dst"), "left"
         )
         rd = F.lit(base) + F.lit(damping) * (
             F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(RANK_UNIT)
@@ -247,15 +254,27 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )
-        alive = deg.where(F.col("core_deg") >= k)
+        # checkpoint: both semi-join sides (and their broadcast builds)
+        # consume `alive`; without it each build replays the degree agg
+        alive = deg.where(F.col("core_deg") >= k).localCheckpoint(
+            eager=True
+        )
+        cached.append(alive)
         n_alive = alive.count()
         if n_alive == 0 or n_alive == n_prev:
             out = alive.select("node", "core_deg")
             out._cadastre_cached = cached
             return out
+        # node-sized alive set under ~5M rows broadcasts both semi
+        # joins (measured gate, n_alive is already counted) — the edge
+        # list is filtered map-side instead of re-shuffling per round
+        def _ab(col):
+            side = alive.select(F.col("node").alias(col))
+            return F.broadcast(side) if n_alive <= 5_000_000 else side
+
         und = (
-            und.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
-            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+            und.join(_ab("a"), "a", "left_semi")
+            .join(_ab("b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
         cached.append(und)
@@ -402,22 +421,37 @@ def bfs_hops(
     )
     cached = [e, lab]
     frontier = lab
+    # measured gate (the connected_components rule): frontier and
+    # visited sets under ~5M rows broadcast, keeping the static edge
+    # table out of per-round exchanges; counts are already materialized
+    # by the convergence check
+    _B = 5_000_000
+    n_frontier = lab.count()
+    n_lab = n_frontier
     for r in range(1, max_rounds + 1):
+        f_side = frontier.select(F.col("node").alias("src"))
+        if n_frontier <= _B:
+            f_side = F.broadcast(f_side)
+        anti_side = lab.select("node")
+        if n_lab <= _B:
+            anti_side = F.broadcast(anti_side)
         nxt = (
-            e.join(frontier.select(F.col("node").alias("src")), "src")
+            e.join(f_side, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(lab.select("node"), "node", "left_anti")
+            .join(anti_side, "node", "left_anti")
             .select("node", F.lit(r).alias("hop"))
             .localCheckpoint(eager=True)
         )
         cached.append(nxt)
-        if nxt.count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             out = lab.select("node", F.col("hop").cast("int").alias("hop"))
             out._cadastre_cached = cached
             return out
         lab = lab.unionByName(nxt).localCheckpoint(eager=True)
         cached.append(lab)
+        n_lab += n_frontier
         frontier = nxt
     raise RuntimeError(
         f"bfs_hops: frontier still non-empty after {max_rounds} rounds — "
@@ -551,28 +585,57 @@ def sssp(
     )
     cached = [e, lab]
     frontier = lab
+    # measured gate (the connected_components rule): node-sized
+    # frontier/label tables under ~5M rows broadcast so the static
+    # edge table never re-shuffles; frontier counts come free from the
+    # convergence check, the label count is tracked as an upper bound
+    _B = 5_000_000
+    n_frontier = lab.count()
+    n_lab = n_frontier
+
+    def _gate(d, n):
+        return F.broadcast(d) if n <= _B else d
+
     for _ in range(max_rounds):
         cand = (
             e.join(
-                frontier.select(F.col("node").alias("src"), "dist"), "src"
+                _gate(
+                    frontier.select(F.col("node").alias("src"), "dist"),
+                    n_frontier,
+                ),
+                "src",
             )
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("_d"))
             .groupBy("node")
             .agg(F.min("_d").alias("_d"))
         )
         improved = (
-            cand.join(lab.select("node", F.col("dist").alias("_old")), "node", "left")
+            cand.join(
+                _gate(
+                    lab.select("node", F.col("dist").alias("_old")), n_lab
+                ),
+                "node",
+                "left",
+            )
             .filter(F.col("_old").isNull() | (F.col("_d") < F.col("_old")))
             .select("node", F.col("_d").alias("dist"))
             .localCheckpoint(eager=True)
         )
         cached.append(improved)
-        if improved.count() == 0:
+        n_frontier = improved.count()
+        if n_frontier == 0:
             out = lab.select("node", "dist")
             out._cadastre_cached = cached
             return out
         lab = (
-            lab.join(improved.select("node", F.col("dist").alias("_new")), "node", "left")
+            lab.join(
+                _gate(
+                    improved.select("node", F.col("dist").alias("_new")),
+                    n_frontier,
+                ),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 F.when(
@@ -584,11 +647,14 @@ def sssp(
                 .alias("dist"),
             )
             .unionByName(
-                improved.join(lab.select("node"), "node", "left_anti")
+                improved.join(
+                    _gate(lab.select("node"), n_lab), "node", "left_anti"
+                )
             )
             .localCheckpoint(eager=True)
         )
         cached.append(lab)
+        n_lab += n_frontier
         frontier = improved
     raise RuntimeError(
         f"sssp: labels still improving after {max_rounds} rounds — "
