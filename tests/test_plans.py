@@ -327,3 +327,11 @@ def test_path_interp_single_exchange(spark):
     s = explain_string(df)
     assert s.count("Exchange") <= 2, s
     assert "Join" not in s, s
+
+
+def test_winsor_bounds_join_is_broadcast(spark):
+    """The per-group percentile bounds table is dimension-sized — the
+    clamp join must broadcast it, never shuffle the event scan."""
+    df = E.queries()["winsor_stats"](spark, SF_UNIT)
+    assert plan_has(df, "BroadcastHashJoin")
+    assert not plan_has(df, "SortMergeJoin")
