@@ -2171,6 +2171,61 @@ def q_winsor_stats(spark, sf_dir):
     return winsorized_stats(ev, "event_type", "value")
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Percent-rank normalization of event values per type — the
+    feature-calibration transform (maps any score distribution onto
+    [0,1] for cross-source mixing). percent_rank = (rank-1)/(n-1) with
+    min-rank ties in BOTH engines: exact-integer inputs, one IEEE
+    division — bitwise portable, no rounding grid. One exchange on the
+    group key (the canonical window plan)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent of the token-frequency distribution per language
+    — the corpus-health diagnostic (a natural corpus fits slope ~ -1;
+    boilerplate/spam skews it). OLS of ln(count) on ln(rank) with the
+    collocations precedent for portability: ln outputs on exact
+    integer inputs are floor-quantized to micro-nats (BIGINT), the
+    five OLS sums are exact integer aggregates, and the closing slope
+    is fixed-order double arithmetic on integer-derived values. Ranks
+    are row_number with the (count DESC, token ASC) total order."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    c = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    r = c.withColumn("rank", F.row_number().over(w))
+    x = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast("long")
+    y = F.floor(F.log(F.col("n").cast("double")) * F.lit(1e6)).cast("long")
+    agg = r.select("lang", x.alias("x"), y.alias("y")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).filter(F.col("k") >= 3)
+    kd = F.col("k").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd)
+    return agg.select("lang", "k", slope.alias("zipf_slope"))
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2409,6 +2464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "value_percentiles": q_value_percentiles,
         "winsor_stats": q_winsor_stats,
+        "rank_normalize": q_rank_normalize,
+        "zipf_fit": q_zipf_fit,
         "repetition_scores": q_repetition_scores,
         "event_concurrency": q_event_concurrency,
         "session_overlap": q_session_overlap,
@@ -3077,6 +3134,51 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.9)  AS p90,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY 1
+        """,
+        "rank_normalize": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value ASC) AS pr
+            FROM events
+        """,
+        "zipf_fit": """
+            WITH tok AS (
+              SELECT lang, unnest(
+                       regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT lang, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, token ASC) AS rank
+              FROM c
+            ),
+            q AS (
+              SELECT lang,
+                     CAST(floor(ln(CAST(rank AS DOUBLE))
+                                * CAST('1e6' AS DOUBLE)) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(n AS DOUBLE))
+                                * CAST('1e6' AS DOUBLE)) AS BIGINT) AS y
+              FROM r
+            ),
+            a AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM q GROUP BY lang HAVING count(*) >= 3
+            )
+            SELECT lang, k,
+                   (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS zipf_slope
+            FROM a
         """,
         "winsor_stats": """
             WITH b AS (

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "group_hull",
     "hull_area",
     "winsor_stats",
+    "rank_normalize",
+    "zipf_fit",
 ]
 
 _CHILD = r"""
