@@ -141,6 +141,23 @@ def q_morton_cell(spark, sf_dir):
     )
 
 
+def q_hilbert_cell(spark, sf_dir):
+    """Hilbert-curve cell id per doc — the stronger storage-clustering
+    key (unit-step adjacency along the curve; Morton jumps at seams),
+    computed as a chain of integer bit-plane projections replayed
+    bit-for-bit by the NumPy kernel and the DuckDB CTE chain."""
+    from cadastre_pg_spark.functions.zorder import with_hilbert
+
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        "doc_id",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    return with_hilbert(pts, "lon", "lat", LEVEL).select("doc_id", "hcell")
+
+
 def q_cell_histogram(spark, sf_dir):
     return (
         q_grid_cell_assign(spark, sf_dir)
@@ -2415,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_scale": q_spatial_join_scale,
         "grid_cell_assign": q_grid_cell_assign,
         "morton_cell": q_morton_cell,
+        "hilbert_cell": q_hilbert_cell,
         "cell_histogram": q_cell_histogram,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3364,6 +3382,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {cell} AS cell, count(*) AS n_docs FROM documents GROUP BY 1
         """,
         "morton_cell": _morton_sql_oracle(),
+        "hilbert_cell": _hilbert_sql_oracle(),
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY sha256(text)
@@ -6331,6 +6350,18 @@ def _morton_sql_oracle() -> str:
                {morton_sql(S.lon_sql('doc_id'), S.lat_sql('doc_id'), LEVEL)} AS zcell
         FROM documents
     """
+
+
+def _hilbert_sql_oracle() -> str:
+    from cadastre_pg_spark.functions.zorder import hilbert_sql_query
+
+    return hilbert_sql_query(
+        "doc_id",
+        S.lon_sql("doc_id"),
+        S.lat_sql("doc_id"),
+        LEVEL,
+        "documents",
+    )
 
 
 def _parcel_cte() -> str:

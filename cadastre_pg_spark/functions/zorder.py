@@ -70,3 +70,108 @@ def zorder_write(df, out_dir: str, lon: str = "lon", lat: str = "lat",
         .write.mode(mode)
         .parquet(out_dir)
     )
+
+
+def with_hilbert(
+    df,
+    lon: str,
+    lat: str,
+    level: int = C.DEFAULT_LEVEL,
+    out: str = "hcell",
+):
+    """Hilbert-curve cell code as a chain of JVM projections — the
+    stronger clustering key (consecutive codes are always
+    grid-adjacent; Morton jumps diagonally at power-of-two seams).
+
+    Why a DataFrame transform and not a Column: the xy->d recurrence
+    references each intermediate (x, y) more than once per bit plane,
+    so a single inlined expression tree grows ~3^level nodes; named
+    per-level projections keep it linear and CollapseProject leaves
+    duplicated-reference projections alone. All integer arithmetic —
+    the NumPy kernel (kernels/cells.hilbert_cell) and the DuckDB CTE
+    chain (hilbert_sql_query) replay it bit-for-bit.
+    """
+    n = 1 << level
+    ix = F.floor(
+        (F.col(lon) - F.lit(C.GRID_LON0))
+        / F.lit(C.GRID_LON1 - C.GRID_LON0) * F.lit(float(n))
+    )
+    iy = F.floor(
+        (F.col(lat) - F.lit(C.GRID_LAT0))
+        / F.lit(C.GRID_LAT1 - C.GRID_LAT0) * F.lit(float(n))
+    )
+    df = df.withColumns(
+        {
+            "_hx": F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long"),
+            "_hy": F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long"),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    s = 1 << (level - 1)
+    while s > 0:
+        x, y = F.col("_hx"), F.col("_hy")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry_zero = y.bitwiseAND(F.lit(s)) == 0
+        rx_one = x.bitwiseAND(F.lit(s)) > 0
+        # withColumns evaluates every expression against the PRE-update
+        # row, so x/y/d advance simultaneously like the kernel's vectors
+        df = df.withColumns(
+            {
+                "_hx": F.when(
+                    ry_zero,
+                    F.when(rx_one, F.lit(s - 1) - y).otherwise(y),
+                ).otherwise(x),
+                "_hy": F.when(
+                    ry_zero,
+                    F.when(rx_one, F.lit(s - 1) - x).otherwise(x),
+                ).otherwise(y),
+                "_hd": F.col("_hd")
+                + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry),
+            }
+        )
+        s >>= 1
+    return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def hilbert_sql_query(
+    id_expr: str,
+    lon_expr: str,
+    lat_expr: str,
+    level: int,
+    table: str,
+    id_name: str = "doc_id",
+    out: str = "hcell",
+) -> str:
+    """DuckDB twin of with_hilbert: one CTE per bit plane (SQL SELECTs
+    are naturally simultaneous, mirroring the kernel's vector step)."""
+    ix = S.grid_ix_sql(lon_expr, level)
+    iy = S.grid_iy_sql(lat_expr, level)
+    parts = [
+        f"h0 AS (SELECT {id_expr} AS {id_name}, "
+        f"CAST({ix} AS BIGINT) AS hx, CAST({iy} AS BIGINT) AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {table})"
+    ]
+    s = 1 << (level - 1)
+    i = 0
+    while s > 0:
+        i += 1
+        rx1 = f"(hx & {s}) > 0"
+        ry0 = f"(hy & {s}) = 0"
+        inc = (
+            f"{s * s} * xor(3 * (CASE WHEN {rx1} THEN 1 ELSE 0 END), "
+            f"CASE WHEN NOT ({ry0}) THEN 1 ELSE 0 END)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT {id_name}, "
+            f"CASE WHEN {ry0} THEN (CASE WHEN {rx1} THEN {s - 1} - hy "
+            f"ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN {ry0} THEN (CASE WHEN {rx1} THEN {s - 1} - hx "
+            f"ELSE hx END) ELSE hy END AS hy, "
+            f"hd + {inc} AS hd FROM h{i - 1})"
+        )
+        s >>= 1
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT {id_name}, hd AS {out} FROM h{i}"
+    )

@@ -92,6 +92,33 @@ def morton_cell(lon, lat, level: int = DEFAULT_LEVEL):
     return code.astype(np.int64)
 
 
+def hilbert_cell(lon, lat, level: int = DEFAULT_LEVEL):
+    """Hilbert-curve cell code — the stronger locality-preserving
+    storage key (consecutive codes are ALWAYS grid-adjacent, unlike
+    Morton's diagonal jumps). Same (ix, iy) mapping as grid_cell;
+    the standard iterative xy->d transform (rotate/flip per bit
+    plane), vectorized: `level` rounds of integer vector ops. Pure
+    integer arithmetic — the Spark Column chain and the DuckDB CTE
+    chain replay it bit-for-bit."""
+    ix, iy = grid_cell_xy(lon, lat, level)
+    x = ix.astype(np.int64).copy()
+    y = iy.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1 << (level - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant: ry == 0 flips (when rx == 1) then swaps
+        flipx = s - 1 - x
+        flipy = s - 1 - y
+        nx = np.where(ry == 0, np.where(rx == 1, flipy, y), x)
+        ny = np.where(ry == 0, np.where(rx == 1, flipx, x), y)
+        x, y = nx, ny
+        s >>= 1
+    return d.astype(np.int64)
+
+
 # ----------------------------------------------------------------- hex ----
 
 # H3-style resolution ladder: edge length in Web Mercator meters.
