@@ -491,3 +491,95 @@ def corpus_prep(
     )
     final = kept.join(surv.select("doc_id"), "doc_id").select("doc_id", "text")
     return pack_tokens(final, capacity, n_writers, hash_fn)
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    is_target,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): per-document log importance ratio
+    log p_target(doc) - log p_source(doc) under hashed-unigram
+    bag-of-words models, where the TARGET distribution is estimated
+    from the subset of rows matching the `is_target` boolean Column
+    and the SOURCE from the whole input. Data Selection with
+    Importance Resampling then keeps the top-weight (or
+    Gumbel-perturbed) documents; pair this output with
+    weighted_sample/group_sample for the selection step.
+
+    Returns (doc_id, n_tokens, logratio); logratio > 0 means the
+    document looks more like the target corpus than the source mix.
+
+    Numeric rule (the surprisal policy): both unigram models use
+    add-one smoothing over the OBSERVED vocabulary V of 32-bit token-
+    hash buckets — p(h) = (n(h)+1)/(N+V); ln is taken once per
+    distinct bucket on the census and quantized to integer micro-nats
+    (round(ln(n+1)*1e6) -> BIGINT), so the per-document accumulation
+    is an exact order-independent integer sum replayed bitwise by the
+    DuckDB twin; the constant per-token normalizer ln(N_t+V)-ln(N_s+V)
+    is applied once at the end behind a 6 dp round.
+
+    Scale shape (100 TB): tokens explode to narrow (doc_id, flag, h)
+    rows; ONE census pass computes both models (count + conditional
+    sum — target needs no second scan); the bucket join is the same
+    Zipf-skewed probe-vs-tiny-build shape as surprisal (AQE skew-join
+    territory); one final doc_id aggregate. No Python, no collect,
+    nothing quadratic.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ex = docs.select(
+        "doc_id",
+        F.when(is_target, F.lit(1)).otherwise(F.lit(0)).alias("it"),
+        F.explode(toks).alias("tok"),
+    ).select("doc_id", "it", shingle_hash32(F.col("tok"), hash_fn).alias("h"))
+    census = ex.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("it").alias("n_t")
+    )
+
+    def _u(col):
+        return (
+            F.round(F.log((col + F.lit(1)).cast("double")) * F.lit(1e6))
+            .cast("long")
+        )
+
+    cu = census.select(
+        "h", (_u(F.col("n_t")) - _u(F.col("n_s"))).alias("u")
+    )
+    tot = census.agg(
+        F.sum("n_s").alias("ns"),
+        F.sum("n_t").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    ).select(
+        (
+            (
+                F.round(
+                    F.log((F.col("nt") + F.col("v")).cast("double"))
+                    * F.lit(1e6)
+                )
+                - F.round(
+                    F.log((F.col("ns") + F.col("v")).cast("double"))
+                    * F.lit(1e6)
+                )
+            ).cast("long")
+        ).alias("shift_u")
+    )
+    per = (
+        ex.join(cu, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("u").cast("long").alias("su"),
+        )
+    )
+    return per.crossJoin(tot).select(
+        "doc_id",
+        "n_tokens",
+        # exact BIGINT combine, ONE double division behind the round
+        F.round(
+            (F.col("su") - F.col("n_tokens") * F.col("shift_u"))
+            .cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("logratio"),
+    )

@@ -957,6 +957,7 @@ def setsim_join(
     threshold_den: int = 10,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact set-similarity self-join with LOSSLESS prefix filtering
     (the PPJoin family, Xiao et al.): all document pairs whose
@@ -984,6 +985,19 @@ def setsim_join(
     verify is JVM array_intersect on the two sorted arrays. Prefix
     buckets are bounded by rarity ordering; a degenerate vocabulary
     still bounds each bucket by the token's document frequency.
+
+    Skew guard: with `max_bucket` set, prefix tokens whose candidate
+    bucket exceeds the cap are dropped from the equi-join and
+    reported on the result's `_skipped_buckets` attribute as
+    (ptok, n) — the engine's no-silent-cap rule (same pattern as
+    fuzzy_pairs._skipped_blocks). This trades recall for a bounded
+    pair grid on a pathological corpus where every doc shares one
+    rare token set (rarity ordering cannot bound that bucket): a
+    pair meeting ONLY at a dropped token is lost, though at high
+    thresholds near-dup pairs share many prefix tokens and usually
+    meet elsewhere. The census is a window count over the join's own
+    partition key (one exchange, no driver collect). Default None ==
+    exact PPJoin (the oracle form).
     """
     tok = docs.select(
         F.col(doc_col).alias("id"),
@@ -1018,6 +1032,18 @@ def setsim_join(
         "s",
         F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("pos", "p"),
     ).select("id", "s", "pos", F.col("p.token").alias("ptok"))
+    skipped_buckets = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w_tok = Window.partitionBy("ptok")
+        sized = pref.withColumn("bn", F.count(F.lit(1)).over(w_tok))
+        skipped_buckets = (
+            sized.filter(F.col("bn") > max_bucket)
+            .select("ptok", F.col("bn").alias("n"))
+            .distinct()
+        )
+        pref = sized.filter(F.col("bn") <= max_bucket).drop("bn")
     a = pref.select(
         F.col("id").alias("a_id"), F.col("s").alias("sa"),
         F.col("pos").alias("pa"), "ptok",
@@ -1067,4 +1093,5 @@ def setsim_join(
         (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
     )
     out._cadastre_cached = [ordered]  # release_cached(out) after action
+    out._skipped_buckets = skipped_buckets
     return out

@@ -212,6 +212,60 @@ def ivf_topk(
     )
 
 
+def ivf_recall_report(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    fit_partitions: int = 8,
+) -> DataFrame:
+    """Recall@k of the seeded-K-MEANS IVF quality path (ivf_topk)
+    against the exact brute-force top-k (topk_cosine), as ONE result
+    row (k, n_queries, n_exact, n_hits, recall) — the driver-visible
+    quality metric for the half of the ANN story the sampled-quantizer
+    oracle can't grade (seeded Lloyd iterations don't replay in SQL;
+    the RECALL VALUE they produce is still deterministic and can be
+    pinned).
+
+    Determinism: the embedding side is hash-repartitioned to a FIXED
+    partition count before the k-means fit, so the kmeans|| init
+    samples and the per-partition aggregation layout do not depend on
+    the session's parallelism — the fitted centroids (and hence the
+    candidate lists, hits, and recall) are reproducible across
+    sessions on one Spark version.
+
+    Scale shape: both sides are existing operators (broadcast-query
+    matmul; list-bucketed probe join); the report is two counts joined
+    by a literal cross of one-row aggregates."""
+    exact = topk_cosine(embeddings, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact.persist()
+    base = embeddings.repartition(fit_partitions, "vec_id")
+    approx = ivf_topk(
+        base, queries, k=k, n_lists=n_lists, n_probe=n_probe, seed=seed
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    ex = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    out = ex.crossJoin(h).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+    out._cadastre_cached = [exact]
+    return out
+
+
 def ivf_topk_sampled(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -674,3 +728,143 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    max_list: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a coarse quantizer and
+    pruning, WITHIN each cluster, every vector whose cosine to a
+    LOWER-id cluster member reaches the threshold (keep-lowest-id is
+    the deterministic stand-in for the paper's keep-one-exemplar rule).
+    Returns one row per vector: (vec_id, list_id, kept boolean).
+
+    The quantizer is the engine's deterministic SAMPLED centroid set
+    (ivf_topk_sampled): the n_lists member vectors whose md5(vec_id)
+    sorts first, assignment by squared-L2 rounded to 6 decimals, ties
+    to the lowest list_id — bit-reproducible, so an independent SQL
+    engine replays the cluster layout and the keep/drop decisions
+    exactly. Cosines are rounded to 6 decimals on both sides (the
+    engine-wide rounded-float64 parity policy).
+
+    Scale shape (100 TB): the all-pairs step is confined WITHIN
+    clusters — the SemDeDup trick that makes semantic dedup tractable;
+    cluster count grows with the corpus so per-cluster occupancy stays
+    bounded. The pair grid carries only (list_id, vec_id) ints; raw
+    vectors attach AFTER pair generation by id join (the narrow-pair
+    rule — never ship array payloads through a pair-generating
+    equi-join). A pathological quantizer layout can still concentrate
+    one cluster, so `max_list` caps it: over-cap clusters are EXCLUDED
+    from the output and reported on `_skipped_lists` as (list_id, n)
+    rows — the engine's no-silent-cap rule. Centroid build is a
+    bounded n_lists-row driver collect (the standard broadcast-dim
+    shape). Call spatial_join.release_cached(result) after the
+    consuming action.
+    """
+    sc = embeddings.sparkSession.sparkContext
+    cpdf = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("c")
+        )
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_lists)
+        .toPandas()
+    )
+    if len(cpdf) == 0:
+        return embeddings.select(
+            F.col("vec_id"),
+            F.lit(0).cast("int").alias("list_id"),
+            F.lit(True).alias("kept"),
+        ).limit(0)
+    bc = sc.broadcast(np.stack(cpdf["c"].values))
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["arr"].values)
+            d = np.round(
+                ((v[:, None, :] - bc.value[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            # argmin returns the FIRST minimum -> ties break by list_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "list_id": np.argmin(d, axis=1).astype(np.int32),
+                    "arr": pdf["arr"].values,
+                }
+            )
+
+    asn = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+        )
+        .mapInPandas(assign, schema="vec_id long, list_id int, arr array<double>")
+        .persist()
+    )
+    members = asn.select("vec_id", "list_id")
+    skipped = None
+    if max_list is not None:
+        w_l = Window.partitionBy("list_id")
+        sized = members.withColumn("ln", F.count(F.lit(1)).over(w_l))
+        skipped = (
+            sized.filter(F.col("ln") > max_list)
+            .groupBy("list_id")
+            .agg(F.first("ln").alias("n"))
+        )
+        members = sized.filter(F.col("ln") <= max_list).drop("ln")
+    a = members.select(F.col("list_id"), F.col("vec_id").alias("a_id"))
+    b = members.select(F.col("list_id"), F.col("vec_id").alias("b_id"))
+    pairs = a.join(b, "list_id").filter(F.col("a_id") < F.col("b_id"))
+    units = asn.select("vec_id", "arr")
+    wide = (
+        pairs.join(units.select(F.col("vec_id").alias("a_id"),
+                                F.col("arr").alias("va")), "a_id")
+        .join(units.select(F.col("vec_id").alias("b_id"),
+                           F.col("arr").alias("vb")), "b_id")
+    )
+
+    def cos(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.stack(pdf["va"].values)
+            vb = np.stack(pdf["vb"].values)
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            c = np.einsum("ij,ij->i", va, vb) / (na * nb)
+            yield pd.DataFrame(
+                {
+                    "b_id": pdf["b_id"].to_numpy(np.int64),
+                    "cosine": np.round(c, 6),
+                }
+            )
+
+    dup_b = (
+        wide.select("b_id", "va", "vb")
+        .mapInPandas(cos, schema="b_id long, cosine double")
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("b_id")
+        .distinct()
+    )
+    out = members.join(
+        dup_b.withColumnRenamed("b_id", "vec_id").withColumn(
+            "_dup", F.lit(1)
+        ),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id",
+        "list_id",
+        F.col("_dup").isNull().alias("kept"),
+    )
+    out._cadastre_cached = [asn]
+    out._skipped_lists = skipped
+    return out

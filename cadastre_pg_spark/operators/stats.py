@@ -457,6 +457,8 @@ def theil_sen(
     t0_us: int = T0_2024_US,
     t_unit_us: float = 60e6,
     v_unit: float = 100.0,
+    max_group: int | None = None,
+    sample_cap: int | None = None,
 ) -> DataFrame:
     """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
     slopes (y_j - y_i)/(x_j - x_i) over observation pairs with
@@ -472,16 +474,65 @@ def theil_sen(
 
     Scale shape: the pair generation is a per-group self-join —
     inherently O(n_g^2) pairs per group, the textbook estimator's
-    true cost (this is the exact/oracle form; at web scale cap group
-    size or switch to the sampled/repeated-median variant and keep
-    this as the verifier). The join is a narrow equi-join on the
-    group key; the median is a map-side-partial-free percentile agg
-    on (grp) — one exchange each.
+    true cost. With both caps None this is the exact/oracle form; at
+    web scale a single hot group (1M observations at 100x is 1e12
+    pairs in ONE join key) melts a task, so two guards exist:
+
+    - `max_group`: groups above the cap are EXCLUDED from the pair
+      join and reported on the result's `_skipped_groups` attribute
+      as (grp, n) — the engine's no-silent-cap rule (same pattern as
+      fuzzy_pairs._skipped_blocks). The group-size census is a window
+      count over the join's own partition key: one exchange, no
+      driver collect.
+    - `sample_cap`: over-cap groups are deterministically subsampled
+      to `sample_cap` observations (row_number over md5(grp|x|y) —
+      reproducible across runs and engines, no RNG) and the SAME
+      exact pair-median runs on the sample: O(cap^2) pairs per group
+      bounds the hot key while every under-cap group returns the
+      bitwise-identical exact estimate. `n` still reports the FULL
+      group size so the subsample is visible, and `n_pairs` reports
+      the sampled pair count. This is the documented scale path; the
+      uncapped form stays the oracle sibling.
     """
     m = F.unix_micros(F.col(ts_col).cast("timestamp"))
     x = F.floor((m - F.lit(t0_us)).cast("double") / F.lit(float(t_unit_us)))
     y = F.floor(F.col(value_col) * F.lit(float(v_unit)) + F.lit(0.5))
     q = events.select(F.col(group_col).alias("grp"), x.alias("x"), y.alias("y"))
+    ns = q.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    skipped = None
+    if max_group is not None:
+        from pyspark.sql import Window
+
+        w_grp = Window.partitionBy("grp")
+        sized = q.withColumn("gn", F.count(F.lit(1)).over(w_grp))
+        skipped = (
+            sized.filter(F.col("gn") > max_group)
+            .select("grp", F.col("gn").alias("n"))
+            .distinct()
+        )
+        q = sized.filter(F.col("gn") <= max_group).drop("gn")
+    if sample_cap is not None:
+        from pyspark.sql import Window
+
+        # deterministic per-group subsample: md5 order is stable across
+        # runs/engines; (x, y) tiebreak pins duplicate-hash rows
+        w_s = Window.partitionBy("grp").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("grp").cast("string"),
+                    F.col("x").cast("string"),
+                    F.col("y").cast("string"),
+                )
+            ),
+            "x",
+            "y",
+        )
+        q = (
+            q.withColumn("rn", F.row_number().over(w_s))
+            .filter(F.col("rn") <= sample_cap)
+            .drop("rn")
+        )
     a = q.select("grp", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = q.select("grp", F.col("x").alias("xb"), F.col("y").alias("yb"))
     slope = (F.col("yb") - F.col("ya")).cast("double") / (
@@ -496,13 +547,19 @@ def theil_sen(
         F.count(F.lit(1)).alias("n_pairs"),
         F.percentile(F.col("slope"), F.lit(0.5)).alias("ts_slope"),
     )
-    ns = q.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    return ns.join(meds, "grp", "left").select(
+    if max_group is not None:
+        # over-cap groups are absent from the pair side by design;
+        # drop them from the output too (they are reported loudly on
+        # _skipped_groups, not returned as misleading NULL slopes)
+        ns = ns.filter(F.col("n") <= max_group)
+    out = ns.join(meds, "grp", "left").select(
         "grp",
         "n",
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         "ts_slope",
     )
+    out._skipped_groups = skipped
+    return out
 
 
 # first-significant-digit Benford probabilities, precomputed in Python

@@ -1,0 +1,174 @@
+"""Full-registry oracle sweep: every queries()[name] vs its
+oracle_sql()[name] at one or more scale factors, recorded as a
+committed JSON artifact (SWEEP_r{N}.json).
+
+Why this exists: the driver's CORRECTNESS_r{N}.json grades only the
+first 50 registry entries per round, so the rest of the registry had
+no durable, reproducible correctness record independent of registry
+order (VERDICT r3 finding #1). This script IS that record — run it
+after engine changes and commit the JSON.
+
+Usage:
+  python scripts/sweep_oracles.py                      # sf0.01 + sf0.1
+  python scripts/sweep_oracles.py --sfs /root/testdata/sf0.01
+  python scripts/sweep_oracles.py --out SWEEP_r4.json --only setsim,idw
+
+Per query per sf the artifact records one of:
+  {"status": "match",    "rows": N, "sec": S}
+  {"status": "MISMATCH", "rows": N, "sec": S, "detail": "..."}
+  {"status": "err",      "detail": "..."}
+  {"status": "sf_pinned"}   # oracle bakes sf0.01 constants (below)
+  {"status": "skipped"}     # declared too heavy at this sf (named)
+
+SF-PINNED queries: their Spark side scales generated input with
+_sf_of(sf_dir) but the driver contract gives oracle_sql() no sf
+parameter, so those oracle strings bake the sf0.01 sizes (by design —
+the driver grades at sf0.01). They are compared ONLY at sf0.01 and
+reported, not silently absent, elsewhere.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# oracle strings bake sf0.01 generated-input sizes (driver contract
+# takes no sf parameter); comparable at sf0.01 only. Derived from:
+# every q_* that calls _sf_of(sf_dir), plus ivf_recall whose oracle
+# pins the measured sf0.01 recall literal.
+SF_PINNED = {
+    "spatial_join_scale",
+    "host_stats",
+    "url_dedup",
+    "pagerank",
+    "triangles",
+    "kcore",
+    "bfs_hops",
+    "sssp",
+    "link_predict",
+    "fuzzy_match",
+    "clustering_coef",
+    "phash",
+    "simplify",
+    "geom_measures",
+    "pages_pipeline",
+    "media_features",
+    "ivf_recall",
+}
+
+# declared per-sf skips: named in the artifact, never silent
+SKIP_AT_SF = {
+    # DuckDB twin is an all-pairs brute force (losslessness proof):
+    # ~12.5M pairs at sf0.1 exceeds the sweep window; the operator is
+    # exact-held by sf0.01 hash equality + the brute-force pytest
+    ("setsim", "0.1"): "oracle is O(n^2) brute force; sf0.01-graded",
+}
+
+
+def sf_tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sfs",
+        default="/root/testdata/sf0.01,/root/testdata/sf0.1",
+        help="comma-separated sf dirs",
+    )
+    ap.add_argument("--out", default=os.path.join(REPO, "SWEEP_r4.json"))
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument("--cores", type=int, default=16)
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from pyspark.sql import SparkSession
+
+    from cadastre_pg_spark.oracle import compare, run_oracle
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName("sweep_oracles")
+        .config("spark.sql.shuffle.partitions", str(args.cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    only = {s for s in args.only.split(",") if s}
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    report = {
+        "spark": spark.version,
+        "cores": args.cores,
+        "sfs": {},
+    }
+    rc = 0
+    for sf_dir in args.sfs.split(","):
+        tag = sf_tag(sf_dir)
+        res = {}
+        n_match = n_bad = 0
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            if tag != "0.01" and name in SF_PINNED:
+                res[name] = {"status": "sf_pinned"}
+                continue
+            reason = SKIP_AT_SF.get((name, tag))
+            if reason:
+                res[name] = {"status": "skipped", "detail": reason}
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                ok, detail = compare(df, run_oracle(oracles[name], sf_dir))
+                release_cached(df)
+                el = round(time.time() - t0, 1)
+                if ok:
+                    n_match += 1
+                    rows = int(detail.split()[0])
+                    res[name] = {"status": "match", "rows": rows, "sec": el}
+                else:
+                    n_bad += 1
+                    rc = 1
+                    res[name] = {
+                        "status": "MISMATCH",
+                        "sec": el,
+                        "detail": detail[:300],
+                    }
+            except Exception as exc:  # noqa: BLE001 - recorded per query
+                n_bad += 1
+                rc = 1
+                res[name] = {"status": "err", "detail": repr(exc)[:300]}
+            print(f"sf{tag} {res[name]['status']:>9} {name}", flush=True)
+        report["sfs"][tag] = {
+            "n_match": n_match,
+            "n_bad": n_bad,
+            "n_sf_pinned": sum(
+                1 for v in res.values() if v["status"] == "sf_pinned"
+            ),
+            "n_skipped": sum(
+                1 for v in res.values() if v["status"] == "skipped"
+            ),
+            "queries": res,
+        }
+    spark.stop()
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(f"wrote {args.out}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -224,3 +224,53 @@ def test_corpus_prep_gates_dedups_and_packs(spark):
     got = {r.doc_id: r for r in out.collect()}
     assert set(got) == {1, 5}
     assert all(r.n_tokens > 0 for r in got.values())
+
+
+def test_dsir_logratio_separates_target_like_docs(spark):
+    import math
+
+    from cadastre_pg_spark.operators.corpus import dsir_logratio
+
+    # target (lang=en) docs use the aa/bb vocabulary, source-only docs
+    # use xx/yy; a doc made of target-side tokens must score HIGHER
+    # than one made of source-only tokens
+    rows = [
+        (1, "aa bb aa bb aa", "en"),
+        (2, "aa aa bb bb bb", "en"),
+        (3, "xx yy xx yy xx", "fr"),
+        (4, "aa bb aa bb", "fr"),   # target-vocab doc outside the target
+        (5, "xx yy", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_logratio(df, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_tokens == 5
+    assert out[1].logratio > 0 > out[3].logratio
+    assert out[4].logratio > 0  # looks like the target even if not in it
+    # numpy replay of doc 5: per-bucket u = ln(n_t+1)-ln(n_s+1) in
+    # micro-nats, shift = ln(N_t+V)-ln(N_s+V); xx,yy have n_t=0
+    n_s = {"aa": 7, "bb": 7, "xx": 4, "yy": 3}
+    n_t = {"aa": 5, "bb": 5, "xx": 0, "yy": 0}
+    V, Ns, Nt = 4, sum(n_s.values()), sum(n_t.values())
+    u = {
+        k: round(math.log(n_t[k] + 1) * 1e6) - round(math.log(n_s[k] + 1) * 1e6)
+        for k in n_s
+    }
+    shift = round(math.log(Nt + V) * 1e6) - round(math.log(Ns + V) * 1e6)
+    want = round((u["xx"] * 1 + u["yy"] * 1 - 2 * shift) / 1e6, 6)
+    assert abs(out[5].logratio - want) < 1e-9
+
+
+def test_dsir_logratio_empty_target_is_all_nonpositive(spark):
+    from cadastre_pg_spark.operators.corpus import dsir_logratio
+
+    rows = [(1, "aa bb cc", "fr"), (2, "dd ee", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_logratio(df, F.col("lang") == "en").collect()
+    # with no target docs every bucket has n_t=0: u=-ln(n_s+1)<=0 and
+    # the shift is ln(V)-ln(N_s+V)<0, so ratios need not be negative —
+    # but they must be FINITE and the op must not divide by zero
+    assert len(out) == 2 and all(r.logratio is not None for r in out)

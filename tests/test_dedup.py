@@ -398,6 +398,49 @@ def test_setsim_lossless_vs_brute_force(spark):
             assert (got[k].inter, got[k].uni) == (inter, uni)
 
 
+def test_setsim_max_bucket_caps_degenerate_vocab_loudly(spark):
+    from cadastre_pg_spark.operators.dedup import setsim_join
+
+    # adversarial corpus: EVERY doc is the same 5-token set, so every
+    # token's prefix bucket holds all 40 docs — rarity ordering cannot
+    # bound it. With max_bucket=10 the mega-buckets are dropped and
+    # reported; the join stays bounded instead of 40x40 per token.
+    texts = ["alpha beta gamma delta eps"] * 40 + ["zz yy xx ww vv qq"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = setsim_join(df, max_bucket=10)
+    assert out.count() == 0  # the only candidates lived in capped buckets
+    # at t=0.9 and |s|=5 the prefix is ONE token; all-tied df=40 breaks
+    # by token asc, so the single mega-bucket is "alpha" with 40 rows
+    skipped = {r.ptok: r.n for r in out._skipped_buckets.collect()}
+    assert skipped == {"alpha": 40}
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    release_cached(out)
+
+
+def test_setsim_max_bucket_above_occupancy_is_lossless(spark):
+    from cadastre_pg_spark.operators.dedup import setsim_join
+
+    # a cap above every bucket's occupancy must change nothing
+    vocab = [f"w{k}" for k in range(30)]
+    texts = [
+        " ".join(vocab[(i * 3 + j) % 30] for j in range(8 + (i % 5)))
+        for i in range(40)
+    ]
+    got = _setsim(spark, texts, 7, 10)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    capped = setsim_join(df, threshold_num=7, max_bucket=10_000)
+    got_capped = {(r.a_id, r.b_id): (r.inter, r.uni) for r in capped.collect()}
+    assert got_capped == {k: (v.inter, v.uni) for k, v in got.items()}
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    release_cached(capped)
+
+
 def test_setsim_duplicate_tokens_collapse(spark):
     # repeated tokens count once (distinct-set semantics)
     texts = ["a a a b b c", "c b a"]

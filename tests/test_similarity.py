@@ -202,3 +202,70 @@ def test_pq_topk_deterministic(spark):
     a = sorted(map(tuple, pq_topk(emb, qs, k=3).collect()))
     b = sorted(map(tuple, pq_topk(emb, qs, k=3).collect()))
     assert a == b
+
+
+def _semdedup_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semdedup_drops_copies_keeps_originals(spark):
+    from cadastre_pg_spark.operators.similarity import semdedup
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet").limit(100)
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(copies)
+    out = semdedup(both, threshold=0.95, n_lists=8)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 200
+    # every exact copy dropped, every original kept (copy has higher id)
+    for vid, r in got.items():
+        assert r.kept == (vid < 1_000_000)
+        # copies land in their original's cluster
+        if vid >= 1_000_000:
+            assert r.list_id == got[vid - 1_000_000].list_id
+    release_cached(out)
+
+
+def test_semdedup_threshold_above_all_keeps_everything(spark):
+    from cadastre_pg_spark.operators.similarity import semdedup
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    emb = spark.read.parquet(f"{SF_UNIT}/embeddings.parquet").limit(60)
+    out = semdedup(emb.select("vec_id", "embedding"), threshold=0.999)
+    assert out.filter(~F.col("kept")).count() == 0
+    release_cached(out)
+
+
+def test_semdedup_max_list_caps_hot_cluster_loudly(spark):
+    from cadastre_pg_spark.operators.similarity import semdedup
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    # 28 identical vectors + 2 distant ones. The sampled quantizer
+    # takes the 3 md5-first ids as centroids — for ids 0..29 that
+    # order starts 27, 6, 19, so vectors are placed to make ids 27
+    # and 6 the distant ones: centroids then span all 3 directions
+    # and the identical pile lands in ONE hot cluster. With
+    # max_list=10 that cluster is excluded from the output and
+    # reported loudly; the singleton clusters are still decided.
+    rows = [
+        (
+            i,
+            [0.0, 1.0, 0.0, 0.0] if i == 27
+            else [0.0, 0.0, 1.0, 0.0] if i == 6
+            else [1.0, 0.0, 0.0, 0.0],
+        )
+        for i in range(30)
+    ]
+    out = semdedup(_semdedup_df(spark, rows), threshold=0.9, n_lists=3,
+                   max_list=10)
+    got = {r.vec_id: r for r in out.collect()}
+    assert set(got) == {27, 6}
+    assert all(r.kept for r in got.values())
+    skipped = {(r.list_id, r.n) for r in out._skipped_lists.collect()}
+    assert len(skipped) == 1 and next(iter(skipped))[1] == 28
+    release_cached(out)

@@ -141,6 +141,50 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
     assert abs(out.ts_slope - float(np.median(slopes))) < 1e-12
 
 
+def test_theil_sen_max_group_skips_hot_group_loudly(spark):
+    from cadastre_pg_spark.operators.stats import theil_sen
+
+    # group 1: hot (50 obs, over the cap) — excluded, reported;
+    # group 2: small — returned with the exact uncapped estimate
+    series = {1: [float(i) for i in range(50)], 2: [1.0, 2.0, 3.0]}
+    out = theil_sen(_ts_events(spark, series), max_group=10)
+    rows = {r.grp: r for r in out.collect()}
+    assert set(rows) == {2}
+    assert abs(rows[2].ts_slope - 100.0) < 1e-9  # 1.0/min in cents
+    skipped = {(r.grp, r.n) for r in out._skipped_groups.collect()}
+    assert skipped == {(1, 50)}
+
+
+def test_theil_sen_sample_cap_bounds_pairs_exact_below_cap(spark):
+    import numpy as np
+    from cadastre_pg_spark.operators.stats import theil_sen
+
+    # hot group 1 (60 obs) gets subsampled to 12 -> at most C(12,2)=66
+    # pairs (sub-quadratic in the group size); small group 7 must be
+    # BITWISE the exact estimator's output
+    vs_small = [3.0, 1.5, 4.25, 2.0, 5.5, 0.75, 6.0]
+    series = {1: [float((i * 37) % 101) for i in range(60)], 7: vs_small}
+    out = {
+        r.grp: r
+        for r in theil_sen(_ts_events(spark, series), sample_cap=12).collect()
+    }
+    assert out[1].n == 60  # full size stays visible
+    assert 0 < out[1].n_pairs <= 66
+    exact = {
+        r.grp: r
+        for r in theil_sen(_ts_events(spark, {7: vs_small})).collect()
+    }
+    assert out[7].n_pairs == exact[7].n_pairs
+    assert out[7].ts_slope == exact[7].ts_slope
+    # the sampled estimate still lands near the robust slope of the
+    # underlying linear-ish series (determinism: same call, same rows)
+    out2 = {
+        r.grp: r
+        for r in theil_sen(_ts_events(spark, series), sample_cap=12).collect()
+    }
+    assert out2[1].ts_slope == out[1].ts_slope
+
+
 def test_theil_sen_constant_time_bucket_null(spark):
     from datetime import datetime
     from cadastre_pg_spark.operators.stats import theil_sen
