@@ -616,6 +616,35 @@ def q_dsir_logratio(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule flags + keep decision per document
+    (word-count bounds, mean word length, symbol ratio, bullet /
+    ellipsis line ratios, alpha-char ratio). Map-only JVM regexp
+    arithmetic; rules loosened to the synthetic docs' short-text range
+    so both keep outcomes occur."""
+    from cadastre_pg_spark.operators.textanalysis import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_words=20, min_mwl=3.5)
+
+
+DSIR_K = 100
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR's selection step: Gumbel-top-k resampling over the
+    importance weights (deterministic hash-Gumbel noise, integer
+    micro-nat keys), k=100, temperature 1."""
+    from cadastre_pg_spark.operators.corpus import dsir_select
+
+    return dsir_select(
+        _docs(spark, sf_dir),
+        F.col("lang") == "en",
+        k=DSIR_K,
+        temperature=1.0,
+        hash_fn="md5",
+    )
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2516,6 +2545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semdedup": q_semdedup,
         "dsir_logratio": q_dsir_logratio,
+        "dsir_select": q_dsir_select,
+        "gopher_rules": q_gopher_rules,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3753,6 +3784,8 @@ def oracle_sql() -> dict[str, str]:
             threshold=SEMDEDUP_THRESHOLD, n_lists=16
         ),
         "dsir_logratio": _dsir_sql_oracle(),
+        "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
+        "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
         "ivf_recall": """
             WITH el AS (
               SELECT vec_id, unnest(embedding) AS v,
@@ -4587,6 +4620,116 @@ def _dsir_sql_oracle(target_lang: str = "en") -> str:
                round(CAST(su - n_tokens * shift_u AS DOUBLE) / 1e6, 6)
                  AS logratio
         FROM per, tot
+    """
+
+
+def _dsir_select_sql_oracle(k: int, target_lang: str = "en") -> str:
+    """Replay of corpus.dsir_select at temperature 1: the dsir_logratio
+    pipeline, a deterministic hash-Gumbel per doc (md5 mode), integer
+    micro-nat keys, top-k by (key desc, doc_id asc)."""
+    base = _dsir_sql_oracle(target_lang)
+    h = _hex32_sql("md5('g:' || CAST(doc_id AS VARCHAR))")
+    u = f"({h} + 1) / CAST(4294967296 AS DOUBLE)"
+    return f"""
+        WITH lr AS ({base}),
+        keyed AS (
+          SELECT doc_id, n_tokens, logratio,
+                 CAST(round(logratio * 1e6, 0) AS BIGINT)
+                 + CAST(round(-ln(-ln({u})) * 1e6, 0) AS BIGINT) AS key_u
+          FROM lr
+        )
+        SELECT doc_id, n_tokens, logratio,
+               round(CAST(key_u AS DOUBLE) / 1e6, 6) AS key,
+               CAST(row_number() OVER (ORDER BY key_u DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM keyed
+        ORDER BY key_u DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+def _gopher_sql_oracle(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+) -> str:
+    """Independent replay of textanalysis.gopher_rules: exact integer
+    regexp censuses, den>0-guarded single divisions behind round 6."""
+    return rf"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                   AS nonspace,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS BIGINT) AS alpha,
+                 CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+                      AS BIGINT) AS n_hash,
+                 CAST((length(text)
+                       - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+                      AS BIGINT) AS n_ellip,
+                 CAST(length(text) - length(replace(text, chr(10), '')) + 1
+                      AS BIGINT) AS n_lines,
+                 CAST(len(regexp_extract_all(text, '(^|\n)[-*] ')) AS BIGINT)
+                   AS n_bullet,
+                 CAST(len(regexp_extract_all(text, '\.\.\.(\n|$)')) AS BIGINT)
+                   AS n_ellip_line
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, n_words,
+                 round(CAST(nonspace AS DOUBLE)
+                       / CAST(CASE WHEN n_words > 0 THEN n_words ELSE 1 END
+                              AS DOUBLE), 6) AS mean_word_len,
+                 round(CAST(n_hash + n_ellip AS DOUBLE)
+                       / CAST(CASE WHEN n_words > 0 THEN n_words ELSE 1 END
+                              AS DOUBLE), 6) AS symbol_ratio,
+                 round(CAST(n_bullet AS DOUBLE)
+                       / CAST(CASE WHEN n_lines > 0 THEN n_lines ELSE 1 END
+                              AS DOUBLE), 6) AS bullet_ratio,
+                 round(CAST(n_ellip_line AS DOUBLE)
+                       / CAST(CASE WHEN n_lines > 0 THEN n_lines ELSE 1 END
+                              AS DOUBLE), 6) AS ellipsis_ratio,
+                 round(CAST(alpha AS DOUBLE)
+                       / CAST(CASE WHEN nonspace > 0 THEN nonspace ELSE 1 END
+                              AS DOUBLE), 6) AS alpha_ratio
+          FROM c
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+               ellipsis_ratio, alpha_ratio,
+               CAST(n_words >= {min_words} AND n_words <= {max_words}
+                    AS INTEGER) AS r_words,
+               CAST(mean_word_len >= CAST('{min_mwl!r}' AS DOUBLE)
+                    AND mean_word_len <= CAST('{max_mwl!r}' AS DOUBLE)
+                    AS INTEGER) AS r_mwl,
+               CAST(symbol_ratio <= CAST('{max_symbol_ratio!r}' AS DOUBLE)
+                    AS INTEGER) AS r_symbol,
+               CAST(bullet_ratio <= CAST('{max_bullet_ratio!r}' AS DOUBLE)
+                    AS INTEGER) AS r_bullet,
+               CAST(ellipsis_ratio <= CAST('{max_ellipsis_ratio!r}' AS DOUBLE)
+                    AS INTEGER) AS r_ellipsis,
+               CAST(alpha_ratio >= CAST('{min_alpha_ratio!r}' AS DOUBLE)
+                    AS INTEGER) AS r_alpha,
+               CAST(n_words >= {min_words} AND n_words <= {max_words}
+                    AS INTEGER)
+               * CAST(mean_word_len >= CAST('{min_mwl!r}' AS DOUBLE)
+                      AND mean_word_len <= CAST('{max_mwl!r}' AS DOUBLE)
+                      AS INTEGER)
+               * CAST(symbol_ratio <= CAST('{max_symbol_ratio!r}' AS DOUBLE)
+                      AS INTEGER)
+               * CAST(bullet_ratio <= CAST('{max_bullet_ratio!r}' AS DOUBLE)
+                      AS INTEGER)
+               * CAST(ellipsis_ratio <= CAST('{max_ellipsis_ratio!r}' AS DOUBLE)
+                      AS INTEGER)
+               * CAST(alpha_ratio >= CAST('{min_alpha_ratio!r}' AS DOUBLE)
+                      AS INTEGER) AS keep
+        FROM r
     """
 
 

@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "theil_sen_sampled",
     "semdedup",
     "dsir_logratio",
+    "dsir_select",
+    "gopher_rules",
     "benford",
     "gaps",
     "rolling_ols",
@@ -232,6 +234,8 @@ AGG_COL = {{
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",
     "dsir_logratio": "logratio",
+    "dsir_select": "key",
+    "gopher_rules": "keep",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

@@ -583,3 +583,57 @@ def dsir_logratio(
             6,
         ).alias("logratio"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target,
+    k: int,
+    temperature: float = 1.0,
+    hash_fn: str = "xxhash64",
+    salt: str = "g:",
+) -> DataFrame:
+    """The DSIR selection step (Xie et al. 2023 §2.3): Gumbel-top-k
+    resampling over the importance weights — sampling WITHOUT
+    replacement proportional to exp(logratio / temperature) is exactly
+    "take the k largest logratio/temperature + Gumbel(0,1) keys"
+    (Vieira 2014). The Gumbel noise is deterministic: u =
+    (hash32(doc_id)+1)/2^32 in (0,1], g = -ln(-ln(u)) — a pure
+    function of doc_id, so runs and engines agree. Returns the k
+    selected (doc_id, n_tokens, logratio, key, rank).
+
+    Numeric rule: the ranking key is assembled in integer micro-nat
+    units — logratio is already micro-nat-exact from dsir_logratio,
+    the Gumbel term is quantized once per doc (round(g*1e6) ->
+    BIGINT), division by temperature happens on the BIGINT sum's
+    double image behind a 6 dp round at the very end (display only,
+    the ORDER uses the BIGINT key). Ties break on doc_id ascending.
+
+    Scale shape (100 TB): dsir_logratio's shape (one census + one doc
+    aggregate) plus scan-level key arithmetic and a global
+    TakeOrdered (k-row heap per partition, no full sort)."""
+    lr = dsir_logratio(docs, is_target, hash_fn=hash_fn)
+    u = (_hash32(F.col("doc_id"), salt, hash_fn) + F.lit(1)) / F.lit(
+        4294967296.0
+    )
+    g_u = F.round(-F.log(-F.log(u)) * F.lit(1e6)).cast("long")
+    lr_u = F.round(F.col("logratio") * F.lit(1e6)).cast("long")
+    # integer key in micro-nats: logratio/T + gumbel. The temperature
+    # scales the EXACT micro-nat logratio (floor keeps it integral).
+    key_u = (
+        F.floor(lr_u.cast("double") / F.lit(float(temperature))).cast("long")
+        + g_u
+    )
+    ranked = (
+        lr.select("doc_id", "n_tokens", "logratio", key_u.alias("key_u"))
+        .orderBy(F.col("key_u").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    wr = Window.orderBy(F.col("key_u").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rank", F.row_number().over(wr)).select(
+        "doc_id",
+        "n_tokens",
+        "logratio",
+        F.round(F.col("key_u").cast("double") / F.lit(1e6), 6).alias("key"),
+        "rank",
+    )

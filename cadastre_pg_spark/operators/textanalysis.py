@@ -484,3 +484,96 @@ def collocations(
     )
     out._cadastre_cached = [nab]
     return out
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1;
+    the same family Dolma/FineWeb apply): per-document rule flags plus
+    the composite keep decision. Returns (doc_id, n_words,
+    mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio,
+    alpha_ratio, r_words, r_mwl, r_symbol, r_bullet, r_ellipsis,
+    r_alpha, keep) with flags as 0/1 ints (driver-compare no-boolean
+    rule).
+
+    Two rules are re-grounded on character counts so the whole op
+    stays in closed-form JVM regexp arithmetic (no per-word
+    higher-order fold — Catalyst folds are interpreted, ~30k rows/s):
+    mean word length = nonspace_chars / n_words, and the 80 %%-alpha-
+    words rule becomes alpha_chars / nonspace_chars >= min_alpha_ratio
+    (the vectorizable analog; a gibberish/symbol page fails both
+    forms). Ratios are exact integer counts behind ONE double division
+    + 6 dp round, so the DuckDB twin replays bitwise.
+
+    Scale shape (100 TB): map-only — pure pyspark.sql.functions
+    column expressions over (doc_id, text); no shuffle, no Python, no
+    explode (line censuses use regexp_count, not split+explode)."""
+    text = F.col("text")
+    n_words = F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    nonspace = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    n_hash = (
+        F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ).cast("long")
+    n_ellip = (
+        (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", "")))
+        / F.lit(3)
+    ).cast("long")
+    # one "line" per newline + the final line; regexp_count avoids the
+    # split+explode row blow-up
+    n_lines = (
+        F.length(text) - F.length(F.regexp_replace(text, "\n", "")) + F.lit(1)
+    ).cast("long")
+    n_bullet = F.regexp_count(text, F.lit(r"(^|\n)[-*] ")).cast("long")
+    n_ellip_line = F.regexp_count(text, F.lit(r"\.\.\.(\n|$)")).cast("long")
+
+    def ratio(num, den):
+        return F.round(
+            num.cast("double")
+            / F.when(den > 0, den).otherwise(F.lit(1)).cast("double"),
+            6,
+        )
+
+    mwl = ratio(nonspace, n_words)
+    sym = ratio(n_hash + n_ellip, n_words)
+    bul = ratio(n_bullet, n_lines)
+    ell = ratio(n_ellip_line, n_lines)
+    alf = ratio(alpha, nonspace)
+    r_words = (
+        (n_words >= min_words) & (n_words <= max_words)
+    ).cast("int")
+    r_mwl = (
+        (mwl >= F.lit(float(min_mwl))) & (mwl <= F.lit(float(max_mwl)))
+    ).cast("int")
+    r_symbol = (sym <= F.lit(float(max_symbol_ratio))).cast("int")
+    r_bullet = (bul <= F.lit(float(max_bullet_ratio))).cast("int")
+    r_ellipsis = (ell <= F.lit(float(max_ellipsis_ratio))).cast("int")
+    r_alpha = (alf >= F.lit(float(min_alpha_ratio))).cast("int")
+    keep = (
+        r_words * r_mwl * r_symbol * r_bullet * r_ellipsis * r_alpha
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bul.alias("bullet_ratio"),
+        ell.alias("ellipsis_ratio"),
+        alf.alias("alpha_ratio"),
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mwl"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        keep.alias("keep"),
+    )

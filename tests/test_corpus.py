@@ -274,3 +274,31 @@ def test_dsir_logratio_empty_target_is_all_nonpositive(spark):
     # the shift is ln(V)-ln(N_s+V)<0, so ratios need not be negative —
     # but they must be FINITE and the op must not divide by zero
     assert len(out) == 2 and all(r.logratio is not None for r in out)
+
+
+def test_dsir_select_gumbel_topk_matches_hand_computation(spark):
+    import hashlib
+    import math
+
+    from cadastre_pg_spark.operators.corpus import dsir_logratio, dsir_select
+
+    rows = [
+        (i, ("aa bb " * 5) if i % 2 == 0 else ("xx yy " * 5),
+         "en" if i % 4 == 0 else "fr")
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = F.col("lang") == "en"
+    lr = {r.doc_id: r.logratio
+          for r in dsir_logratio(df, tgt, hash_fn="md5").collect()}
+
+    def gumbel_key(doc_id):
+        h = int(hashlib.md5(f"g:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        return round(lr[doc_id] * 1e6) + round(-math.log(-math.log(u)) * 1e6)
+
+    want = sorted(lr, key=lambda d: (-gumbel_key(d), d))[:5]
+    got = dsir_select(df, tgt, k=5, hash_fn="md5").collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == want
+    for r in got:
+        assert abs(r.key - gumbel_key(r.doc_id) / 1e6) < 1e-9

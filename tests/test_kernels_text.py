@@ -151,3 +151,44 @@ def test_bm25_is_one_broadcast_no_corpus_shuffle(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             raise AssertionError(f"unexpected corpus shuffle: {ln}")
+
+
+def test_gopher_rules_flags_each_failure_mode(spark):
+    from cadastre_pg_spark.operators.textanalysis import gopher_rules
+
+    clean = " ".join(["word"] * 30)                       # passes all
+    short = "only four words here"                        # fails r_words
+    bullets = "\n".join(f"- item {i}" for i in range(30)) # fails r_bullet
+    symbols = " ".join(["##tag##"] * 30)                  # fails r_symbol
+    numbers = " ".join(["1234"] * 30)                     # fails r_alpha
+    dots = "\n".join("trailing line..." for _ in range(30))  # r_ellipsis
+    rows = [
+        (1, clean), (2, short), (3, bullets),
+        (4, symbols), (5, numbers), (6, dots),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+    assert out[1].keep == 1
+    assert out[2].r_words == 0 and out[2].keep == 0
+    assert out[3].r_bullet == 0 and out[3].keep == 0
+    assert out[4].r_symbol == 0 and out[4].keep == 0
+    assert out[5].r_alpha == 0 and out[5].keep == 0
+    assert out[6].r_ellipsis == 0 and out[6].keep == 0
+    # rule flags are 0/1 ints and keep == product of flags
+    for r in out.values():
+        flags = [r.r_words, r.r_mwl, r.r_symbol, r.r_bullet,
+                 r.r_ellipsis, r.r_alpha]
+        assert set(flags) <= {0, 1}
+        want = 1
+        for f_ in flags:
+            want *= f_
+        assert r.keep == want
+
+
+def test_gopher_rules_empty_text_no_division_crash(spark):
+    from cadastre_pg_spark.operators.textanalysis import gopher_rules
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")],
+                               "doc_id long, text string")
+    out = gopher_rules(df).collect()
+    assert len(out) == 2 and all(r.keep == 0 for r in out)

@@ -335,3 +335,53 @@ def test_winsor_bounds_join_is_broadcast(spark):
     df = E.queries()["winsor_stats"](spark, SF_UNIT)
     assert plan_has(df, "BroadcastHashJoin")
     assert not plan_has(df, "SortMergeJoin")
+
+
+def test_dsir_is_pure_jvm_narrow_keys(spark):
+    """dsir_logratio must stay JVM-side (no Python stage) and never
+    shuffle raw text — every exchange keys on the 8-byte token hash
+    or doc_id (the surprisal rule)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["dsir_logratio"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["arrow_eval"]
+    for line in explain_string(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_semdedup_pair_grid_is_narrow(spark):
+    """The within-cluster pair join must key on list_id with only id
+    columns in flight; raw vectors attach AFTER pair generation by id
+    join (the narrow-pair rule). Assert no exchange hash-partitions on
+    an array payload column."""
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["semdedup"](spark, SF_UNIT)
+    try:
+        for line in explain_string(df).splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "arr" not in line and "embedding" not in line, line
+    finally:
+        release_cached(df)
+
+
+def test_gopher_rules_is_map_only(spark):
+    """Quality rule flags must be scan-level column arithmetic: no
+    exchange, no Python stage, no explode."""
+    df = E.queries()["gopher_rules"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["shuffle_exchange"]
+    assert not a["arrow_eval"]
+
+
+def test_dsir_select_global_topk_is_take_ordered(spark):
+    """The selection step must use Spark's top-k heap (TakeOrdered),
+    not a full global sort."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["dsir_select"](spark, SF_UNIT)
+    plan = explain_string(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
