@@ -645,6 +645,15 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_script_ratios(spark, sf_dir):
+    """Unicode-script composition per document (latin/digit/CJK/
+    cyrillic/arabic char fractions) — the pre-classifier script gate.
+    Map-only regexp censuses."""
+    from cadastre_pg_spark.operators.textanalysis import script_ratios
+
+    return script_ratios(_docs(spark, sf_dir))
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2547,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logratio": q_dsir_logratio,
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
+        "script_ratios": q_script_ratios,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3786,6 +3796,51 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logratio": _dsir_sql_oracle(),
         "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
         "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
+        # exact integer char censuses behind one guarded division each;
+        # DuckDB regexp classes take the same hex ranges
+        "script_ratios": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(length(regexp_replace(text, '\s', '', 'g'))
+                          AS BIGINT) AS n_chars,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                          AS BIGINT) AS n_latin,
+                     CAST(length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          AS BIGINT) AS n_digit,
+                     CAST(length(text)
+                          - length(regexp_replace(text,
+                              '[\x{4e00}-\x{9fff}]', '', 'g'))
+                          AS BIGINT) AS n_cjk,
+                     CAST(length(text)
+                          - length(regexp_replace(text,
+                              '[\x{0400}-\x{04ff}]', '', 'g'))
+                          AS BIGINT) AS n_cyr,
+                     CAST(length(text)
+                          - length(regexp_replace(text,
+                              '[\x{0600}-\x{06ff}]', '', 'g'))
+                          AS BIGINT) AS n_arab
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   round(CAST(n_latin AS DOUBLE)
+                         / CAST(CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END
+                                AS DOUBLE), 6) AS latin_ratio,
+                   round(CAST(n_digit AS DOUBLE)
+                         / CAST(CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END
+                                AS DOUBLE), 6) AS digit_ratio,
+                   round(CAST(n_cjk AS DOUBLE)
+                         / CAST(CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END
+                                AS DOUBLE), 6) AS cjk_ratio,
+                   round(CAST(n_cyr AS DOUBLE)
+                         / CAST(CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END
+                                AS DOUBLE), 6) AS cyrillic_ratio,
+                   round(CAST(n_arab AS DOUBLE)
+                         / CAST(CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END
+                                AS DOUBLE), 6) AS arabic_ratio
+            FROM c
+        """,
         "ivf_recall": """
             WITH el AS (
               SELECT vec_id, unnest(embedding) AS v,

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dsir_logratio",
     "dsir_select",
     "gopher_rules",
+    "script_ratios",
     "benford",
     "gaps",
     "rolling_ols",
@@ -236,6 +237,7 @@ AGG_COL = {{
     "dsir_logratio": "logratio",
     "dsir_select": "key",
     "gopher_rules": "keep",
+    "script_ratios": "latin_ratio",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

@@ -577,3 +577,49 @@ def gopher_rules(
         r_alpha.alias("r_alpha"),
         keep.alias("keep"),
     )
+
+
+def script_ratios(docs: DataFrame) -> DataFrame:
+    """Unicode-script composition per document: fractions of non-space
+    characters that are Basic-Latin letters, digits, CJK ideographs
+    (U+4E00-9FFF), Cyrillic (U+0400-04FF), or Arabic (U+0600-06FF) —
+    the script-detection signal language-ID pipelines gate on before
+    any model-based classifier (a page whose dominant script
+    contradicts its declared lang tag is mislabeled).
+
+    Exact integer census per class (length-difference after a
+    character-class regexp_replace), one guarded division each behind
+    a 6 dp round — bitwise-replayable in DuckDB. Scale shape: map-only
+    scan-level column arithmetic; no shuffle, no Python, no explode.
+    """
+    text = F.col("text")
+    nonspace = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+
+    def census(cls: str):
+        return (
+            F.length(text)
+            - F.length(F.regexp_replace(text, cls, ""))
+        ).cast("long")
+
+    n_latin = census("[A-Za-z]")
+    n_digit = census("[0-9]")
+    n_cjk = census("[\\x{4e00}-\\x{9fff}]")
+    n_cyr = census("[\\x{0400}-\\x{04ff}]")
+    n_arab = census("[\\x{0600}-\\x{06ff}]")
+
+    def ratio(num):
+        return F.round(
+            num.cast("double")
+            / F.when(nonspace > 0, nonspace).otherwise(F.lit(1)).cast("double"),
+            6,
+        )
+
+    return docs.select(
+        "doc_id",
+        nonspace.alias("n_chars"),
+        ratio(n_latin).alias("latin_ratio"),
+        ratio(n_digit).alias("digit_ratio"),
+        ratio(n_cjk).alias("cjk_ratio"),
+        ratio(n_cyr).alias("cyrillic_ratio"),
+        ratio(n_arab).alias("arabic_ratio"),
+    )

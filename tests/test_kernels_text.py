@@ -192,3 +192,44 @@ def test_gopher_rules_empty_text_no_division_crash(spark):
                                "doc_id long, text string")
     out = gopher_rules(df).collect()
     assert len(out) == 2 and all(r.keep == 0 for r in out)
+
+
+def test_script_ratios_multiscript_and_duckdb_parity(spark):
+    import duckdb
+
+    from cadastre_pg_spark.operators.textanalysis import script_ratios
+
+    rows = [
+        (1, "hello world"),                      # pure latin
+        (2, "你好世界 ok"),      # CJK + 2 latin
+        (3, "привет 123"),  # cyrillic + digits
+        (4, "مرحبا"),   # arabic
+        (5, ""),                                 # empty: all ratios 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_ratios(df).collect()}
+    assert got[1].latin_ratio == 1.0 and got[1].cjk_ratio == 0.0
+    assert got[2].cjk_ratio == round(4 / 6, 6)
+    assert got[2].latin_ratio == round(2 / 6, 6)
+    assert got[3].cyrillic_ratio == round(6 / 9, 6)
+    assert got[3].digit_ratio == round(3 / 9, 6)
+    assert got[4].arabic_ratio == 1.0
+    assert got[5].n_chars == 0 and got[5].latin_ratio == 0.0
+    # cross-engine parity on NON-ASCII text (the parquet corpus is
+    # pure ASCII, so the driver compare never exercises these classes)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    import __spark_entry__ as E
+
+    want = con.execute(E.oracle_sql()["script_ratios"]).fetchall()
+    want_by_id = {r[0]: r for r in want}
+    for r in script_ratios(df).collect():
+        w = want_by_id[r.doc_id]
+        assert (
+            r.n_chars, r.latin_ratio, r.digit_ratio, r.cjk_ratio,
+            r.cyrillic_ratio, r.arabic_ratio,
+        ) == tuple(w[1:]), r.doc_id

@@ -385,3 +385,10 @@ def test_dsir_select_global_topk_is_take_ordered(spark):
     df = E.queries()["dsir_select"](spark, SF_UNIT)
     plan = explain_string(df, mode="simple")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_script_ratios_is_map_only(spark):
+    df = E.queries()["script_ratios"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["shuffle_exchange"]
+    assert not a["arrow_eval"]
