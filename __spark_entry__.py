@@ -654,6 +654,15 @@ def q_script_ratios(spark, sf_dir):
     return script_ratios(_docs(spark, sf_dir))
 
 
+def q_minhash_calibration(spark, sf_dir):
+    """Minhash-estimator calibration over all LSH candidate pairs:
+    (n_pairs, mae, bias, max_abs_err) — the near-dup family's
+    driver-visible quality metric (md5 mode for the DuckDB twin)."""
+    from cadastre_pg_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(_docs(spark, sf_dir), hash_fn="md5")
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2557,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
         "script_ratios": q_script_ratios,
+        "minhash_calibration": q_minhash_calibration,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3796,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logratio": _dsir_sql_oracle(),
         "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
         "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
+        "minhash_calibration": _minhash_calibration_sql_oracle(),
         # exact integer char censuses behind one guarded division each;
         # DuckDB regexp classes take the same hex ranges
         "script_ratios": r"""
@@ -4877,15 +4888,14 @@ def _idw_sql_oracle(
     """
 
 
-def _minhash_sql_oracle(threshold: float = 0.4) -> str:
-    """Full independent MinHash+LSH pipeline in DuckDB SQL: md5-prefix
-    shingle hashes, 32 affine-mix minima, 8-band keys, bucket cap,
-    signature-estimate prefilter, exact hashed-set Jaccard — mirroring
-    operators/dedup.minhash_lsh_pairs parameter for parameter."""
-    import math
-
+def _minhash_v_ctes() -> str:
+    """The shared DuckDB CTE chain of the independent MinHash+LSH
+    replay, up to `v(doc_a, doc_b, est, jac)` over ALL capped-bucket
+    candidate pairs: md5-prefix shingle hashes, 32 affine-mix minima,
+    8-band keys, bucket cap, exact hashed-set Jaccard. Consumed by the
+    pairs oracle (threshold + estimate prefilter on top) and the
+    calibration oracle (error aggregates on top)."""
     rows_per_band = D.N_HASHES // D.BANDS
-    est_min = int(math.ceil((threshold - 0.25) * D.N_HASHES - 1e-9))
     sig_exprs = ", ".join(
         f"list_min(list_transform(sh, h -> (h * {D._A[i]} + {D._B[i]}) % {D.MINHASH_PRIME}))"
         for i in range(D.N_HASHES)
@@ -4943,8 +4953,43 @@ def _minhash_sql_oracle(threshold: float = 0.4) -> str:
           JOIN ss a ON a.doc_id = c.doc_a
           JOIN ss b ON b.doc_id = c.doc_b
         )
+    """
+
+
+def _minhash_sql_oracle(threshold: float = 0.4) -> str:
+    """Full independent MinHash+LSH pipeline in DuckDB SQL (the shared
+    `v` CTE chain) + the pairs query's estimate prefilter and Jaccard
+    threshold — mirroring operators/dedup.minhash_lsh_pairs parameter
+    for parameter."""
+    import math
+
+    est_min = int(math.ceil((threshold - 0.25) * D.N_HASHES - 1e-9))
+    return f"""
+        {_minhash_v_ctes()}
         SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM v
         WHERE est >= {est_min} AND jac >= CAST('{threshold!r}' AS DOUBLE)
+    """
+
+
+def _minhash_calibration_sql_oracle() -> str:
+    """Replay of dedup.minhash_calibration: per candidate pair the
+    error est/N_HASHES - jaccard quantized to integer micro-units,
+    exact BIGINT sums, three final divisions behind round 6."""
+    return f"""
+        {_minhash_v_ctes()},
+        e AS (
+          SELECT CAST(round((CAST(est AS DOUBLE)
+                             / CAST('{float(D.N_HASHES)!r}' AS DOUBLE)
+                             - jac) * 1e6, 0) AS BIGINT) AS e
+          FROM v
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(sum(abs(e)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mae,
+               round(CAST(sum(e) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1e6, 6) AS bias,
+               round(CAST(max(abs(e)) AS DOUBLE) / 1e6, 6) AS max_abs_err
+        FROM e
     """
 
 

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "gopher_rules",
     "script_ratios",
+    "minhash_calibration",
     "benford",
     "gaps",
     "rolling_ols",
@@ -238,6 +239,7 @@ AGG_COL = {{
     "dsir_select": "key",
     "gopher_rules": "keep",
     "script_ratios": "latin_ratio",
+    "minhash_calibration": "mae",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

@@ -1095,3 +1095,77 @@ def setsim_join(
     out._cadastre_cached = [ordered]  # release_cached(out) after action
     out._skipped_buckets = skipped_buckets
     return out
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    n_shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Calibration report for the minhash Jaccard ESTIMATOR itself —
+    the driver-visible quality metric for the near-dup family (the
+    minhash analog of ivf_recall): over every LSH candidate pair
+    (unfiltered — no estimate prefilter, no threshold), compare the
+    signature estimate (matching positions / N_HASHES) against the
+    exact hashed-shingle Jaccard and report ONE row:
+    (n_pairs, mae, bias, max_abs_err). |bias| should be ~0 and mae
+    ~= sqrt(j(1-j)/N_HASHES) averaged over pairs; a broken mix family
+    or band layout shows up here long before dedup recall collapses.
+
+    Numeric rule: per pair the error (est/N - jaccard) is two
+    identically-ordered double ops quantized to integer micro-units
+    (round(e*1e6) -> BIGINT), so the aggregation is exact integer sums
+    in any order; the three final figures are single divisions behind
+    a 6 dp round. Scale shape: minhash_lsh_pairs' shape minus the
+    threshold filters — bucketed candidates with the measured cap +
+    `_skipped_buckets`, never all-pairs; one final one-row aggregate.
+    Call spatial_join.release_cached(result) after the action."""
+    ss = minhash_store(docs, n_shingle, hash_fn).persist()
+    cand, skipped = _lsh_candidates(ss, max_bucket)
+    a_side = ss.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sset").alias("set_a"),
+    )
+    b_side = ss.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sset").alias("set_b"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    jac = F.size(F.array_intersect("set_a", "set_b")).cast("double") / F.size(
+        F.array_union("set_a", "set_b")
+    ).cast("double")
+    err_u = F.round(
+        (est.cast("double") / F.lit(float(N_HASHES)) - jac) * F.lit(1e6)
+    ).cast("long")
+    per = (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .select(err_u.alias("e"))
+    )
+    out = per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("e"))).alias("sa"),
+        F.sum("e").alias("se"),
+        F.max(F.abs(F.col("e"))).alias("mx"),
+    ).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("sa").cast("double") / F.col("n_pairs").cast("double") / F.lit(1e6),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.col("se").cast("double") / F.col("n_pairs").cast("double") / F.lit(1e6),
+            6,
+        ).alias("bias"),
+        F.round(F.col("mx").cast("double") / F.lit(1e6), 6).alias("max_abs_err"),
+    )
+    out._skipped_buckets = skipped
+    out._cadastre_cached = [ss]
+    return out

@@ -447,3 +447,35 @@ def test_setsim_duplicate_tokens_collapse(spark):
     got = _setsim(spark, texts, 1, 1)
     assert set(got) == {(0, 1)}
     assert got[(0, 1)].inter == 3 and got[(0, 1)].uni == 3
+
+
+def test_minhash_calibration_exact_dups_zero_error(spark):
+    from cadastre_pg_spark.operators.dedup import minhash_calibration
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    # identical docs: signature estimate 32/32 and exact jaccard 1.0
+    # agree exactly -> every error term is 0
+    rows = [(i, "the quick brown fox jumps over the dog") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_calibration(df)
+    r = out.collect()[0]
+    assert r.n_pairs == 15  # C(6,2)
+    assert (r.mae, r.bias, r.max_abs_err) == (0.0, 0.0, 0.0)
+    release_cached(out)
+
+
+def test_minhash_calibration_estimator_is_roughly_unbiased(spark):
+    from cadastre_pg_spark.operators.dedup import minhash_calibration
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    docs = spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+    out = minhash_calibration(docs)
+    r = out.collect()[0]
+    assert r.n_pairs > 0
+    # the minhash estimator's stderr at N_HASHES=32 is ~0.09 per pair;
+    # averaged over pairs the bias must be well inside one stderr and
+    # the MAE inside ~one stderr
+    assert abs(r.bias) < 0.05
+    assert 0.0 <= r.mae < 0.1
+    assert r.max_abs_err <= 0.5
+    release_cached(out)
