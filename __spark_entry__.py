@@ -663,6 +663,15 @@ def q_minhash_calibration(spark, sf_dir):
     return minhash_calibration(_docs(spark, sf_dir), hash_fn="md5")
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Mean conditional bigram surprisal per doc under the corpus's
+    own hash-bucketed bigram model (md5 mode for the DuckDB twin);
+    docs with < 2 tokens have no bigrams and are excluded."""
+    from cadastre_pg_spark.operators.textanalysis import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir), hash_fn="md5")
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2567,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "script_ratios": q_script_ratios,
         "minhash_calibration": q_minhash_calibration,
+        "bigram_surprisal": q_bigram_surprisal,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3807,6 +3817,53 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
         "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
         "minhash_calibration": _minhash_calibration_sql_oracle(),
+        # conditional bigram surprisal: micro-nat ln on both censuses,
+        # exact BIGINT pair sums, one rounded final division
+        "bigram_surprisal": rf"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+                     unnest(t) AS tok
+              FROM tok
+            ),
+            mx AS (SELECT doc_id, pos, md5(tok) AS m FROM ex),
+            hx AS (SELECT doc_id, pos, {_hex32_sql('m')} AS h FROM mx),
+            pairs AS (
+              SELECT doc_id, hp, h FROM (
+                SELECT doc_id,
+                       lag(h) OVER (PARTITION BY doc_id ORDER BY pos) AS hp,
+                       h
+                FROM hx)
+              WHERE hp IS NOT NULL
+            ),
+            bu AS (
+              SELECT hp, h,
+                     CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1e6, 0)
+                          AS BIGINT) AS ub
+              FROM pairs GROUP BY hp, h
+            ),
+            uu AS (
+              SELECT hp,
+                     CAST(round(ln(CAST(count(*) AS DOUBLE)) * 1e6, 0)
+                          AS BIGINT) AS uu
+              FROM pairs GROUP BY hp
+            ),
+            per AS (
+              SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(uu.uu - bu.ub) AS BIGINT) AS su
+              FROM pairs p
+              JOIN bu ON bu.hp = p.hp AND bu.h = p.h
+              JOIN uu ON uu.hp = p.hp
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id, n_bigrams,
+                   round(CAST(su AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6,
+                         6) AS surprisal2
+            FROM per
+        """,
         # exact integer char censuses behind one guarded division each;
         # DuckDB regexp classes take the same hex ranges
         "script_ratios": r"""

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "script_ratios",
     "minhash_calibration",
+    "bigram_surprisal",
     "benford",
     "gaps",
     "rolling_ols",
@@ -240,6 +241,7 @@ AGG_COL = {{
     "gopher_rules": "keep",
     "script_ratios": "latin_ratio",
     "minhash_calibration": "mae",
+    "bigram_surprisal": "surprisal2",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

@@ -623,3 +623,68 @@ def script_ratios(docs: DataFrame) -> DataFrame:
         ratio(n_cyr).alias("cyrillic_ratio"),
         ratio(n_arab).alias("arabic_ratio"),
     )
+
+
+def bigram_surprisal(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-document mean CONDITIONAL bigram surprisal -> (doc_id,
+    n_bigrams, surprisal2): mean over adjacent token pairs of
+    -ln p(tok | prev) under the corpus's own hash-bucketed bigram
+    model, p(tok|prev) = n(prev,tok)/n(prev) — the next quality rung
+    above the unigram `surprisal` (repetitive boilerplate scores LOW,
+    incoherent token salads score HIGH even when each word is common).
+    Every scored bigram is part of the census (self-trained), so
+    n(prev,tok) >= 1 and no smoothing/backoff is needed.
+
+    Numeric rule (the surprisal policy): ln is quantized to integer
+    micro-nats once per distinct census entry (round(ln(n)*1e6) ->
+    BIGINT) for BOTH censuses, so each pair contributes the exact
+    integer u(prev) - u(prev,tok) and the per-document accumulation is
+    an order-independent BIGINT sum; the final mean is one division
+    behind a 6 dp round, replayed exactly by the DuckDB twin.
+
+    Scale shape (100 TB): one exchange on doc_id for the lag window
+    (tokens stay narrow (doc_id, pos, h) ints); bigram/unigram
+    censuses are map-side-partial counts on 8/16-byte keys; the two
+    scoring joins are Zipf-skewed probe-vs-small-build (AQE skew
+    territory); one final doc_id aggregate. No Python, no collect."""
+    from pyspark.sql import Window
+
+    from cadastre_pg_spark.operators.dedup import shingle_hash32
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ex = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select("doc_id", "pos", shingle_hash32(F.col("tok"), hash_fn).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        ex.withColumn("hp", F.lag("h").over(w))
+        .filter(F.col("hp").isNotNull())
+        .select("doc_id", "hp", "h")
+    )
+    big = pairs.groupBy("hp", "h").agg(F.count(F.lit(1)).alias("nb"))
+    uni = pairs.groupBy("hp").agg(F.count(F.lit(1)).alias("nu"))
+
+    def _u(col):
+        return F.round(F.log(col.cast("double")) * F.lit(1e6)).cast("long")
+
+    bu = big.select("hp", "h", _u(F.col("nb")).alias("ub"))
+    uu = uni.select("hp", _u(F.col("nu")).alias("uu"))
+    per = (
+        pairs.join(bu, ["hp", "h"])
+        .join(uu, "hp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("uu") - F.col("ub")).cast("long").alias("su"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("su").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("surprisal2"),
+    )

@@ -233,3 +233,32 @@ def test_script_ratios_multiscript_and_duckdb_parity(spark):
             r.n_chars, r.latin_ratio, r.digit_ratio, r.cjk_ratio,
             r.cyrillic_ratio, r.arabic_ratio,
         ) == tuple(w[1:]), r.doc_id
+
+
+def test_bigram_surprisal_hand_computed_and_ordering(spark):
+    import math
+
+    from cadastre_pg_spark.operators.textanalysis import bigram_surprisal
+
+    # doc 1 "a b a b a": bigrams ab,ba,ab,ba; doc 2 "a c": bigram ac.
+    # census: n(a,b)=2 n(b,a)=2 n(a,c)=1; n(prev=a)=3 n(prev=b)=2
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert set(out) == {1, 2}  # <2 tokens -> no bigrams -> excluded
+    u = lambda n: round(math.log(n) * 1e6)
+    d1 = round((2 * (u(3) - u(2)) + 2 * (u(2) - u(2))) / 4 / 1e6, 6)
+    d2 = round((u(3) - u(1)) / 1 / 1e6, 6)
+    assert out[1].n_bigrams == 4 and abs(out[1].surprisal2 - d1) < 1e-9
+    assert out[2].n_bigrams == 1 and abs(out[2].surprisal2 - d2) < 1e-9
+    # ordering: verbatim-repeated boilerplate is near-zero surprisal;
+    # an unseen-order token salad over the same vocabulary is higher
+    boiler = ("the quick brown fox " * 10).strip()
+    salad = "quick the fox brown the brown quick fox the fox quick brown"
+    df2 = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, salad)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.surprisal2 for r in bigram_surprisal(df2).collect()}
+    assert got[1] < got[3]

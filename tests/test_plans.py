@@ -392,3 +392,15 @@ def test_script_ratios_is_map_only(spark):
     a = audit(df)
     assert not a["shuffle_exchange"]
     assert not a["arrow_eval"]
+
+
+def test_bigram_surprisal_is_pure_jvm_narrow_keys(spark):
+    """Token hashes, not text, are the only shuffle keys; no Python."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["bigram_surprisal"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["arrow_eval"]
+    for line in explain_string(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
