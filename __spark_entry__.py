@@ -672,6 +672,15 @@ def q_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_docs(spark, sf_dir), hash_fn="md5")
 
 
+def q_hash_split(spark, sf_dir):
+    """Group-aware deterministic train/val/test split keyed on the
+    `source` column (same-source docs can never straddle splits —
+    the leakage guard), 90/5/5 in integer ppm intervals."""
+    from cadastre_pg_spark.operators.corpus import hash_split
+
+    return hash_split(_docs(spark, sf_dir), group_col="source", hash_fn="md5")
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2577,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_ratios": q_script_ratios,
         "minhash_calibration": q_minhash_calibration,
         "bigram_surprisal": q_bigram_surprisal,
+        "hash_split": q_hash_split,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3817,6 +3827,19 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
         "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
         "minhash_calibration": _minhash_calibration_sql_oracle(),
+        # integer ppm split intervals on the md5 group hash; CASE order
+        # mirrors the engine's when-chain (half-open [lo, hi))
+        "hash_split": f"""
+            SELECT doc_id, source AS grp, u,
+                   CASE WHEN u >= 0 AND u < 900000 THEN 'train'
+                        WHEN u >= 900000 AND u < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, source,
+                     {_hex32_sql("md5('sp:' || CAST(source AS VARCHAR))")}
+                       % 1000000 AS u
+              FROM documents)
+        """,
         # conditional bigram surprisal: micro-nat ln on both censuses,
         # exact BIGINT pair sums, one rounded final division
         "bigram_surprisal": rf"""

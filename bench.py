@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "script_ratios",
     "minhash_calibration",
     "bigram_surprisal",
+    "hash_split",
     "benford",
     "gaps",
     "rolling_ols",
@@ -242,6 +243,7 @@ AGG_COL = {{
     "script_ratios": "latin_ratio",
     "minhash_calibration": "mae",
     "bigram_surprisal": "surprisal2",
+    "hash_split": "u",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

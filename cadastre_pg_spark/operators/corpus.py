@@ -637,3 +637,58 @@ def dsir_select(
         F.round(F.col("key_u").cast("double") / F.lit(1e6), 6).alias("key"),
         "rank",
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    splits: list[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    group_col: str | None = None,
+    salt: str = "sp:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc (or each
+    GROUP, when `group_col` is given — e.g. the host, so near-dup
+    pages from one site can never straddle a split and leak train
+    content into eval) hashes to u in [0, 1e6) and lands in the split
+    whose cumulative parts-per-million interval contains u. Returns
+    (doc_id[, grp], u, split).
+
+    Weights must sum to 1 (+-1e-9; quantization residue goes to the
+    LAST split, stated rather than silent). Integer ppm thresholds on
+    both engines — no float-boundary divergence; split intervals are
+    half-open [lo, hi) in the given (name, weight) order.
+
+    Scale shape (100 TB): shuffle-free — a scan-level hash + CASE
+    chain (the stratified_sample shape); group mode hashes the group
+    key instead of doc_id, still no exchange, no census, no join."""
+    items = list(splits)
+    if abs(sum(w for _, w in items) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    if len({n for n, _ in items}) != len(items):
+        raise ValueError("duplicate split names")
+    key = F.col(group_col) if group_col else F.col("doc_id")
+    u = F.pmod(_hash32(key, salt, hash_fn), F.lit(MILLION))
+    cum = 0
+    expr = None
+    bounds = []
+    for name, w in items:
+        lo = cum
+        cum = min(MILLION, cum + int(round(w * MILLION)))
+        bounds.append((name, lo, cum))
+    bounds[-1] = (bounds[-1][0], bounds[-1][1], MILLION)  # residue -> last
+    for name, lo, hi in reversed(bounds):
+        expr = (
+            F.lit(name)
+            if expr is None
+            else F.when((u >= lo) & (u < hi), F.lit(name)).otherwise(expr)
+        )
+    return docs.select(
+        "doc_id",
+        *([key.alias("grp")] if group_col else []),
+        u.alias("u"),
+        expr.alias("split"),
+    )

@@ -302,3 +302,40 @@ def test_dsir_select_gumbel_topk_matches_hand_computation(spark):
     assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == want
     for r in got:
         assert abs(r.key - gumbel_key(r.doc_id) / 1e6) < 1e-9
+
+
+def test_hash_split_group_atomic_and_exact_replay(spark):
+    from cadastre_pg_spark.operators.corpus import hash_split
+
+    rows = [(i, "t", f"host{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = hash_split(df, group_col="source", hash_fn="md5").collect()
+    # group-atomic: every doc of a host lands in ONE split
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())
+    # exact replay of u and the interval rule
+    for r in out:
+        u = _md5_32(f"sp:{r.grp}") % MILLION
+        assert r.u == u
+        want = "train" if u < 900_000 else ("val" if u < 950_000 else "test")
+        assert r.split == want
+
+
+def test_hash_split_per_doc_proportions_and_validation(spark):
+    import pytest as _pytest
+
+    from cadastre_pg_spark.operators.corpus import hash_split
+
+    rows = [(i, "t", "s") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = hash_split(df).groupBy("split").count().collect()
+    got = {r.split: r["count"] for r in out}
+    assert abs(got["train"] / 4000 - 0.9) < 0.03
+    assert abs(got.get("val", 0) / 4000 - 0.05) < 0.02
+    assert abs(got.get("test", 0) / 4000 - 0.05) < 0.02
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, splits=[("a", 0.5), ("b", 0.4)])
+    with _pytest.raises(ValueError, match="duplicate"):
+        hash_split(df, splits=[("a", 0.5), ("a", 0.5)])

@@ -404,3 +404,10 @@ def test_bigram_surprisal_is_pure_jvm_narrow_keys(spark):
     for line in explain_string(df).splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_hash_split_is_shuffle_free(spark):
+    df = E.queries()["hash_split"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["shuffle_exchange"]
+    assert not a["arrow_eval"]
