@@ -681,6 +681,15 @@ def q_hash_split(spark, sf_dir):
     return hash_split(_docs(spark, sf_dir), group_col="source", hash_fn="md5")
 
 
+def q_novelty_score(spark, sf_dir):
+    """Corpus-order novelty: fraction of each doc's distinct word
+    5-grams whose first occurrence (min doc_id) is this doc (md5 mode
+    for the DuckDB twin)."""
+    from cadastre_pg_spark.operators.textanalysis import novelty_score
+
+    return novelty_score(_docs(spark, sf_dir), hash_fn="md5")
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2587,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "bigram_surprisal": q_bigram_surprisal,
         "hash_split": q_hash_split,
+        "novelty_score": q_novelty_score,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3827,6 +3837,36 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
         "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
         "minhash_calibration": _minhash_calibration_sql_oracle(),
+        # distinct 5-gram hashes per doc, min-doc_id first-seen census,
+        # exact integer counts behind one rounded division
+        "novelty_score": rf"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            sg AS (
+              SELECT doc_id,
+                     [array_to_string(t[i+1:i+5], ' ')
+                      for i in range(0, greatest(len(t) - 4, 0))] AS sg
+              FROM tok
+            ),
+            hx AS (
+              SELECT DISTINCT doc_id, {_hex32_sql('m')} AS h
+              FROM (SELECT doc_id, unnest(list_transform(sg, s -> md5(s)))
+                      AS m FROM sg)
+            ),
+            fs AS (SELECT h, min(doc_id) AS first_doc FROM hx GROUP BY h),
+            per AS (
+              SELECT hx.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(sum(CASE WHEN fs.first_doc = hx.doc_id
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+              FROM hx JOIN fs USING (h) GROUP BY hx.doc_id
+            )
+            SELECT doc_id, n_ngrams,
+                   round(CAST(n_first AS DOUBLE) / CAST(n_ngrams AS DOUBLE),
+                         6) AS novelty
+            FROM per
+        """,
         # integer ppm split intervals on the md5 group hash; CASE order
         # mirrors the engine's when-chain (half-open [lo, hi))
         "hash_split": f"""

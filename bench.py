@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "minhash_calibration",
     "bigram_surprisal",
     "hash_split",
+    "novelty_score",
     "benford",
     "gaps",
     "rolling_ols",
@@ -244,6 +245,7 @@ AGG_COL = {{
     "minhash_calibration": "mae",
     "bigram_surprisal": "surprisal2",
     "hash_split": "u",
+    "novelty_score": "novelty",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

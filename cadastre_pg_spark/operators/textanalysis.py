@@ -688,3 +688,56 @@ def bigram_surprisal(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
             6,
         ).alias("surprisal2"),
     )
+
+
+def novelty_score(
+    docs: DataFrame, n_shingle: int = 5, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Corpus-order novelty per document -> (doc_id, n_ngrams,
+    novelty): the fraction of the document's DISTINCT word n-grams
+    whose first corpus occurrence (minimum doc_id over the whole
+    input) is this document. Verbatim boilerplate and quotations of
+    earlier documents score near 0, fresh text near 1 — the
+    "novel n-grams" pruning signal used alongside dedup (an exact
+    census twin of what Lee et al.'s dedup paper measures
+    approximately). Docs with fewer than n_shingle tokens have no
+    n-grams and are excluded (the surprisal convention).
+
+    Numeric rule: counts are exact integers; novelty is ONE division
+    behind a 6 dp round — bitwise in DuckDB. Scale shape (100 TB):
+    per-doc distinct n-gram hashes explode to narrow (doc_id, h) rows;
+    the first-seen census is a map-side-partial min on the 8-byte
+    hash; one join back on h (Zipf-skewed boilerplate keys — AQE
+    skew-join shape); one final doc_id aggregate. No Python."""
+    from cadastre_pg_spark.operators.dedup import shingle_hash32, shingles
+
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("text"), n_shingle),
+                    lambda s: shingle_hash32(s, hash_fn),
+                )
+            )
+        ).alias("h"),
+    )
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_first"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_ngrams",
+        F.round(
+            F.col("n_first").cast("double") / F.col("n_ngrams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

@@ -262,3 +262,20 @@ def test_bigram_surprisal_hand_computed_and_ordering(spark):
     )
     got = {r.doc_id: r.surprisal2 for r in bigram_surprisal(df2).collect()}
     assert got[1] < got[3]
+
+
+def test_novelty_score_copies_score_zero_first_scores_one(spark):
+    from cadastre_pg_spark.operators.textanalysis import novelty_score
+
+    orig = "one two three four five six seven eight"
+    half = "one two three four five nine ten eleven twelve thirteen"
+    rows = [(1, orig), (2, orig), (3, half), (4, "too few")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in novelty_score(df).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4: < 5 tokens, no 5-grams
+    assert out[1].novelty == 1.0          # first occurrence of everything
+    assert out[2].novelty == 0.0          # verbatim copy of doc 1
+    # doc 3: 6 distinct 5-grams, exactly one ("one two three four five")
+    # already seen in doc 1
+    assert out[3].n_ngrams == 6
+    assert out[3].novelty == round(5 / 6, 6)

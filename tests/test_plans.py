@@ -411,3 +411,14 @@ def test_hash_split_is_shuffle_free(spark):
     a = audit(df)
     assert not a["shuffle_exchange"]
     assert not a["arrow_eval"]
+
+
+def test_novelty_score_shuffles_hash_not_text(spark):
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["novelty_score"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["arrow_eval"]
+    for line in explain_string(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
