@@ -279,3 +279,59 @@ def test_novelty_score_copies_score_zero_first_scores_one(spark):
     # already seen in doc 1
     assert out[3].n_ngrams == 6
     assert out[3].novelty == round(5 / 6, 6)
+
+
+def test_text_zoo_robustness_new_ops(spark):
+    """Adversarial text zoo through every round-4 text operator in one
+    batch: no crash (ANSI mode), ratios in range, flags are 0/1, and
+    the disjoint script censuses never sum past 1."""
+    from cadastre_pg_spark.operators.corpus import dsir_logratio
+    from cadastre_pg_spark.operators.textanalysis import (
+        bigram_surprisal,
+        gopher_rules,
+        novelty_score,
+        script_ratios,
+    )
+
+    zoo = [
+        "", " ", "\n", "\n\n\n", "a", "###", "...", "....", "a" * 5000,
+        "word " * 2000, "\t\r\n mixed \t ws", "- bullet\n* bullet\nplain",
+        "ends with dots...\nand again...", "你好 мир hello 123 مرحبا",
+        "🙂 emoji only 🙂", "a\x00b", "'quote' \"dquote\" \\backslash",
+        "% percent _ underscore", "0" * 64, ". . . . . .",
+    ]
+    rows = [(i, t, "en" if i % 2 else "fr") for i, t in enumerate(zoo)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    g = gopher_rules(df).collect()
+    assert len(g) == len(zoo)
+    for r in g:
+        for f_ in (r.r_words, r.r_mwl, r.r_symbol, r.r_bullet,
+                   r.r_ellipsis, r.r_alpha, r.keep):
+            assert f_ in (0, 1)
+        for v in (r.symbol_ratio, r.bullet_ratio, r.ellipsis_ratio,
+                  r.alpha_ratio):
+            assert v >= 0.0
+
+    s = script_ratios(df).collect()
+    for r in s:
+        total = (r.latin_ratio + r.digit_ratio + r.cjk_ratio
+                 + r.cyrillic_ratio + r.arabic_ratio)
+        assert -1e-9 <= r.latin_ratio <= 1.0
+        # each of the 5 ratios rounds at 6 dp: headroom 5 * 0.5e-6
+        assert total <= 1.0 + 2.5e-6, (r.doc_id, total)
+
+    n = novelty_score(df).collect()
+    for r in n:
+        assert 0.0 <= r.novelty <= 1.0 and r.n_ngrams > 0
+
+    b = bigram_surprisal(df).collect()
+    for r in b:
+        assert r.surprisal2 is not None and r.n_bigrams > 0
+        assert r.surprisal2 >= -1e-9  # -ln p >= 0 up to quantization
+
+    d = dsir_logratio(df, __import__("pyspark.sql.functions",
+                                     fromlist=["col"]).col("lang") == "en")
+    got = d.collect()
+    assert len(got) == len(zoo)
+    assert all(r.logratio is not None for r in got)
