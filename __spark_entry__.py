@@ -690,6 +690,15 @@ def q_novelty_score(spark, sf_dir):
     return novelty_score(_docs(spark, sf_dir), hash_fn="md5")
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus health report: doc/unique counts, exact dup
+    rate, token total, mean composite quality, lang-mixture entropy
+    (the A4 ImportReport analog for the webtext side)."""
+    from cadastre_pg_spark.operators.corpus import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE aggregation over two dims (all grouping sets)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2597,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "hash_split": q_hash_split,
         "novelty_score": q_novelty_score,
+        "corpus_report": q_corpus_report,
         "ivf_recall": q_ivf_recall,
         "session_stats": q_session_stats,
         "funnel_steps": q_funnel_steps,
@@ -3837,6 +3847,50 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_sql_oracle(k=DSIR_K),
         "gopher_rules": _gopher_sql_oracle(min_words=20, min_mwl=3.5),
         "minhash_calibration": _minhash_calibration_sql_oracle(),
+        # one-row corpus health: exact counts, micro-unit quality sum,
+        # micro-nat lang entropy — the quality expression is the
+        # quality_score twin verbatim (shared helper)
+        "corpus_report": f"""
+            WITH q AS (
+              SELECT doc_id, quality FROM (
+                {TA.quality_score_sql("documents")}
+              )
+            ),
+            base AS (
+              SELECT d.doc_id, d.lang, sha256(d.text) AS h,
+                     CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(round(q.quality * 1e6, 0) AS BIGINT) AS qu
+              FROM documents d JOIN q ON q.doc_id = d.doc_id
+            ),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(sum(qu) AS BIGINT) AS squ
+              FROM base
+            ),
+            langs AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS nl
+              FROM base GROUP BY lang
+            ),
+            ent AS (
+              SELECT CAST(sum(nl * (
+                       CAST(round(ln(CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                       - CAST(round(ln(CAST(nl AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     )) AS BIGINT) AS seu
+              FROM langs, (SELECT n_docs AS nn FROM g)
+            )
+            SELECT n_docs, n_unique,
+                   round(1.0 - CAST(n_unique AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+                   total_tokens,
+                   round(CAST(squ AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6,
+                         6) AS mean_quality,
+                   round(CAST(seu AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6,
+                         6) AS lang_entropy
+            FROM g, ent
+        """,
         # distinct 5-gram hashes per doc, min-doc_id first-seen census,
         # exact integer counts behind one rounded division
         "novelty_score": rf"""

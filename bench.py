@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "bigram_surprisal",
     "hash_split",
     "novelty_score",
+    "corpus_report",
     "benford",
     "gaps",
     "rolling_ols",
@@ -267,6 +268,7 @@ AGG_COL = {{
     "bigram_surprisal": "surprisal2",
     "hash_split": "u",
     "novelty_score": "novelty",
+    "corpus_report": "mean_quality",
     "benford": "chi2",
     "gaps": "gap_us",
     "rolling_ols": "slope",

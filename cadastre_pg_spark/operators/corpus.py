@@ -692,3 +692,76 @@ def hash_split(
         u.alias("u"),
         expr.alias("split"),
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row corpus health report — the webtext analog of the
+    reference's typed ImportReport (cadastre-pg/src/report.rs:66-313
+    A4): (n_docs, n_unique, dup_rate, total_tokens, mean_quality,
+    lang_entropy). dup_rate = 1 - distinct-sha256 / docs (the exact
+    dedup census); mean_quality averages textanalysis.quality_score's
+    composite; lang_entropy is the Shannon entropy (nats) of the lang
+    distribution — the mixture-collapse alarm for a crawl snapshot.
+
+    Numeric rule: counts are exact; per-doc quality (already rounded
+    to 6 dp) is quantized to integer micro-units and summed as BIGINT
+    (order-independent); entropy uses the micro-nat ln census per lang
+    (<= a handful of rows) with the exact integer combine
+    sum n_l * (u(N) - u(n_l)); every final figure is one double
+    division chain behind a 6 dp round — bitwise in DuckDB.
+
+    Scale shape (100 TB): two aggregates over one scan family — a
+    global agg (count / distinct-hash / token sum / quality sum) and a
+    tiny per-lang count — then a literal cross of one-row frames. The
+    distinct-sha256 count is the only exchange of note and shuffles
+    64-char hashes, never text."""
+    from cadastre_pg_spark.operators.textanalysis import quality_score
+
+    q = quality_score(docs).select(
+        "doc_id",
+        F.round(F.col("quality") * F.lit(1e6)).cast("long").alias("qu"),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    g = base.join(q, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("qu").alias("squ"),
+    )
+
+    def _u(col):
+        return F.round(F.log(col.cast("double")) * F.lit(1e6)).cast("long")
+
+    langs = base.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    ent = (
+        langs.crossJoin(g.select(F.col("n_docs").alias("nn")))
+        .select(
+            (F.col("nl") * (_u(F.col("nn")) - _u(F.col("nl")))).alias("eu")
+        )
+        .agg(F.sum("eu").cast("long").alias("seu"))
+    )
+    return g.crossJoin(ent).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.col("squ").cast("double") / F.col("n_docs").cast("double") / F.lit(1e6),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.col("seu").cast("double") / F.col("n_docs").cast("double") / F.lit(1e6),
+            6,
+        ).alias("lang_entropy"),
+    )

@@ -339,3 +339,25 @@ def test_hash_split_per_doc_proportions_and_validation(spark):
         hash_split(df, splits=[("a", 0.5), ("b", 0.4)])
     with _pytest.raises(ValueError, match="duplicate"):
         hash_split(df, splits=[("a", 0.5), ("a", 0.5)])
+
+
+def test_corpus_report_counts_dups_and_entropy(spark):
+    import math
+
+    from cadastre_pg_spark.operators.corpus import corpus_report
+
+    text = "the cat and the dog sat on the mat today"
+    rows = [
+        (1, text, "en"), (2, text, "en"),       # one exact dup pair
+        (3, text + " x", "en"), (4, "le chat noir dort ici bien", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = corpus_report(df).collect()[0]
+    assert (r.n_docs, r.n_unique) == (4, 3)
+    assert r.dup_rate == 0.25
+    assert r.total_tokens == 10 + 10 + 11 + 6
+    # entropy of {en: 3, fr: 1} with micro-nat quantization
+    u = lambda n: round(math.log(n) * 1e6)
+    want = round((3 * (u(4) - u(3)) + 1 * (u(4) - u(1))) / 4 / 1e6, 6)
+    assert abs(r.lang_entropy - want) < 1e-9
+    assert 0.0 <= r.mean_quality <= 1.0
