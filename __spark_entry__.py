@@ -2191,6 +2191,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
 
 
+def q_keep_best(spark, sf_dir):
+    """Canonical selection closing the near-dup pipeline: cluster the
+    md5-mode minhash pair graph, then keep ONE survivor per cluster
+    (most whitespace tokens, ties by lowest doc_id). Oracle replays
+    the recursive-CTE clusters + the identical row_number rule."""
+    from cadastre_pg_spark.operators.dedup import keep_best
+
+    return keep_best(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-rule sessionization over events (30-min gap): one row per
     event with its 1-based per-user session index. Microsecond integer
@@ -2597,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
+        "keep_best": q_keep_best,
         "semdedup": q_semdedup,
         "dsir_logratio": q_dsir_logratio,
         "dsir_select": q_dsir_select,
@@ -3247,6 +3258,29 @@ def oracle_sql() -> dict[str, str]:
         # both are exact integers so the DOUBLE->BIGINT cast agrees
         # across engines (Spark truncates, DuckDB rounds — no fraction)
         "dedup_clusters": _dedup_clusters_sql_oracle(threshold=0.4),
+        "keep_best": rf"""
+            WITH cc AS MATERIALIZED (
+              {_dedup_clusters_sql_oracle(threshold=0.4)}
+            ),
+            j AS (
+              SELECT cc.cluster, cc.doc_id,
+                     CAST(len(regexp_split_to_array(trim(d.text), '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+            ),
+            r AS (
+              SELECT cluster, doc_id, n_tokens,
+                     CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                       AS n_docs,
+                     row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM j
+            )
+            SELECT cluster, doc_id AS survivor_id, n_docs,
+                   n_tokens AS survivor_tokens
+            FROM r WHERE rn = 1
+        """,
         "sessionize": """
             WITH e AS (
               SELECT user_id, event_id, ts,

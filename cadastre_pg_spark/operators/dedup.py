@@ -1169,3 +1169,54 @@ def minhash_calibration(
     out._skipped_buckets = skipped
     out._cadastre_cached = [ss]
     return out
+
+
+def keep_best(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Canonical selection — the step that CLOSES the near-dup pipeline
+    (pairs -> clusters -> keep ONE doc per cluster, drop the rest).
+    Returns one row per cluster: (cluster, survivor_id, n_docs,
+    survivor_tokens). Survivor rule: most whitespace tokens, ties by
+    lowest doc_id — deterministic, so the DuckDB twin replays it with
+    the identical row_number ordering.
+
+    Scale shape: the cluster table holds ONLY docs that appear in at
+    least one near-dup pair (a small fraction of the corpus), so the
+    token-count attach join and the per-cluster window both run over
+    pair-participant rows, never the full corpus; the two window
+    functions share one partition key (cluster) and plan into a single
+    exchange. The corpus-sized work is all inside minhash_lsh_pairs,
+    which is bucket-capped (`max_bucket`) and metered.
+    """
+    from pyspark.sql import Window
+
+    from .graph import dedup_clusters
+
+    cc = dedup_clusters(docs, threshold=threshold, hash_fn=hash_fn)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    j = cc.join(toks, "doc_id")
+    w_cl = Window.partitionBy("cluster")
+    w_rk = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    out = (
+        j.withColumn("n_docs", F.count(F.lit(1)).over(w_cl))
+        .withColumn("rn", F.row_number().over(w_rk))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").alias("survivor_tokens"),
+        )
+    )
+    out._cadastre_cached = getattr(cc, "_cadastre_cached", [])
+    return out

@@ -127,3 +127,35 @@ def test_funnel_steps_planted(spark):
     assert got[4] == (1, at(0), None, None)
     assert got[5] == (0, None, None, None)
     assert len(got) == 5
+
+
+def test_keep_best_planted(spark):
+    """Survivor rule: most tokens wins, ties break to lowest doc_id;
+    singletons (no near-dup pair) produce no row."""
+    from cadastre_pg_spark.operators.dedup import keep_best
+
+    base = " ".join(f"w{k}" for k in range(30))
+    longer = base + " extra"
+    rows = [
+        (5, base),            # cluster {5, 2, 7}: 2 is longest
+        (2, longer),
+        (7, base),
+        (9, " ".join(f"z{k}" for k in range(30))),  # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.cluster, r.survivor_id, r.n_docs, r.survivor_tokens)
+        for r in keep_best(docs, threshold=0.8).collect()
+    ]
+    assert got == [(2, 2, 3, 31)]
+
+
+def test_keep_best_tie_lowest_id(spark):
+    from cadastre_pg_spark.operators.dedup import keep_best
+
+    base = " ".join(f"w{k}" for k in range(30))
+    docs = spark.createDataFrame(
+        [(4, base), (3, base)], "doc_id long, text string"
+    )
+    got = keep_best(docs, threshold=0.8).collect()
+    assert [(r.survivor_id, r.n_docs) for r in got] == [(3, 2)]
