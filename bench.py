@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "topk_similarity",
     "label_centroids",
     "dedup_clusters",
+    "keep_best",
     "sessionize",
     "session_stats",
     "funnel_steps",
@@ -421,6 +422,34 @@ for name in {names!r}:
         df = interval_overlap_join(ivs, bucket_seconds=3600)
         n = df.count()
         t0 = t0s
+    elif name.startswith("__scale_text"):
+        # webtext-side N->4N scaling twin of "__scale:N": simhash
+        # fingerprints over N generated 20-token docs — tokenize,
+        # xxhash64, 32 conditional bit sums, doc repack. All codegen
+        # JVM arithmetic with a map-side partial agg (20 tokens -> 1
+        # row before the exchange), i.e. the compute shape of webtext
+        # dedup fingerprinting. Input partition count is FIXED (64) so
+        # both parallelism levels chew the identical task list.
+        # (surprisal was tried first and is census-JOIN-bound: 800M
+        # narrow rows through two exchanges measure memory bandwidth,
+        # not cores — 94k docs/s and sub-0.7 efficiency at any N)
+        n_docs = int(name.split(":")[1])
+        import pyspark.sql.functions as F
+        from cadastre_pg_spark.operators.dedup import simhash
+        key = F.col("id")
+        words = [
+            F.concat(F.lit("w"),
+                     F.pmod(key * F.lit(2654435761 + 97 * i),
+                            F.lit(9973)).cast("string"))
+            for i in range(20)
+        ]
+        docs = spark.range(0, n_docs, 1, 64).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *words).alias("text"))
+        t0 = time.time()
+        df = simhash(docs)
+        n = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("simhash").alias("s")).first()["n"]
     elif name.startswith("__scale"):
         # "__scale:N" broadcast path | "__scale_shuffle:N" forced
         # shuffle strategy + hot-cell salting (the >300k-parcel regime)
@@ -568,6 +597,36 @@ def main():
         else None
     )
 
+    # the same N->4N criterion on the WEBTEXT side (simhash
+    # fingerprints over generated docs: tokenize + hash + bit sums +
+    # doc repack) — best-of-reps per level, evidence the scaling claim
+    # is not spatial-join-specific
+    text_n = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_N", "40000000"))
+    text_job = f"__scale_text:{text_n}"
+    tx_lo_runs = [
+        r["times"][text_job]
+        for r in (
+            try_child(SCALE_LO, [text_job], SF_DIR, pin_cpus=True)
+            for _ in range(reps)
+        )
+        if r and r["times"].get(text_job) is not None
+    ]
+    tx_hi_runs = [
+        r["times"][text_job]
+        for r in (
+            try_child(SCALE_HI, [text_job], SF_DIR, pin_cpus=True)
+            for _ in range(reps)
+        )
+        if r and r["times"].get(text_job) is not None
+    ]
+    tx_lo = min(tx_lo_runs) if tx_lo_runs else None
+    tx_hi = min(tx_hi_runs) if tx_hi_runs else None
+    tx_eff = (
+        round((tx_lo / tx_hi) / (SCALE_HI / SCALE_LO), 3)
+        if tx_lo and tx_hi
+        else None
+    )
+
     # forced-shuffle strategy with hot-cell salting, recorded so the
     # skew machinery has a measured number, not just a test
     shuffle_n = int(os.environ.get("SPARK_GRAFT_SHUFFLE_N", "50000000"))
@@ -650,6 +709,14 @@ def main():
                     "sec_lo": t_lo,
                     "sec_hi": t_hi,
                     "efficiency": eff,
+                },
+                "scaling_text": {
+                    "cores_lo": SCALE_LO,
+                    "cores_hi": SCALE_HI,
+                    "docs": text_n,
+                    "sec_lo": tx_lo,
+                    "sec_hi": tx_hi,
+                    "efficiency": tx_eff,
                 },
                 "spatial_join_shuffle": {
                     "points": shuffle_n,
