@@ -998,6 +998,20 @@ def setsim_join(
     meet elsewhere. The census is a window count over the join's own
     partition key (one exchange, no driver collect). Default None ==
     exact PPJoin (the oracle form).
+
+    Verify fast path (measured gate, exactness preserved): the
+    expensive stage is array_intersect over millions of candidate
+    pairs, and intersecting struct<df,token> arrays is ~6x slower
+    than intersecting sorted BIGINT arrays (14.3 s vs 2.5 s at 3.3M
+    candidates). So each doc also carries `tset` =
+    sorted(xxhash64(token)) and verify intersects the hash arrays —
+    which equals the token intersection IFF xxhash64 is injective on
+    this corpus's vocabulary. That is CHECKED, not assumed: one
+    census-level aggregate compares count(distinct token) to
+    count(distinct xxhash64(token)) (a one-row collect over the
+    already-persisted census); on the measure-zero chance of a
+    collision the verify falls back to the struct arrays. Exact
+    either way.
     """
     tok = docs.select(
         F.col(doc_col).alias("id"),
@@ -1005,16 +1019,30 @@ def setsim_join(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("token"),
     )
-    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # census feeds the rarity join AND the injectivity gate — persist
+    # (one narrow row per distinct token)
+    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
+    hash_ok = bool(
+        census.agg(
+            (
+                F.count(F.lit(1)) == F.countDistinct(F.xxhash64("token"))
+            ).alias("ok")
+        ).collect()[0][0]
+    )
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("token")))
+        ).alias("toks")
+    ]
+    if hash_ok:
+        aggs.append(
+            F.array_sort(F.collect_list(F.xxhash64("token"))).alias("tset")
+        )
     ordered = (
         tok.join(census, "token")
         .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("token")))
-            ).alias("toks")
-        )
-        .select("id", "toks", F.size("toks").alias("s"))
+        .agg(*aggs)
+        .withColumn("s", F.size("toks"))
     )
     num, den = F.lit(threshold_num), F.lit(threshold_den)
     plen = (F.col("s") - F.ceil(num * F.col("s") / den) + F.lit(1)).cast("int")
@@ -1072,12 +1100,15 @@ def setsim_join(
     )
     # arrays attach AFTER pair dedup, keyed by id — AQE broadcasts the
     # doc-array side when it fits, sort-merge otherwise (both correct
-    # at any scale; the pair stream itself stays 4 narrow columns)
+    # at any scale; the pair stream itself stays 4 narrow columns).
+    # Verify on the BIGINT hash sets when the injectivity gate passed
+    # (~6x cheaper intersect), struct arrays otherwise.
+    vcol = "tset" if hash_ok else "toks"
     cand = pairs.join(
-        ordered.select(F.col("id").alias("a_id"), F.col("toks").alias("ta")),
+        ordered.select(F.col("id").alias("a_id"), F.col(vcol).alias("ta")),
         "a_id",
     ).join(
-        ordered.select(F.col("id").alias("b_id"), F.col("toks").alias("tb")),
+        ordered.select(F.col("id").alias("b_id"), F.col(vcol).alias("tb")),
         "b_id",
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
@@ -1092,7 +1123,7 @@ def setsim_join(
         uni.cast("long").alias("uni"),
         (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
     )
-    out._cadastre_cached = [ordered]  # release_cached(out) after action
+    out._cadastre_cached = [ordered, census]  # release_cached(out) after action
     out._skipped_buckets = skipped_buckets
     return out
 
