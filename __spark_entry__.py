@@ -2598,6 +2598,93 @@ def q_quantize_int8(spark, sf_dir):
     return quantize_int8(emb).drop("codes")
 
 
+TFIDF_K = 5
+# bbox for the Z-index range scan (inside the grid extents, off cell
+# boundaries) and its index level
+MRS_BBOX = (-1.0, 44.0, 2.0, 47.0)
+MRS_LEVEL = 6
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — idf quantized to integer
+    micro-nats once per distinct token, so score_u = tf * idf_u ranks
+    with exact integer arithmetic (ties broken by token string)."""
+    from cadastre_pg_spark.operators.textanalysis import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic between English and non-English
+    document-length distributions: integer cross-multiplied CDF gap
+    over the bounded value census, one closing division."""
+    from cadastre_pg_spark.operators.stats import ks_two_sample
+
+    docs = _docs(spark, sf_dir).withColumn("is_en", F.col("lang") == "en")
+    return ks_two_sample(docs, "n_chars", "is_en")
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles per language (md5
+    surprisal mode for the DuckDB twin); the cuts are Spark
+    `percentile` == DuckDB quantile_cont bitwise."""
+    from cadastre_pg_spark.operators.corpus import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), hash_fn="md5")
+
+
+def q_source_sketch_sim(spark, sf_dir):
+    """Pairwise source-level Jaccard estimates from one merged minhash
+    signature per source (md5 mode) — the corpus-overlap matrix
+    without any doc-vs-doc join."""
+    from cadastre_pg_spark.operators.sketches import group_minhash_sim
+
+    return group_minhash_sim(
+        _docs(spark, sf_dir), group_col="source", hash_fn="md5"
+    )
+
+
+def q_morton_range_scan(spark, sf_dir):
+    """Bbox scan through the Z-order index: literal merged Morton-code
+    ranges (driver-side, level-bounded cost) pre-filter the points,
+    then the exact bbox predicate — the oracle is the PLAIN bbox
+    filter, so equality proves the index cover lossless."""
+    from cadastre_pg_spark.functions.zorder import morton_col
+    from cadastre_pg_spark.kernels.cells import morton_ranges
+
+    lon0, lat0, lon1, lat1 = MRS_BBOX
+    ranges = morton_ranges(lon0, lat0, lon1, lat1, MRS_LEVEL)
+    # predicates must evaluate the interleave expression ONCE: an OR
+    # chain of per-range conjuncts inlines the full Morton expression
+    # per comparison (86 copies blew codegen past the heap); BETWEEN
+    # on the outer bounds + one InSet over the expanded cover cells
+    # each bind `z` a single time. The BETWEEN is the sargable rung a
+    # Z-clustered store prunes row groups with; the InSet is the exact
+    # cover membership (level-bounded size, like the ranges).
+    cells = [c for lo, hi in ranges for c in range(lo, hi + 1)]
+    docs = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("long")
+    pts = docs.select(
+        "doc_id",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    ).withColumn("z", morton_col(F.col("lon"), F.col("lat"), MRS_LEVEL))
+    return (
+        pts.where(
+            (F.col("z") >= F.lit(ranges[0][0]))
+            & (F.col("z") <= F.lit(ranges[-1][1]))
+            & F.col("z").isin(cells)
+        )
+        .where(
+            (F.col("lon") >= F.lit(lon0))
+            & (F.col("lon") <= F.lit(lon1))
+            & (F.col("lat") >= F.lit(lat0))
+            & (F.col("lat") <= F.lit(lat1))
+        )
+        .select("doc_id", "lon", "lat")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -2607,6 +2694,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
+        "tfidf_topk": q_tfidf_topk,
+        "ks_drift": q_ks_drift,
+        "ccnet_buckets": q_ccnet_buckets,
+        "source_sketch_sim": q_source_sketch_sim,
+        "morton_range_scan": q_morton_range_scan,
         "keep_best": q_keep_best,
         "semdedup": q_semdedup,
         "dsir_logratio": q_dsir_logratio,
@@ -2771,7 +2863,141 @@ def oracle_sql() -> dict[str, str]:
     lat = S.lat_sql("doc_id")
     cell = S.grid_cell_sql(lon, lat, LEVEL)
     cx, cy, hw, hh = S.parcel_box_sql("p.p_partkey")
+    sketch_mins = ", ".join(
+        f"CAST(min((h * {D._A[i]} + {D._B[i]}) % {D.MINHASH_PRIME}) AS BIGINT)"
+        f" AS m{i}"
+        for i in range(D.N_HASHES)
+    )
+    sketch_matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(D.N_HASHES)
+    )
+    mrs_lon0, mrs_lat0, mrs_lon1, mrs_lat1 = MRS_BBOX
     return {
+        # micro-nat idf once per distinct token; tf * idf_u exact
+        # BIGINT scores, rank ties broken by token string
+        "tfidf_topk": rf"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+            idf AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df,
+                     CAST(round(ln(CAST(nd AS DOUBLE)
+                                   / CAST(count(*) AS DOUBLE)) * 1e6, 0)
+                          AS BIGINT) AS idf_u
+              FROM tf, nd GROUP BY token, nd
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+                     tf.tf * idf.idf_u AS score_u,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf_u DESC, tf.token ASC
+                     ) AS rnk
+              FROM tf JOIN idf USING (token)
+            )
+            SELECT doc_id, token, tf, df, score_u,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM scored WHERE rnk <= {TFIDF_K}
+        """,
+        # integer cross-multiplied CDF gap over the bounded value
+        # census; the closing division is one IEEE op on exact ints
+        "ks_drift": """
+            WITH per AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ga
+              FROM documents
+            ),
+            census AS (
+              SELECT v, CAST(sum(ga) AS BIGINT) AS ca,
+                     CAST(sum(1 - ga) AS BIGINT) AS cb
+              FROM per GROUP BY v
+            ),
+            cum AS (
+              SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+              FROM census
+              WINDOW w AS (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            ),
+            tot AS (
+              SELECT CAST(sum(ga) AS BIGINT) AS n_a,
+                     CAST(sum(1 - ga) AS BIGINT) AS n_b
+              FROM per
+            )
+            SELECT n_a, n_b,
+                   CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                     AS d_cross,
+                   round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                         / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d
+            FROM cum, tot GROUP BY n_a, n_b
+        """,
+        # per-lang terciles of the md5-mode surprisal replay;
+        # quantile_cont == Spark percentile bitwise (parity note)
+        "ccnet_buckets": f"""
+            WITH wl AS (
+              SELECT d.doc_id, d.lang, sp.surprisal
+              FROM documents d JOIN ({_surprisal_sql_oracle()}) sp
+                USING (doc_id)
+            ),
+            cuts AS (
+              SELECT lang,
+                     quantile_cont(surprisal,
+                       CAST('{1.0 / 3.0!r}' AS DOUBLE)) AS t1,
+                     quantile_cont(surprisal,
+                       CAST('{2.0 / 3.0!r}' AS DOUBLE)) AS t2
+              FROM wl GROUP BY lang
+            )
+            SELECT doc_id, lang, surprisal,
+                   CASE WHEN surprisal <= t1 THEN 'head'
+                        WHEN surprisal <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM wl JOIN cuts USING (lang)
+        """,
+        # one merged md5-mode minhash signature per source (MIN per
+        # affine mix), pairwise equal-position counts; /32 is exact in
+        # binary so the 6 dp round is a no-op on both engines
+        "source_sketch_sim": rf"""
+            WITH tok AS (
+              SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            sh0 AS (
+              SELECT source,
+                     [array_to_string(t[i+1:i+3], ' ')
+                      for i in range(0, greatest(len(t) - 2, 0))] AS sg
+              FROM tok
+            ),
+            hx AS (
+              SELECT source,
+                     unnest(list_transform(list_transform(sg, s -> md5(s)),
+                                           m -> {_hex32_sql('m')})) AS h
+              FROM sh0 WHERE len(sg) > 0
+            ),
+            sigs AS (SELECT source, {sketch_mins} FROM hx GROUP BY source)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST({sketch_matches} AS BIGINT) AS matches,
+                   round(CAST({sketch_matches} AS DOUBLE)
+                         / CAST({D.N_HASHES} AS DOUBLE), 6) AS jaccard_est
+            FROM sigs a JOIN sigs b ON a.source < b.source
+        """,
+        # the PLAIN bbox filter — equality with the engine's Z-range
+        # index path proves the Morton cover lossless
+        "morton_range_scan": f"""
+            SELECT doc_id, {lon} AS lon, {lat} AS lat
+            FROM documents
+            WHERE {lon} >= CAST('{mrs_lon0!r}' AS DOUBLE)
+              AND {lon} <= CAST('{mrs_lon1!r}' AS DOUBLE)
+              AND {lat} >= CAST('{mrs_lat0!r}' AS DOUBLE)
+              AND {lat} <= CAST('{mrs_lat1!r}' AS DOUBLE)
+        """,
         "flagship_cell_join": f"""
             SELECT d.doc_id AS doc_id, p.p_partkey AS parcel_id
             FROM documents d, part p

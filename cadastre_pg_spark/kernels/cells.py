@@ -226,3 +226,32 @@ def hex_disk(cell, k: int):
     qq = q[:, None] + offs[None, :, 0]
     rr = r[:, None] + offs[None, :, 1]
     return hex_pack(qq, rr, int(res[0]) if res.size else 0)
+
+
+def morton_ranges(lon0, lat0, lon1, lat1, level: int = DEFAULT_LEVEL):
+    """Merged inclusive Z-code ranges [(lo, hi), ...] covering every
+    grid cell that intersects the bbox [lon0,lon1] x [lat0,lat1] —
+    the index-scan plan for Morton-clustered storage (the BIGMIN idea
+    precomputed: enumerate the rectangle's cells, sort their codes,
+    merge consecutive runs). Cost depends only on `level` (at most
+    4^level codes for the full grid), never on data size, so the
+    caller may hold the ranges driver-side as literal predicates.
+
+    Losslessness: grid_cell_xy's floor mapping is monotone in lon/lat,
+    so every point inside the bbox lands in a cell whose (ix, iy) lies
+    inside the corner cells' index rectangle — a range filter on these
+    codes plus the exact bbox predicate equals the plain bbox scan.
+    """
+    (ix0,), (iy0,) = grid_cell_xy(lon0, lat0, level)
+    (ix1,), (iy1,) = grid_cell_xy(lon1, lat1, level)
+    ixs = np.arange(min(ix0, ix1), max(ix0, ix1) + 1, dtype=np.uint64)
+    iys = np.arange(min(iy0, iy1), max(iy0, iy1) + 1, dtype=np.uint64)
+    gx, gy = np.meshgrid(ixs, iys)
+    codes = np.sort(
+        (_part1by1(gx.ravel()) | (_part1by1(gy.ravel()) << np.uint64(1)))
+        .astype(np.int64)
+    )
+    breaks = np.flatnonzero(np.diff(codes) > 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [codes.size - 1]))
+    return [(int(codes[s]), int(codes[e])) for s, e in zip(starts, ends)]

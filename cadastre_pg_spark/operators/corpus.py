@@ -765,3 +765,49 @@ def corpus_report(docs: DataFrame) -> DataFrame:
             6,
         ).alias("lang_entropy"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al.): split each
+    language's documents into head / middle / tail terciles of the
+    unigram-surprisal distribution — the standard "keep the fluent
+    third, inspect the middle, drop the tail" curation gate. Output
+    (doc_id, lang, surprisal, bucket).
+
+    Exactness: surprisal is the micro-nat-quantized operator
+    (textanalysis.surprisal); the tercile cuts are Spark `percentile`,
+    which matches DuckDB quantile_cont BITWISE (same linear
+    interpolation on sorted doubles — engine parity note in
+    CLAUDE.md), so the <=-comparisons bucket identically in both
+    engines with no rounding grid.
+
+    Scale shape (100 TB): surprisal is one token scan + census join +
+    per-doc aggregate; the cuts are a per-language aggregate whose
+    output is languages x 2 doubles — broadcast back onto the docs.
+    No global sort (percentile aggregates partial state per group)."""
+    from cadastre_pg_spark.operators.textanalysis import surprisal
+
+    sp = surprisal(docs, hash_fn=hash_fn).select("doc_id", "surprisal")
+    with_lang = docs.select("doc_id", "lang").join(sp, "doc_id")
+    cuts = with_lang.groupBy("lang").agg(
+        F.percentile(
+            F.col("surprisal"),
+            F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+        ).alias("qs")
+    ).select(
+        "lang", F.col("qs")[0].alias("t1"), F.col("qs")[1].alias("t2")
+    )
+    return (
+        with_lang.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "surprisal",
+            F.when(F.col("surprisal") <= F.col("t1"), F.lit("head"))
+            .when(F.col("surprisal") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

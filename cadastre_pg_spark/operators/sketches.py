@@ -510,3 +510,67 @@ def heavy_hitters(
     )
     out._cadastre_cached = [toks]  # release_cached(out) after the action
     return out
+
+
+def group_minhash_sim(
+    docs: DataFrame,
+    group_col: str = "source",
+    n_shingle: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise corpus-level similarity matrix between GROUPS of
+    documents (sources / hosts / snapshots) via one merged minhash
+    signature per group — "how much does crawl source A overlap source
+    B" without ever joining documents against documents. Output one
+    row per unordered group pair: (src_a, src_b, matches,
+    jaccard_est) with jaccard_est = matches / N_HASHES (the unbiased
+    single-division estimate of the Jaccard similarity of the two
+    groups' UNION shingle sets).
+
+    Why mergeable: a group's signature position i is min over all its
+    docs' shingles of mix_i(h) — a plain MIN aggregate, so it
+    partial-aggregates map-side and the one exchange carries
+    |groups| x N_HASHES longs no matter how many documents flow in
+    (the sketch property that makes this a 100-TB operator). The pair
+    grid is |groups|^2 — bounded by group cardinality, not corpus
+    size — built from a broadcast self-join.
+
+    Estimator exactness: mixes are the dedup module's affine family
+    over 32-bit hashes (xxhash64 for speed; 'md5' for the
+    SQL-replayable oracle) — deterministic, so the DuckDB twin
+    reproduces every signature bit-for-bit."""
+    from .dedup import MINHASH_PRIME, N_HASHES, _A, _B, shingles
+
+    ex = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(shingles(F.col("text"), n_shingle)).alias("s"),
+    ).select("grp", shingle_hash32(F.col("s"), hash_fn).alias("h"))
+    sigs = ex.groupBy("grp").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("h") * F.lit(_A[i]) + F.lit(_B[i]),
+                    F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
+    a = sigs.select(F.col("grp").alias("src_a"), sig_arr.alias("sa"))
+    b = sigs.select(F.col("grp").alias("src_b"), sig_arr.alias("sb"))
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            matches.cast("long").alias("matches"),
+            F.round(
+                matches.cast("double") / F.lit(float(N_HASHES)), 6
+            ).alias("jaccard_est"),
+        )
+    )

@@ -741,3 +741,67 @@ def novelty_score(
             6,
         ).alias("novelty"),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword /
+    representative-term extraction step (feature selection for corpus
+    clustering, index-term picking). Output one row per kept term:
+    (doc_id, token, tf, df, score_u, rnk), rnk 1..k ordered by
+    score_u desc then token asc.
+
+    Numeric rule: idf is taken ONCE PER DISTINCT TOKEN on the census
+    and quantized to integer micro-nats (round(ln(N/df)*1e6) BIGINT —
+    the collocations/surprisal quantizer), so score_u = tf * idf_u is
+    EXACT integer arithmetic and the per-doc ranking has no float
+    ties — the DuckDB twin replays it bit-for-bit.
+
+    Scale shape (100 TB): two hash aggregates with map-side partials
+    — (doc, token) term counts, then the vocabulary-sized token
+    census; N arrives as a broadcast one-row cross join (no collect);
+    idf attaches by a token equi-join (vocabulary build side — AQE
+    broadcasts when it fits); the final top-k is a per-doc window over
+    each document's own DISTINCT terms (bounded by doc length, never
+    corpus-sized partitions)."""
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("df").cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("idf_u"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("idf_u")).alias("score_u"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.lit(k))
+        .select(
+            "doc_id", "token", "tf", "df", "score_u",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Round-4 second-batch operators: tfidf_topk, ks_two_sample,
+perplexity_buckets, group_minhash_sim, morton_ranges. Oracle parity is
+covered by test_driver_contract's registry parametrization; these are
+the behavioral/property tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_CORRECT
+
+from cadastre_pg_spark.kernels import cells as C
+
+
+# ------------------------------------------------------- morton_ranges ----
+
+
+def test_morton_ranges_cover_equals_rect():
+    """The merged ranges expand to exactly the rectangle's cell codes,
+    sorted, with no overlaps and maximal merging."""
+    level = 6
+    lon0, lat0, lon1, lat1 = -1.0, 44.0, 2.0, 47.0
+    ranges = C.morton_ranges(lon0, lat0, lon1, lat1, level)
+    (ix0,), (iy0,) = C.grid_cell_xy(lon0, lat0, level)
+    (ix1,), (iy1,) = C.grid_cell_xy(lon1, lat1, level)
+    gx, gy = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.uint64),
+        np.arange(iy0, iy1 + 1, dtype=np.uint64),
+    )
+    want = np.sort(
+        (
+            C._part1by1(gx.ravel())
+            | (C._part1by1(gy.ravel()) << np.uint64(1))
+        ).astype(np.int64)
+    )
+    got = np.concatenate(
+        [np.arange(lo, hi + 1, dtype=np.int64) for lo, hi in ranges]
+    )
+    assert np.array_equal(got, want)
+    # merged: consecutive ranges never touch
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo2 > hi + 1
+
+
+def test_morton_ranges_lossless_on_random_points():
+    """Every point inside the bbox lands in a covered code — the
+    index filter drops nothing (the oracle-equality claim, replayed
+    as a kernel property on random draws)."""
+    rng = np.random.default_rng(7)
+    level = 6
+    lon0, lat0, lon1, lat1 = -1.0, 44.0, 2.0, 47.0
+    lon = rng.uniform(lon0, lon1, 5000)
+    lat = rng.uniform(lat0, lat1, 5000)
+    z = C.morton_cell(lon, lat, level)
+    ranges = C.morton_ranges(lon0, lat0, lon1, lat1, level)
+    inside = np.zeros(z.shape, dtype=bool)
+    for lo, hi in ranges:
+        inside |= (z >= lo) & (z <= hi)
+    assert inside.all()
+
+
+# -------------------------------------------------------- ks_two_sample ----
+
+
+def test_ks_two_sample_hand_case(spark):
+    """Tiny case checked by hand: A = {1,2,3}, B = {2,4}. Pooled CDF
+    gaps (x n_a*n_b = 6): v=1 -> |1*2-0*3|=2, v=2 -> |2*2-1*3|=1,
+    v=3 -> |3*2-1*3|=3, v=4 -> |3*2-2*3|=0. D = 3/6 = 0.5."""
+    from cadastre_pg_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (3, True), (2, False), (4, False)],
+        "v int, fa boolean",
+    )
+    row = ks_two_sample(df, "v", "fa").collect()[0]
+    assert (row.n_a, row.n_b, row.d_cross) == (3, 2, 3)
+    assert row.ks_d == 0.5
+
+
+def test_ks_two_sample_identical_groups_zero(spark):
+    from cadastre_pg_spark.operators.stats import ks_two_sample
+
+    rows = [(v, flag) for v in (1, 2, 3, 4) for flag in (True, False)]
+    df = spark.createDataFrame(rows, "v int, fa boolean")
+    row = ks_two_sample(df, "v", "fa").collect()[0]
+    assert row.d_cross == 0 and row.ks_d == 0.0
+
+
+# --------------------------------------------------- perplexity_buckets ----
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Per language the three buckets are non-empty and balanced to
+    within the interpolation boundary (max-min <= 2 docs), and every
+    doc is bucketed exactly once."""
+    from cadastre_pg_spark.operators.corpus import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    out = perplexity_buckets(docs, hash_fn="md5")
+    assert out.count() == docs.count()
+    per = {
+        (r.lang, r.bucket): r.n
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    langs = {l for l, _ in per}
+    for lang in langs:
+        counts = [per.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert min(counts) > 0, (lang, counts)
+        assert max(counts) - min(counts) <= 2, (lang, counts)
+
+
+# ---------------------------------------------------- group_minhash_sim ----
+
+
+def test_group_minhash_sim_identical_groups(spark):
+    """Two groups holding the same texts sketch identically: all 32
+    positions match, estimate 1.0; a disjoint-vocabulary third group
+    matches neither (estimate ~0)."""
+    from cadastre_pg_spark.operators.dedup import N_HASHES
+    from cadastre_pg_spark.operators.sketches import group_minhash_sim
+
+    texts = ["a b c d e f", "g h i j k l", "m n o p q r"]
+    rows = [(i, t, "g1") for i, t in enumerate(texts)]
+    rows += [(10 + i, t, "g2") for i, t in enumerate(texts)]
+    rows += [(20 + i, t.upper(), "g3") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.src_a, r.src_b): r
+        for r in group_minhash_sim(docs, "source").collect()
+    }
+    assert out[("g1", "g2")].matches == N_HASHES
+    assert out[("g1", "g2")].jaccard_est == 1.0
+    assert out[("g1", "g3")].matches <= 2  # chance collisions only
+    assert out[("g2", "g3")].matches <= 2
+
+
+# ----------------------------------------------------------- tfidf_topk ----
+
+
+def test_tfidf_topk_tiny_corpus(spark):
+    """Hand corpus: 'rare' appears in one doc, 'common' in all —
+    rare outranks common everywhere it occurs; rnk is dense 1..k per
+    doc over the doc's distinct terms."""
+    from cadastre_pg_spark.operators.textanalysis import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common other"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    rows = {(r.doc_id, r.rnk): r for r in out.collect()}
+    assert rows[(1, 1)].token == "rare"
+    assert rows[(1, 2)].token == "common"  # idf 0 but tf 2 beats nothing else
+    # doc 2: other (df 2) outranks common (idf 0)
+    assert rows[(2, 1)].token == "other"
+    # per-doc rnk is 1..min(k, n_terms) with no gaps
+    for d in (1, 2, 3):
+        rnks = sorted(r for (doc, r) in rows if doc == d)
+        assert rnks == list(range(1, len(rnks) + 1))
