@@ -2685,6 +2685,54 @@ def q_morton_range_scan(spark, sf_dir):
     )
 
 
+CONT_NUM, CONT_DEN = 8, 10
+
+
+def q_containment(spark, sf_dir):
+    """Exact asymmetric containment self-join at |AnB|/|A| >= 0.8 via
+    the lossless rarest-prefix-vs-full-posting variant of ppjoin; the
+    brute-force oracle proves the asymmetric prefix drops nothing."""
+    from cadastre_pg_spark.operators.dedup import containment_join
+
+    return containment_join(
+        _docs(spark, sf_dir), threshold_num=CONT_NUM, threshold_den=CONT_DEN
+    )
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot-over-snapshot content diff: the 'new crawl' is a
+    deterministic mutation of the corpus (10% deleted, 10% text-
+    appended, 10% cloned under new ids) and the delta is counted per
+    (source, status) over sha-narrow full-outer id join."""
+    from cadastre_pg_spark.operators.corpus import snapshot_delta
+
+    base = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mod = F.pmod(F.col("doc_id"), F.lit(10))
+    changed = base.where(mod != 0).withColumn(
+        "text",
+        F.when(mod == 1, F.concat(F.col("text"), F.lit(" upd"))).otherwise(
+            F.col("text")
+        ),
+    )
+    adds = base.where(mod == 2).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    return snapshot_delta(base, changed.unionByName(adds))
+
+
+def q_skew_report(spark, sf_dir):
+    """Shuffle-key concentration probe over the corpus token stream —
+    exact HHI from integer count squares, one closing division."""
+    from cadastre_pg_spark.operators.stats import skew_report
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return skew_report(tok, "token")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -2694,6 +2742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
+        "containment_pairs": q_containment,
+        "crawl_delta": q_crawl_delta,
+        "skew_report": q_skew_report,
         "tfidf_topk": q_tfidf_topk,
         "ks_drift": q_ks_drift,
         "ccnet_buckets": q_ccnet_buckets,
@@ -2874,6 +2925,76 @@ def oracle_sql() -> dict[str, str]:
     )
     mrs_lon0, mrs_lat0, mrs_lon1, mrs_lat1 = MRS_BBOX
     return {
+        # brute-force containment over distinct-token sets — equality
+        # proves the asymmetric rarest-prefix candidates lossless
+        "containment_pairs": rf"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+'))
+                       AS ts
+              FROM documents
+            ),
+            pr AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+                     CAST(len(a.ts) AS BIGINT) AS size_a,
+                     CAST(len(b.ts) AS BIGINT) AS size_b
+              FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+            )
+            SELECT a_id, b_id, inter, size_a, size_b,
+                   CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE)
+                     AS containment
+            FROM pr WHERE {CONT_DEN} * inter >= {CONT_NUM} * size_a
+        """,
+        # text-equality diff of the deterministically mutated snapshot
+        # (sha equality on the engine side == text equality here)
+        "crawl_delta": """
+            WITH o AS (
+              SELECT doc_id AS id, text AS otext, source AS oattr
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 10 = 1 THEN text || ' upd'
+                          ELSE text END AS ntext,
+                     source AS nattr
+              FROM documents WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS id, text AS ntext,
+                     source AS nattr
+              FROM documents WHERE doc_id % 10 = 2
+            ),
+            j AS (
+              SELECT coalesce(n.nattr, o.oattr) AS grp,
+                     CASE WHEN o.id IS NULL THEN 'added'
+                          WHEN n.id IS NULL THEN 'removed'
+                          WHEN o.otext <> n.ntext THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM o FULL OUTER JOIN n ON o.id = n.id
+            )
+            SELECT grp, status, CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY grp, status
+        """,
+        # exact integer count squares; hhi is one division; max_key is
+        # the smallest key at max_count (deterministic tie-break)
+        "skew_report": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS k
+              FROM documents
+            ),
+            counts AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY k
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_count,
+                   (SELECT min(k) FROM counts
+                    WHERE c = (SELECT max(c) FROM counts)) AS max_key,
+                   CAST(sum(c * c) AS BIGINT) AS sum_sq,
+                   CAST(sum(c * c) AS DOUBLE)
+                     / CAST(sum(c) * sum(c) AS DOUBLE) AS hhi
+            FROM counts
+        """,
         # micro-nat idf once per distinct token; tf * idf_u exact
         # BIGINT scores, rank ties broken by token string
         "tfidf_topk": rf"""

@@ -811,3 +811,52 @@ def perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    attr_col: str = "source",
+) -> DataFrame:
+    """Crawl-to-crawl content diff: per (attr, status) counts of
+    added / removed / changed / same documents between two corpus
+    snapshots — the first report a rolling-crawl pipeline produces
+    before deciding what to re-process. Status by id presence and
+    content hash: ids only in `new` are added, only in `old` removed,
+    in both with differing sha256(text) changed, else same. Output
+    (grp, status, n) — removed rows attribute to the OLD side's attr,
+    everything else to the new side's.
+
+    Scale shape (100 TB): both snapshots project to (id, sha, attr)
+    BEFORE the join, so the full-outer equi-join on id ships 64-hex
+    digests, never document bodies (the exact_dedup narrow-key rule);
+    the result is one (attr, status) hash aggregate with map-side
+    partials. At scale both sides are id-bucketed parquet, so the
+    join is co-located and shuffle-free."""
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col), 256).alias("osha"),
+        F.col(attr_col).alias("oattr"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col), 256).alias("nsha"),
+        F.col(attr_col).alias("nattr"),
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("osha").isNull(), F.lit("added"))
+        .when(F.col("nsha").isNull(), F.lit("removed"))
+        .when(F.col("osha") != F.col("nsha"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("nattr"), F.col("oattr")).alias("grp"),
+            status.alias("status"),
+        )
+        .groupBy("grp", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -951,6 +951,51 @@ def fuzzy_pairs(
     return out
 
 
+def _rarity_ordered(docs: DataFrame, doc_col: str, text_col: str):
+    """Shared candidate-generation base of the prefix-filter family
+    (setsim_join, containment_join): (census, ordered, hash_ok).
+
+    census: persisted (token, df) document-frequency table — feeds the
+    rarity join and the verify fast path's injectivity gate.
+    ordered: per doc (id, toks sorted rarest-first as struct<df,token>
+    [, tset sorted xxhash64 BIGINTs when hash_ok], s = |distinct
+    tokens|). NOT yet persisted (callers persist per their plan).
+    hash_ok: whether xxhash64 is injective on this corpus's vocabulary
+    (checked with one one-row aggregate over the persisted census) —
+    when true, verify may intersect the BIGINT hash arrays (~6x
+    cheaper than struct arrays) with output provably identical."""
+    tok = docs.select(
+        F.col(doc_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
+    hash_ok = bool(
+        census.agg(
+            (
+                F.count(F.lit(1)) == F.countDistinct(F.xxhash64("token"))
+            ).alias("ok")
+        ).collect()[0][0]
+    )
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("token")))
+        ).alias("toks")
+    ]
+    if hash_ok:
+        aggs.append(
+            F.array_sort(F.collect_list(F.xxhash64("token"))).alias("tset")
+        )
+    ordered = (
+        tok.join(census, "token")
+        .groupBy("id")
+        .agg(*aggs)
+        .withColumn("s", F.size("toks"))
+    )
+    return census, ordered, hash_ok
+
+
 def setsim_join(
     docs: DataFrame,
     threshold_num: int = 9,
@@ -1013,37 +1058,7 @@ def setsim_join(
     collision the verify falls back to the struct arrays. Exact
     either way.
     """
-    tok = docs.select(
-        F.col(doc_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("token"),
-    )
-    # census feeds the rarity join AND the injectivity gate — persist
-    # (one narrow row per distinct token)
-    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
-    hash_ok = bool(
-        census.agg(
-            (
-                F.count(F.lit(1)) == F.countDistinct(F.xxhash64("token"))
-            ).alias("ok")
-        ).collect()[0][0]
-    )
-    aggs = [
-        F.array_sort(
-            F.collect_list(F.struct(F.col("df"), F.col("token")))
-        ).alias("toks")
-    ]
-    if hash_ok:
-        aggs.append(
-            F.array_sort(F.collect_list(F.xxhash64("token"))).alias("tset")
-        )
-    ordered = (
-        tok.join(census, "token")
-        .groupBy("id")
-        .agg(*aggs)
-        .withColumn("s", F.size("toks"))
-    )
+    census, ordered, hash_ok = _rarity_ordered(docs, doc_col, text_col)
     num, den = F.lit(threshold_num), F.lit(threshold_den)
     plen = (F.col("s") - F.ceil(num * F.col("s") / den) + F.lit(1)).cast("int")
     # ordered feeds the prefix explode AND both verify-side array
@@ -1122,6 +1137,104 @@ def setsim_join(
         F.col("inter").cast("long").alias("inter"),
         uni.cast("long").alias("uni"),
         (F.col("inter").cast("double") / uni.cast("double")).alias("jaccard"),
+    )
+    out._cadastre_cached = [ordered, census]  # release_cached(out) after action
+    out._skipped_buckets = skipped_buckets
+    return out
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact ASYMMETRIC set-containment self-join: all ordered pairs
+    (a, b), a != b, with |A n B| / |A| >= t over distinct-token sets —
+    the "document a is (mostly) contained in document b" relation that
+    catches quoted/subsumed/expanded pages, which symmetric Jaccard
+    misses when |B| >> |A| (a 50-token quote inside a 5000-token page
+    has Jaccard ~0.01 but containment 1.0). Output (a_id, b_id, inter,
+    size_a, size_b, containment), containment = one closing division
+    of exact integers.
+
+    Lossless prefix (the asymmetric ppjoin variant): only the
+    CONTAINED side posts a prefix — A's first |A| - ceil(t*|A|) + 1
+    rarest tokens must include a shared token when containment >= t
+    (pigeonhole: |A \\ B| <= |A| - ceil(t*|A|) < prefix length); the
+    container side posts ALL its tokens (containment puts no bound on
+    B's share). At the pair's rarest shared token no shared token
+    precedes it on EITHER side (both orders are the same global
+    rarity), so o <= min(sa - pa, sb - pb) — the positional filter —
+    and den*sb >= num*sa prunes containers too small to hold the
+    threshold. Verify reuses the injectivity-gated BIGINT-array
+    intersect; pair grid stays ids + ints (the setsim narrow-grid
+    rule); `max_bucket` caps posting-token buckets with the standard
+    `_skipped_buckets` metric (default None == exact, the oracle
+    form).
+
+    Scale shape: the b side posting all tokens is the operator's
+    honest cost — it is the inverted index a containment join needs;
+    the a side's prefix keeps the candidate grid bounded by rarity.
+    """
+    census, ordered, hash_ok = _rarity_ordered(docs, doc_col, text_col)
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    plen = (F.col("s") - F.ceil(num * F.col("s") / den) + F.lit(1)).cast("int")
+    ordered = ordered.persist()
+    a = ordered.select(
+        F.col("id").alias("a_id"),
+        F.col("s").alias("sa"),
+        F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias("pa", "p"),
+    ).select("a_id", "sa", "pa", F.col("p.token").alias("ptok"))
+    b = ordered.select(
+        F.col("id").alias("b_id"),
+        F.col("s").alias("sb"),
+        F.posexplode(F.col("toks")).alias("pb", "p"),
+    ).select("b_id", "sb", "pb", F.col("p.token").alias("ptok"))
+    skipped_buckets = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w_tok = Window.partitionBy("ptok")
+        sized = b.withColumn("bn", F.count(F.lit(1)).over(w_tok))
+        skipped_buckets = (
+            sized.filter(F.col("bn") > max_bucket)
+            .select("ptok", F.col("bn").alias("n"))
+            .distinct()
+        )
+        b = sized.filter(F.col("bn") <= max_bucket).drop("bn")
+    ubound = F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+    pairs = (
+        a.join(b, "ptok")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(den * F.col("sb") >= num * F.col("sa"))
+        .where(den * ubound >= num * F.col("sa"))
+        .groupBy("a_id", "b_id")
+        .agg(F.min("sa").alias("sa"), F.min("sb").alias("sb"))
+    )
+    vcol = "tset" if hash_ok else "toks"
+    cand = pairs.join(
+        ordered.select(F.col("id").alias("a_id"), F.col(vcol).alias("ta")),
+        "a_id",
+    ).join(
+        ordered.select(F.col("id").alias("b_id"), F.col(vcol).alias("tb")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    withi = cand.select(
+        "a_id", "b_id", "sa", "sb", inter.alias("inter")
+    ).where(den * F.col("inter") >= num * F.col("sa"))
+    out = withi.select(
+        "a_id",
+        "b_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sa").cast("long").alias("size_a"),
+        F.col("sb").cast("long").alias("size_b"),
+        (F.col("inter").cast("double") / F.col("sa").cast("double")).alias(
+            "containment"
+        ),
     )
     out._cadastre_cached = [ordered, census]  # release_cached(out) after action
     out._skipped_buckets = skipped_buckets

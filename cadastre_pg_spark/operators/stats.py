@@ -752,3 +752,40 @@ def ks_two_sample(
             ).alias("ks_d"),
         )
     )
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row shuffle-key concentration probe — the diagnostic to run
+    BEFORE a big join or aggregation on `key_col` decides its strategy
+    (salt? broadcast? AQE skew split?): (n_rows, n_keys, max_count,
+    max_key, sum_sq, hhi) where hhi is the Herfindahl concentration
+    index sum((c_i/N)^2) == sum_sq / N^2 — ONE division of exact
+    integers (exact while N < ~3e9; past that the per-key counts
+    themselves need a sketch). max_key is the smallest key among those
+    at max_count (deterministic tie-break via a struct min over
+    (-count, key)).
+
+    Scale shape: one hash aggregate by key with map-side partials,
+    then a one-row rollup of the key census. Nothing else shuffles."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("k").alias("k")))
+        .getField("k")
+        .alias("max_key"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "max_key",
+        "sum_sq",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("n_rows") * F.col("n_rows")).cast("double")
+        ).alias("hhi"),
+    )

@@ -66,6 +66,9 @@ SKIP_AT_SF = {
     # ~12.5M pairs at sf0.1 exceeds the sweep window; the operator is
     # exact-held by sf0.01 hash equality + the brute-force pytest
     ("setsim", "0.1"): "oracle is O(n^2) brute force; sf0.01-graded",
+    ("containment_pairs", "0.1"): (
+        "oracle is O(n^2) brute force; sf0.01-graded"
+    ),
 }
 
 

@@ -163,3 +163,112 @@ def test_tfidf_topk_tiny_corpus(spark):
     for d in (1, 2, 3):
         rnks = sorted(r for (doc, r) in rows if doc == d)
         assert rnks == list(range(1, len(rnks) + 1))
+
+
+# ----------------------------------------------------- containment_join ----
+
+
+def _brute_containment(rows, num, den):
+    out = set()
+    sets = {i: set(t.split()) for i, t in rows}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and den * len(sa & sb) >= num * len(sa):
+                out.add((a, b, len(sa & sb), len(sa), len(sb)))
+    return out
+
+
+def test_containment_equals_brute_force(spark):
+    """Lossless asymmetric prefix: engine pairs == all-pairs brute
+    force on a corpus with quotes-inside-pages, supersets, disjoint
+    docs and exact twins."""
+    from cadastre_pg_spark.operators.dedup import containment_join
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma delta epsilon"),  # twin of 1
+        (4, "zeta eta theta"),
+        (5, "completely different words here now"),
+        (6, "alpha beta"),
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_join(docs, 8, 10)
+    pairs = {
+        (r.a_id, r.b_id, r.inter, r.size_a, r.size_b) for r in got.collect()
+    }
+    release_cached(got)
+    assert pairs == _brute_containment(rows, 8, 10)
+
+
+def test_containment_bucket_cap_reports_skips(spark):
+    """With max_bucket set on a shared-token corpus, skipped posting
+    buckets are reported, never silent."""
+    from cadastre_pg_spark.operators.dedup import containment_join
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    rows = [(i, f"shared u{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_join(docs, 8, 10, max_bucket=8)
+    n = got.count()
+    skipped = {r.ptok for r in got._skipped_buckets.collect()}
+    release_cached(got)
+    assert "shared" in skipped
+    assert n == 0  # every pair met only at the capped token
+
+
+# ------------------------------------------------------- snapshot_delta ----
+
+
+def test_snapshot_delta_hand_case(spark):
+    from cadastre_pg_spark.operators.corpus import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s"), (3, "c", "s")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s"), (3, "cc", "s"), (4, "d", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.grp, r.status): r.n
+        for r in snapshot_delta(old, new).collect()
+    }
+    assert got == {
+        ("s", "removed"): 1,
+        ("s", "same"): 1,
+        ("s", "changed"): 1,
+        ("s", "added"): 1,
+    }
+
+
+# ---------------------------------------------------------- skew_report ----
+
+
+def test_skew_report_hand_case(spark):
+    from cadastre_pg_spark.operators.stats import skew_report
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",), ("c",), ("z",)],
+        "k string",
+    )
+    row = skew_report(df, "k").collect()[0]
+    assert (row.n_rows, row.n_keys, row.max_count, row.max_key) == (
+        7, 4, 3, "a",
+    )
+    assert row.sum_sq == 9 + 1 + 4 + 1
+    assert row.hhi == 15 / 49
+
+
+def test_skew_report_max_key_tie_breaks_smallest(spark):
+    from cadastre_pg_spark.operators.stats import skew_report
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "k string"
+    )
+    row = skew_report(df, "k").collect()[0]
+    assert row.max_count == 2 and row.max_key == "a"
