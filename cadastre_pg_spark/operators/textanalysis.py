@@ -708,19 +708,32 @@ def novelty_score(
     per-doc distinct n-gram hashes explode to narrow (doc_id, h) rows;
     the first-seen census is a map-side-partial min on the 8-byte
     hash; one join back on h (Zipf-skewed boilerplate keys — AQE
-    skew-join shape); one final doc_id aggregate. No Python."""
-    from cadastre_pg_spark.operators.dedup import shingle_hash32, shingles
+    skew-join shape); one final doc_id aggregate. No Python.
 
-    ex = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("text"), n_shingle),
-                    lambda s: shingle_hash32(s, hash_fn),
-                )
-            )
-        ).alias("h"),
+    Construction note: n-grams come from arrays_zip over n shifted
+    slices + explode + codegen concat/hash — NOT transform(shingles())
+    with the hash inside the lambda: Catalyst HOF lambdas are
+    INTERPRETED (playbook), and since this frame feeds two consumers
+    the interpreted pass ran twice (8.4 s steady at sf0.1 vs 1.6 s for
+    this shape, identical output). The per-(doc, h) dedup is one extra
+    narrow 16-byte-row exchange instead of in-row array_distinct —
+    the right trade once hashing is codegen."""
+    from cadastre_pg_spark.operators.dedup import shingle_hash32
+
+    n = n_shingle
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= n)
+    k = F.size("t") - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("t"), i + 1, k).alias(f"w{i}") for i in range(n)]
+    )
+    sg = F.concat_ws(" ", *[F.col(f"p.w{i}") for i in range(n)])
+    ex = (
+        base.select("doc_id", F.explode(zipped).alias("p"))
+        .select("doc_id", shingle_hash32(sg, hash_fn).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.lit(1))
+        .select("doc_id", "h")
     )
     first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     per = (
