@@ -2686,6 +2686,32 @@ def q_morton_range_scan(spark, sf_dir):
 
 
 CONT_NUM, CONT_DEN = 8, 10
+WINNOW_K, WINNOW_W = 4, 4
+WINNOW_MIN_SHARED, WINNOW_MAX_BUCKET = 2, 512
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection per document — integer
+    (hash<<20|pos) window minima, md5 mode for the DuckDB twin."""
+    from cadastre_pg_spark.operators.dedup import winnowing
+
+    return winnowing(_docs(spark, sf_dir), WINNOW_K, WINNOW_W, hash_fn="md5")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Local-overlap candidate pairs from shared winnowing
+    fingerprints, capped boilerplate buckets (identical cap replay in
+    the oracle)."""
+    from cadastre_pg_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir),
+        WINNOW_K,
+        WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_bucket=WINNOW_MAX_BUCKET,
+        hash_fn="md5",
+    )
 
 
 def q_containment(spark, sf_dir):
@@ -2742,6 +2768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
+        "winnowing": q_winnowing,
+        "winnow_pairs": q_winnow_pairs,
         "containment_pairs": q_containment,
         "crawl_delta": q_crawl_delta,
         "skew_report": q_skew_report,
@@ -2907,6 +2935,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracles
 
 
+def _winnow_sql_ctes() -> str:
+    """Independent replay of dedup.winnowing (md5 mode) up to
+    fp(doc_id, fpos, fph): k-gram md5-prefix hashes with 0-based
+    positions, (hash << 20 | pos) integer packing, per-doc rolling
+    window MIN, full-window filter, DISTINCT selection."""
+    k, w = WINNOW_K, WINNOW_W
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        sg AS (
+          SELECT doc_id,
+                 [array_to_string(t[i+1:i+{k}], ' ')
+                  for i in range(0, greatest(len(t) - {k - 1}, 0))] AS sg
+          FROM tok WHERE len(t) >= {k + w - 1}
+        ),
+        kg AS (
+          SELECT doc_id,
+                 CAST(unnest(generate_series(0, len(sg) - 1)) AS BIGINT)
+                   AS pos,
+                 unnest(list_transform(sg, s -> md5(s))) AS m
+          FROM sg
+        ),
+        keyed AS (
+          SELECT doc_id, pos, ({_hex32_sql('m')} << 20) + pos AS key
+          FROM kg
+        ),
+        win AS (
+          SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                         AND {w - 1} FOLLOWING) AS mn,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+          FROM keyed
+        ),
+        fp AS (
+          SELECT DISTINCT doc_id,
+                 CAST(mn & {(1 << 20) - 1} AS BIGINT) AS fpos,
+                 CAST(mn >> 20 AS BIGINT) AS fph
+          FROM win WHERE pos <= m - {w}
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from cadastre_pg_spark.functions.hexsql import hex_cell_sql
 
@@ -2925,6 +2998,27 @@ def oracle_sql() -> dict[str, str]:
     )
     mrs_lon0, mrs_lat0, mrs_lon1, mrs_lat1 = MRS_BBOX
     return {
+        # MOSS winnowing selection replay: integer-packed window minima
+        "winnowing": _winnow_sql_ctes()
+        + """
+            SELECT doc_id, fpos, fph FROM fp
+        """,
+        # fingerprint-bucket pair counts with the identical bucket cap
+        "winnow_pairs": _winnow_sql_ctes()
+        + f"""
+            , fps AS (SELECT DISTINCT doc_id, fph FROM fp),
+            sizes AS (SELECT fph, count(*) AS n FROM fps GROUP BY fph),
+            ok AS (
+              SELECT f.doc_id, f.fph FROM fps f
+              JOIN sizes s USING (fph) WHERE s.n <= {WINNOW_MAX_BUCKET}
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM ok a JOIN ok b
+              ON a.fph = b.fph AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= {WINNOW_MIN_SHARED}
+        """,
         # brute-force containment over distinct-token sets — equality
         # proves the asymmetric rarest-prefix candidates lossless
         "containment_pairs": rf"""

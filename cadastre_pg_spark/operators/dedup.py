@@ -1364,3 +1364,116 @@ def keep_best(
     )
     out._cadastre_cached = getattr(cc, "_cadastre_cached", [])
     return out
+
+
+def winnowing(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): per doc the DISTINCT set of selected k-gram
+    hashes -> (doc_id, fpos, fph). From every window of `w`
+    consecutive k-gram hashes keep the minimum (ties to the earliest
+    position); the selection guarantee is that any shared token run of
+    length >= w + k - 1 between two documents contributes at least one
+    IDENTICAL fingerprint to both — the positional local fingerprint
+    family (plagiarism/boilerplate detection), where minhash's global
+    signature cannot localize matches.
+
+    Determinism: the (hash, position) pair packs into ONE BIGINT
+    (hash << 20 | pos — exact while a document has < 2^20 k-gram
+    positions, i.e. ~1M tokens; raise the shift for longer docs), so
+    the window min is plain integer MIN and the DuckDB twin replays it
+    bit-for-bit — no struct-comparison semantics in play.
+
+    Scale shape (100 TB): k-grams build via arrays_zip over k shifted
+    slices + codegen concat/hash (the novelty_score rule — no
+    interpreted HOF lambda); the rolling min is a per-DOCUMENT window
+    (partitions bounded by doc length, never corpus-sized); the
+    distinct is one narrow (doc_id, key) exchange."""
+    assert w >= 1 and k >= 1
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).where(
+        F.size("t") >= F.lit(k + w - 1)
+    )
+    kk = F.size("t") - F.lit(k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("t"), i + 1, kk).alias(f"w{i}") for i in range(k)]
+    )
+    sg = F.concat_ws(" ", *[F.col(f"p.w{i}") for i in range(k)])
+    kg = base.select(
+        "doc_id", F.posexplode(zipped).alias("pos", "p")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        shingle_hash32(sg, hash_fn).alias("h"),
+    )
+    keyed = kg.select(
+        "doc_id",
+        "pos",
+        (F.shiftleft(F.col("h"), 20) + F.col("pos")).alias("key"),
+    )
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = keyed.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(wspec).alias("mn"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("m"),
+    ).where(F.col("pos") <= F.col("m") - F.lit(w))
+    return (
+        sel.select(
+            "doc_id",
+            F.col("mn").bitwiseAND(F.lit((1 << 20) - 1)).alias("fpos"),
+            F.shiftrightunsigned(F.col("mn"), 20).alias("fph"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 512,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate local-overlap pairs from shared winnowing
+    fingerprints: (a_id, b_id, n_shared) for pairs sharing >=
+    `min_shared` distinct selected hashes — the MOSS match step.
+    Pairs meet in fingerprint-hash buckets (never all-pairs); buckets
+    over `max_bucket` docs (corpus-wide boilerplate stamps) are
+    dropped and reported on `_skipped_buckets` as (fph, n) — the
+    house no-silent-cap rule. The window count runs over the join's
+    own partition key (one exchange, no driver collect)."""
+    fps = winnowing(docs, k, w, hash_fn, text_col).select(
+        "doc_id", "fph"
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    sized = fps.withColumn(
+        "bn", F.count(F.lit(1)).over(W.partitionBy("fph"))
+    )
+    skipped = (
+        sized.filter(F.col("bn") > max_bucket)
+        .select("fph", F.col("bn").alias("n"))
+        .distinct()
+    )
+    ok = sized.filter(F.col("bn") <= max_bucket).drop("bn")
+    a = ok.select(F.col("doc_id").alias("a_id"), "fph")
+    b = ok.select(F.col("doc_id").alias("b_id"), "fph")
+    out = (
+        a.join(b, "fph")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(min_shared))
+    )
+    out._skipped_buckets = skipped
+    return out

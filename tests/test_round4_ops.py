@@ -272,3 +272,78 @@ def test_skew_report_max_key_tie_breaks_smallest(spark):
     )
     row = skew_report(df, "k").collect()[0]
     assert row.max_count == 2 and row.max_key == "a"
+
+
+# ------------------------------------------------------------ winnowing ----
+
+
+def _brute_winnow(tokens, k, w):
+    """Reference winnowing over one token list: selected (pos, h32)."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    sel = set()
+    for i in range(len(hs) - w + 1):
+        keys = [(hs[j] << 20) + j for j in range(i, i + w)]
+        mn = min(keys)
+        sel.add((mn & ((1 << 20) - 1), mn >> 20))
+    return sel
+
+
+def test_winnowing_matches_reference(spark):
+    from cadastre_pg_spark.operators.dedup import winnowing
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now ok",
+        "a a a a a a a a",  # degenerate repeats
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.fpos, r.fph)
+        for r in winnowing(docs, 4, 4, hash_fn="md5").collect()
+    }
+    want = {
+        (i, p, h)
+        for i, t in enumerate(texts)
+        for (p, h) in _brute_winnow(t.split(), 4, 4)
+    }
+    assert got == want
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Any shared token run of length >= w + k - 1 yields at least one
+    common fingerprint HASH — the MOSS detection guarantee."""
+    from cadastre_pg_spark.operators.dedup import winnowing
+
+    shared = "uno dos tres cuatro cinco seis siete"  # 7 = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz ww qq"),
+            (2, "completely other prefix words " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing(docs, 4, 4, hash_fn="md5").collect()
+    h1 = {r.fph for r in fps if r.doc_id == 1}
+    h2 = {r.fph for r in fps if r.doc_id == 2}
+    assert h1 & h2
+
+
+def test_winnow_pairs_cap_reports_skips(spark):
+    from cadastre_pg_spark.operators.dedup import winnow_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same seven words shared by every doc here") for i in range(9)],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(docs, 4, 4, min_shared=1, max_bucket=4, hash_fn="md5")
+    assert out.count() == 0
+    assert out._skipped_buckets.count() > 0
