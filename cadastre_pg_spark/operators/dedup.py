@@ -80,47 +80,71 @@ def shingle_hash32(col, hash_fn: str = "xxhash64"):
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def _sig_cols(sh_col):
-    """N_HASHES minhash values from a hashed-shingle array column —
-    SHUFFLE-FREE per row (array_min over affine mixes). 11x faster than
-    the explode + groupBy + N min-aggregates plan (no 100x row blow-up,
-    no hash-aggregate shuffle) with bit-identical output. The mixes are
-    one nested transform over literal coefficient ARRAYS rather than 32
-    unrolled expressions — 32x smaller codegen, same arithmetic (janino
-    compile of the unrolled form dominated first-run latency)."""
-    coeffs = F.array(
+def shingle_hash_rows(
+    docs: DataFrame,
+    n_shingle: int,
+    hash_fn: str,
+    text_col: str = "text",
+    carry: tuple = (),
+) -> DataFrame:
+    """(doc_id, *carry, h): one narrow row per word-n-gram OCCURRENCE,
+    hashed entirely in codegen — n-grams from arrays_zip over n shifted
+    slices + concat_ws + hash, never a transform() lambda (Catalyst
+    HOF lambdas are interpreted; hashing inside one measured 4.7 s
+    steady at sf0.1 vs 0.9 s for this shape). Docs with fewer than
+    n_shingle tokens contribute no rows. `carry` names doc-constant
+    columns to thread through (e.g. a length band)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", *carry, toks.alias("t")).where(
+        F.size("t") >= F.lit(n_shingle)
+    )
+    k = F.size("t") - F.lit(n_shingle - 1)
+    zipped = F.arrays_zip(
         *[
-            F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b"))
-            for i in range(N_HASHES)
+            F.slice(F.col("t"), i + 1, k).alias(f"w{i}")
+            for i in range(n_shingle)
         ]
     )
-    # the coefficient array is built once per ROW (outer transform);
-    # indexing literal arrays inside the INNER lambda would rebuild
-    # them once per shingle*hash — measured 3x slower
-    return F.transform(
-        coeffs,
-        lambda ab: F.array_min(
-            F.transform(
-                sh_col,
-                lambda h: F.pmod(h * ab.a + ab.b, F.lit(MINHASH_PRIME)),
+    sg = F.concat_ws(" ", *[F.col(f"p.w{i}") for i in range(n_shingle)])
+    return base.select(
+        "doc_id", *carry, F.explode(zipped).alias("p")
+    ).select("doc_id", *carry, shingle_hash32(sg, hash_fn).alias("h"))
+
+
+def _sig_min_aggs():
+    """The N_HASHES affine-mix MIN aggregates over a (doc_id, h) row
+    frame — codegen hash aggregation with map-side partials (the
+    exchange carries 32 longs per doc, not shingle rows). Replaces the
+    earlier in-row array_min-over-transform mixes on the hot paths: the
+    interpreted mix lambdas measured 11.4 s steady at sf0.1 for the
+    full store vs 1.3 s for this plan, bit-identical signatures."""
+    return [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(_A[i]) + F.lit(_B[i]),
+                F.lit(MINHASH_PRIME),
             )
-        ),
-    )
+        ).alias(f"_m{i}")
+        for i in range(N_HASHES)
+    ]
+
+
+def _sig_array_col():
+    return F.array(*[F.col(f"_m{i}") for i in range(N_HASHES)])
 
 
 def minhash_signatures(
     docs: DataFrame, n_shingle: int = 3, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(doc_id, sig array<long>[N_HASHES]); docs with no shingles are
-    dropped (matching the aggregate plan's semantics)."""
-    with_hashes = docs.select(
-        "doc_id",
-        F.transform(
-            shingles(F.col("text"), n_shingle),
-            lambda s: shingle_hash32(s, hash_fn),
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    return with_hashes.select("doc_id", _sig_cols(F.col("sh")).alias("sig"))
+    dropped. One codegen hash aggregate over (doc_id, h) rows — see
+    _sig_min_aggs for the measured plan choice."""
+    ex = shingle_hash_rows(docs, n_shingle, hash_fn)
+    return (
+        ex.groupBy("doc_id")
+        .agg(*_sig_min_aggs())
+        .select("doc_id", _sig_array_col().alias("sig"))
+    )
 
 
 def _band_keys(ss: DataFrame) -> DataFrame:
@@ -192,23 +216,18 @@ def minhash_store(
     At scale this is WRITTEN (parquet, bucketed by doc_id) once per
     corpus snapshot and re-read by incremental_neardup for every new
     crawl, so signatures are computed exactly once per document ever."""
-    # a small single-file scan arrives as ONE task; the signature
-    # projection is CPU-bound, so spread it first. At scale the input
-    # already has >= parallelism partitions and this is a no-op.
+    # a small single-file scan arrives as ONE task; the shingle+hash
+    # fan-out is CPU-bound map-side work, so spread it first. At scale
+    # the input already has >= parallelism partitions and this is a
+    # no-op.
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
-    base = docs.select(
-        "doc_id",
-        F.transform(
-            shingles(F.col("text"), n_shingle),
-            lambda s: shingle_hash32(s, hash_fn),
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    return base.select(
-        "doc_id",
-        _sig_cols(F.col("sh")).alias("sig"),
-        F.array_distinct("sh").alias("sset"),
+    ex = shingle_hash_rows(docs, n_shingle, hash_fn)
+    return (
+        ex.groupBy("doc_id")
+        .agg(*_sig_min_aggs(), F.collect_set("h").alias("sset"))
+        .select("doc_id", _sig_array_col().alias("sig"), "sset")
     )
 
 
@@ -437,16 +456,22 @@ def ngram_jaccard_pairs(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                shingles(F.col("text"), n_shingle),
-                lambda s: shingle_hash32(s, hash_fn),
-            )
-        ).alias("sset"),
-        band.alias("band"),
-    ).persist()
+    # codegen row frame + collect_set agg, not array_distinct over an
+    # interpreted transform lambda (see shingle_hash_rows). Docs with
+    # zero shingles drop here — they can never pass the size-ratio
+    # prune or the jaccard>=threshold filter, so output is identical.
+    sets = (
+        shingle_hash_rows(
+            docs.select("doc_id", band.alias("band"), "text"),
+            n_shingle,
+            hash_fn,
+            carry=("band",),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.collect_set("h").alias("sset"))
+        .select("doc_id", "sset", "band")
+        .persist()
+    )
     # band occupancy MEASURED driver-side (statistics-first, the same
     # gate pattern as spatial_join.choose_strategy): the band-size
     # table is one row per length band — collecting it costs one tiny
@@ -516,20 +541,20 @@ def _ngram_jaccard_lsh(
     """prefilter='minhash' body: ONE pass builds (band, hashed shingle
     set, minhash signature); candidates from the capped LSH bucket join;
     verify = same-token-band + size-ratio prune + exact Jaccard."""
-    withsh = docs.select(
-        "doc_id",
-        band_col.alias("band"),
-        F.transform(
-            shingles(F.col("text"), n_shingle),
-            lambda s: shingle_hash32(s, hash_fn),
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    ss = withsh.select(
-        "doc_id",
-        "band",
-        F.array_distinct("sh").alias("sset"),
-        _sig_cols(F.col("sh")).alias("sig"),
-    ).persist()
+    ss = (
+        shingle_hash_rows(
+            docs.select("doc_id", band_col.alias("band"), "text"),
+            n_shingle,
+            hash_fn,
+            carry=("band",),
+        )
+        .groupBy("doc_id", "band")
+        .agg(*_sig_min_aggs(), F.collect_set("h").alias("sset"))
+        .select(
+            "doc_id", "band", "sset", _sig_array_col().alias("sig")
+        )
+        .persist()
+    )
     cand, skipped = _lsh_candidates(ss, max_bucket)
     a = ss.select(
         F.col("doc_id").alias("doc_a"),
@@ -810,11 +835,24 @@ def repeated_windows(
     the corpus, so AQE broadcasts it into the occurrence join when it
     fits, else the join shuffles on the same narrow key.
     """
-    hs = F.transform(
-        shingles(F.col(text_col), w), lambda s: shingle_hash32(s, hash_fn)
+    # windows hashed in codegen (arrays_zip over w shifted slices), not
+    # a transform() lambda — HOF lambdas are interpreted; posexplode
+    # keeps the 0-based window start position identically
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size("t") - F.lit(w - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("t"), i + 1, k).alias(f"w{i}") for i in range(w)]
     )
-    wins = docs.select("doc_id", F.posexplode(hs).alias("pos", "h")).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "h"
+    sg = F.concat_ws(" ", *[F.col(f"p.w{i}") for i in range(w)])
+    wins = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= F.lit(w))
+        .select("doc_id", F.posexplode(zipped).alias("pos", "p"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            shingle_hash32(sg, hash_fn).alias("h"),
+        )
     )
     census = (
         wins.groupBy("h")
