@@ -2759,6 +2759,43 @@ def q_skew_report(spark, sf_dir):
     return skew_report(tok, "token")
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 24, 16
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window token chunking (chunk 24, stride 16 — sized so
+    the test corpus actually multi-chunks): 0-based chunk index, token
+    offset, chunk length, and the md5-mode content hash per chunk."""
+    from cadastre_pg_spark.operators.corpus import chunk_docs
+
+    return chunk_docs(
+        _docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE, hash_fn="md5"
+    )
+
+
+def q_norm_dedup(spark, sf_dir):
+    """Normalization-invariant duplicate groups (lower + strip
+    non-alphanumerics + collapse whitespace), sha-narrow shuffle keys,
+    with the raw-variant count per group."""
+    from cadastre_pg_spark.operators.dedup import norm_dedup
+
+    return norm_dedup(_docs(spark, sf_dir))
+
+
+SKIPGRAM_WINDOW, SKIPGRAM_MIN = 3, 2
+
+
+def q_skipgram_pmi(spark, sf_dir):
+    """Directional skip-gram PMI census (window 3, pooled distances) —
+    the word2vec context statistic; micro-nat quantized ln on exact
+    integer counts, one full-data exchange."""
+    from cadastre_pg_spark.operators.textanalysis import skipgram_pmi
+
+    return skipgram_pmi(
+        _docs(spark, sf_dir), window=SKIPGRAM_WINDOW, min_count=SKIPGRAM_MIN
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -2768,6 +2805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
+        "chunk_docs": q_chunk_docs,
+        "norm_dedup": q_norm_dedup,
+        "skipgram_pmi": q_skipgram_pmi,
         "winnowing": q_winnowing,
         "winnow_pairs": q_winnow_pairs,
         "containment_pairs": q_containment,
@@ -2998,6 +3038,92 @@ def oracle_sql() -> dict[str, str]:
     )
     mrs_lon0, mrs_lat0, mrs_lon1, mrs_lat1 = MRS_BBOX
     return {
+        # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
+        # per-chunk md5-prefix content hash over the joined token slice
+        "chunk_docs": rf"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            par AS (
+              SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+                     CASE WHEN len(t) <= {CHUNK_SIZE} THEN CAST(1 AS BIGINT)
+                          ELSE CAST(floor(
+                                 CAST(len(t) - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}
+                                      AS DOUBLE)
+                                 / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)
+                               + 1 END AS n_chunks
+              FROM tok
+            ),
+            ch AS (
+              SELECT doc_id, t, n,
+                     CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+              FROM par
+            )
+            SELECT doc_id, chunk_id,
+                   chunk_id * {CHUNK_STRIDE} AS start,
+                   least(CAST({CHUNK_SIZE} AS BIGINT),
+                         n - chunk_id * {CHUNK_STRIDE}) AS chunk_tokens,
+                   {_hex32_sql(
+                       "md5(array_to_string(t[CAST(chunk_id * "
+                       f"{CHUNK_STRIDE} + 1 AS BIGINT) : CAST(chunk_id * "
+                       f"{CHUNK_STRIDE} + least(CAST({CHUNK_SIZE} AS BIGINT), "
+                       f"n - chunk_id * {CHUNK_STRIDE}) AS BIGINT)], ' '))"
+                   )} AS chunk_h
+            FROM ch
+        """,
+        # group by the normalized rendering itself (engine groups by
+        # its sha2 — identical partition modulo sha collisions)
+        "norm_dedup": r"""
+            SELECT min(doc_id) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+            FROM (
+              SELECT doc_id, text,
+                     trim(regexp_replace(
+                       lower(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')),
+                       '\s+', ' ', 'g')) AS norm
+              FROM documents)
+            GROUP BY norm
+        """,
+        # ordered pairs within the context window, distances pooled;
+        # micro-nat PMI identical to the collocations quantizer
+        "skipgram_pmi": rf"""
+            WITH tk AS (
+              SELECT regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            sg AS (
+              SELECT t[i] AS a, t[i + d] AS b
+              FROM (
+                SELECT t, unnest([i for i in range(1, len(t))]) AS i
+                FROM tk WHERE len(t) >= 2
+              ), (VALUES {", ".join(f"({d})" for d in range(1, SKIPGRAM_WINDOW + 1))}) AS ds(d)
+              WHERE i + d <= len(t)
+            ),
+            nab AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM sg GROUP BY a, b
+            ),
+            na AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM nab GROUP BY a),
+            nb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM nab GROUP BY b),
+            tot AS (
+              SELECT CAST(round(ln(CAST(sum(n_ab) AS DOUBLE)) * 1e6, 0)
+                     AS BIGINT) AS ln_n_u
+              FROM nab
+            )
+            SELECT nab.a, nab.b, n_ab, n_a, n_b,
+                   CAST(round(ln(CAST(n_ab AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     + ln_n_u
+                     - CAST(round(ln(CAST(n_a AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     - CAST(round(ln(CAST(n_b AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     AS pmi_u
+            FROM nab
+            JOIN na ON na.a = nab.a
+            JOIN nb ON nb.b = nab.b
+            CROSS JOIN tot
+            WHERE n_ab >= {SKIPGRAM_MIN}
+        """,
         # MOSS winnowing selection replay: integer-packed window minima
         "winnowing": _winnow_sql_ctes()
         + """

@@ -106,6 +106,65 @@ def pack_tokens(
     )
 
 
+def chunk_docs(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    stride: int = 96,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window splitter
+    every pretraining / RAG pipeline runs between cleaning and packing:
+    chunk k covers tokens [k*stride, k*stride + chunk_size), the last
+    chunk may be short, and stride < chunk_size gives the standard
+    overlap so no token span longer than (chunk_size - stride) is cut
+    without appearing whole in some chunk.
+
+    Output (doc_id, chunk_id, start, chunk_tokens, chunk_h): 0-based
+    chunk index, token offset, tokens in this chunk, and the house
+    32-bit hash of the chunk's joined tokens (content-addressable — an
+    exact_dedup over chunk_h dedups at chunk granularity).
+
+    Chunk count: 1 if n <= chunk_size else ceil((n-chunk_size)/stride)+1
+    (the huggingface return_overflowing_tokens rule). All arithmetic is
+    integer-exact through double floor (token counts << 2^53).
+
+    Scale shape: one scan, in-row sequence + explode, zero shuffles —
+    the fan-out is ~n/stride rows per doc and every expression is
+    codegen (slice/concat_ws/hash on column offsets, no HOF lambda).
+    """
+    if chunk_size <= 0 or stride <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select("doc_id", toks.alias("t"))
+    n = F.size("t").cast("long")
+    cs, st = F.lit(chunk_size), F.lit(stride)
+    n_chunks = F.when(n <= cs, F.lit(1).cast("long")).otherwise(
+        F.floor((n - cs + st - F.lit(1)).cast("double") / st.cast("double"))
+        + F.lit(1)
+    )
+    ch = base.select(
+        "doc_id",
+        "t",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1))).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * st
+    ctoks = F.least(cs.cast("long"), F.col("n") - start)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start"),
+        ctoks.alias("chunk_tokens"),
+        shingle_hash32(
+            F.concat_ws(" ", F.slice(F.col("t"), (start + F.lit(1)).cast("int"), ctoks.cast("int"))),
+            hash_fn,
+        ).alias("chunk_h"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -56,6 +56,43 @@ def dedup_anti_join(new_docs: DataFrame, existing_hashes: DataFrame) -> DataFram
     )
 
 
+def norm_text(text_col) -> F.Column:
+    """Canonical text normalization for normalization-invariant dedup:
+    strip every char outside [A-Za-z0-9 whitespace] FIRST (so the later
+    lowercase only ever sees ASCII — unicode case-mapping edge cases
+    like dotted-I can never diverge between engines), then lowercase
+    and collapse whitespace runs to single spaces. Pure JVM regex."""
+    ascii_only = F.regexp_replace(text_col, r"[^A-Za-z0-9\s]", "")
+    return F.trim(F.regexp_replace(F.lower(ascii_only), r"\s+", " "))
+
+
+def norm_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-invariant exact duplicate groups — the
+    'fuzzy-exact' rule corpus pipelines run between byte-exact dedup
+    and near-dup (catches case/punctuation/whitespace re-renders of
+    the same page that sha-of-raw-bytes misses). Groups docs whose
+    norm_text is identical: (keep_doc_id, n_copies, n_raw_variants),
+    keep = min doc_id (the reference's first-wins skip, cli.rs:466-474),
+    n_raw_variants = distinct RAW texts merged into the group (how much
+    normalization bought beyond exact_dedup).
+
+    Scale shape: same as exact_dedup — the shuffle key is sha2 of the
+    NORMALIZED text (64 hex chars, never the document), one hash
+    aggregate with map-side partials. countDistinct on raw text is
+    computed as a sha too, so the exchange stays narrow."""
+    nsha = F.sha2(norm_text(F.col(text_col)), 256)
+    rsha = F.sha2(F.col(text_col), 256)
+    return (
+        docs.groupBy(nsha.alias("_nsha"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(rsha).alias("n_raw_variants"),
+        )
+        .select("keep_doc_id", "n_copies", "n_raw_variants")
+    )
+
+
 def shingles(text_col, n: int = 3):
     """Word n-gram shingle array, built JVM-side:
     tokens -> transform(sequence) -> concat_ws slices."""

@@ -486,6 +486,69 @@ def collocations(
     return out
 
 
+def skipgram_pmi(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional skip-gram co-occurrence census with PMI — the
+    word2vec/GloVe context statistic generalizing collocations from
+    adjacent bigrams to all ordered pairs (a, b) where b follows a
+    within `window` positions (distances pooled, the standard context
+    window). Output one row per pair with n_ab >= min_count:
+    (a, b, n_ab, n_a, n_b, pmi_u), pmi_u in integer micro-nats via the
+    collocations quantizer; n_a / n_b are left/right positional
+    marginals over ALL skip-gram pairs, N their total.
+
+    Scale shape: pairs come from `window` in-row arrays_zip slices
+    flattened and exploded in one projection (no self-join on
+    position, no window function); ONE (a, b) hash aggregate with
+    map-side partials is the only full-data exchange; marginals are
+    rollups of the vocabulary-sized census broadcast back onto it —
+    identical topology to collocations, fan-out x window.
+    """
+    u = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(toks.alias("t")).where(F.size("t") >= 2)
+    nsz = F.size("t")
+    per_d = [
+        F.arrays_zip(
+            F.slice(F.col("t"), 1, F.greatest(nsz - F.lit(d), F.lit(0))).alias("a"),
+            F.slice(
+                F.col("t"), 1 + d, F.greatest(nsz - F.lit(d), F.lit(0))
+            ).alias("b"),
+        )
+        for d in range(1, window + 1)
+    ]
+    sg = base.select(
+        F.explode(F.flatten(F.array(*per_d))).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    nab = sg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")).persist()
+    na = nab.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    nb = nab.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = nab.agg(u(F.sum("n_ab")).alias("ln_n_u"))
+    out = (
+        nab.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                u(F.col("n_ab")) + F.col("ln_n_u")
+                - u(F.col("n_a")) - u(F.col("n_b"))
+            ).alias("pmi_u"),
+        )
+    )
+    out._cadastre_cached = [nab]
+    return out
+
+
 def gopher_rules(
     docs: DataFrame,
     min_words: int = 50,
