@@ -2796,6 +2796,58 @@ def q_skipgram_pmi(spark, sf_dir):
     )
 
 
+BLOCKLIST = ["slow", "big", "dup"]  # whole words present in the corpus
+BLOCKLIST_MILLIS = 120  # keep iff flagged fraction <= 12.0%
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style badword filter: whole-word occurrence + distinct-hit
+    counts per doc and an exact-integer keep decision (<=12.0%
+    flagged). Zero shuffles — the blocklist is a plan literal."""
+    from cadastre_pg_spark.operators.corpus import blocklist_filter
+
+    return blocklist_filter(
+        _docs(spark, sf_dir), BLOCKLIST, max_frac_millis=BLOCKLIST_MILLIS
+    )
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (nats, 6 dp) — the
+    compression-proxy quality signal; micro-nat quantized ln per
+    (doc, char) census row, exact integer accumulation."""
+    from cadastre_pg_spark.operators.textanalysis import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: chars consumed per BPE-ish
+    pretoken from exact BIGINT sums, one correctly-rounded division
+    behind a 6 dp round."""
+    from cadastre_pg_spark.operators.textanalysis import token_fertility
+
+    return token_fertility(_docs(spark, sf_dir))
+
+
+HB_SEG_TOKENS = 3  # 3-token segments: real per-source drops at sf0.01
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """CCNet host-boilerplate removal: line_dedup with the duplicate
+    census scoped per source, so chrome shared inside one host drops
+    there without touching other hosts (md5 mode for the twin)."""
+    from cadastre_pg_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        _docs(spark, sf_dir),
+        min_docs=2,
+        segmenter="tokens",
+        seg_tokens=HB_SEG_TOKENS,
+        hash_fn="md5",
+        group_col="source",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -2805,6 +2857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
+        "blocklist_filter": q_blocklist_filter,
+        "char_entropy": q_char_entropy,
+        "token_fertility": q_token_fertility,
+        "host_boilerplate": q_host_boilerplate,
         "chunk_docs": q_chunk_docs,
         "norm_dedup": q_norm_dedup,
         "skipgram_pmi": q_skipgram_pmi,
@@ -3040,6 +3096,76 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "blocklist_filter": rf"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text,
+                          '\b({"|".join(sorted(BLOCKLIST))})\b'))
+                          AS BIGINT) AS n_flagged,
+                     CAST(len(list_intersect(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          [{", ".join(repr(w) for w in sorted(BLOCKLIST))}]))
+                          AS BIGINT) AS n_distinct_flagged
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_flagged, n_distinct_flagged,
+                   (n_flagged * 1000 <= {BLOCKLIST_MILLIS} * n_tokens)
+                     AS keep
+            FROM b
+        """,
+        "char_entropy": rf"""
+            WITH chars AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, length(text))) AS i) u
+            ),
+            census AS (
+              SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+              FROM chars GROUP BY doc_id, ch
+            ),
+            per AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_chars_counted,
+                     CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                     CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0)
+                                       AS BIGINT)) AS BIGINT) AS su
+              FROM census GROUP BY doc_id
+            )
+            SELECT doc_id, n_chars_counted, n_distinct_chars,
+                   round((CAST(round(ln(CAST(n_chars_counted AS DOUBLE))
+                                     * 1e6, 0) AS BIGINT)
+                          - CAST(su AS DOUBLE)
+                            / CAST(n_chars_counted AS DOUBLE)) / 1e6,
+                         6) AS entropy
+            FROM per
+        """,
+        "token_fertility": rf"""
+            WITH t AS (
+              SELECT lang,
+                     regexp_extract_all(text,
+                       '{_BPE_RE_SQL()}') AS toks
+              FROM documents
+            ),
+            per AS (
+              SELECT lang,
+                     CAST(len(toks) AS BIGINT) AS nt,
+                     CAST(length(array_to_string(toks, '')) AS BIGINT) AS nc
+              FROM t
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nc) AS BIGINT) AS sum_chars,
+                   CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                   round(CAST(sum(nc) AS DOUBLE)
+                         / CAST(sum(nt) AS DOUBLE), 6) AS fertility
+            FROM per GROUP BY lang
+        """,
+        "host_boilerplate": _line_dedup_sql_oracle(
+            seg_tokens=HB_SEG_TOKENS, min_docs=2, group_col="source"
+        ),
         "chunk_docs": rf"""
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -4790,19 +4916,26 @@ def _budget_mixture_sql_oracle(weights: dict, budget: int) -> str:
     """
 
 
-def _line_dedup_sql_oracle(seg_tokens: int, min_docs: int) -> str:
+def _line_dedup_sql_oracle(
+    seg_tokens: int, min_docs: int, group_col: str = None
+) -> str:
     """Independent replay of dedup.line_dedup (tokens segmenter, md5
     mode): token windows via lateral series, 32-bit md5-prefix line
-    hash, distinct-doc census, left-join drop, ordered reassembly."""
+    hash, distinct-doc census, left-join drop, ordered reassembly.
+    group_col scopes the census per group (the host-boilerplate
+    variant) and carries the group column through the output."""
     ld = seg_tokens
+    gsel = f", {group_col}" if group_col else ""
+    ghsel = f", h.{group_col}" if group_col else ""
+    gjoin = f"AND h.{group_col} = d.{group_col}" if group_col else ""
     return rf"""
         WITH toks AS (
-          SELECT doc_id,
+          SELECT doc_id{gsel},
                  regexp_split_to_array(trim(text), '\s+') AS arr
           FROM documents
         ),
         segs AS (
-          SELECT doc_id, i AS pos,
+          SELECT doc_id{gsel}, i AS pos,
                  array_to_string(arr[(i*{ld})+1:((i+1)*{ld})], ' ') AS line
           FROM toks,
                LATERAL (SELECT unnest(generate_series(0,
@@ -4810,15 +4943,15 @@ def _line_dedup_sql_oracle(seg_tokens: int, min_docs: int) -> str:
                                    1) - 1)) AS i) u
         ),
         hashed AS (
-          SELECT doc_id, pos, line,
+          SELECT doc_id{gsel}, pos, line,
                  {_hex32_sql("md5(line)")} AS lh
           FROM segs
         ),
         dup AS (
-          SELECT lh FROM hashed WHERE trim(line) <> ''
-          GROUP BY lh HAVING count(DISTINCT doc_id) >= {min_docs}
+          SELECT lh{gsel} FROM hashed WHERE trim(line) <> ''
+          GROUP BY lh{gsel} HAVING count(DISTINCT doc_id) >= {min_docs}
         )
-        SELECT h.doc_id,
+        SELECT h.doc_id{ghsel},
                coalesce(array_to_string(
                  list(h.line ORDER BY h.pos ASC)
                    FILTER (WHERE d.lh IS NULL), ' '), '') AS clean_text,
@@ -4826,8 +4959,8 @@ def _line_dedup_sql_oracle(seg_tokens: int, min_docs: int) -> str:
                  AS n_kept,
                CAST(count(*) FILTER (WHERE d.lh IS NOT NULL) AS BIGINT)
                  AS n_dropped
-        FROM hashed h LEFT JOIN dup d USING (lh)
-        GROUP BY h.doc_id
+        FROM hashed h LEFT JOIN dup d ON h.lh = d.lh {gjoin}
+        GROUP BY h.doc_id{ghsel}
     """
 
 
@@ -7144,6 +7277,14 @@ def _corpus_prep_sql_oracle(
     """
     pack = _pack_tokens_sql_oracle(cap, n_writers, table="fin")
     return chain + pack.replace("WITH t AS", ", t AS", 1)
+
+
+def _BPE_RE_SQL() -> str:
+    """BPE pretokenizer pattern, apostrophe-escaped for SQL literals
+    (identical Java/RE2 leftmost-first subset, see _bpe_tokens)."""
+    from cadastre_pg_spark.operators.textanalysis import BPE_PRETOKEN_RE
+
+    return BPE_PRETOKEN_RE.replace("'", "''")
 
 
 def _bpe_tokens_sql_oracle() -> str:

@@ -282,6 +282,10 @@ AGG_COL = {{
     "props_extract": "k_val",
     "reproject_points": "lon",
     "sales_cube": "n_rows",
+    "blocklist_filter": "n_flagged",
+    "char_entropy": "entropy",
+    "token_fertility": "fertility",
+    "host_boilerplate": "n_dropped",
     "pivot_linestatus": "qty_o",
     "tile_extract": "n_cells",
 }}

@@ -919,3 +919,51 @@ def snapshot_delta(
         .groupBy("grp", "status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: list,
+    max_frac_millis: int = 120,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style badword filter -> (doc_id, n_tokens, n_flagged,
+    n_distinct_flagged, keep): count whole-word occurrences of a
+    blocklist per document and keep documents whose flagged-token
+    fraction stays under the threshold (C4 dropped any page containing
+    a listed word; the fraction form is the tunable generalization).
+
+    The keep decision is EXACT integer arithmetic:
+    n_flagged * 1000 <= max_frac_millis * n_tokens -- no float
+    threshold to drift cross-engine. Occurrences come from one JVM
+    regexp_count over a \\b-anchored alternation (word chars only, so
+    the Java and RE2 dialects agree); distinct hits from a codegen
+    array_intersect against the literal list.
+
+    Scale shape (100 TB): ZERO shuffles -- the blocklist is a literal
+    baked into the plan (the broadcast-variable analog for a list that
+    is always human-curated-small), every column is whole-stage
+    codegen, and the filter composes with any downstream scan as a
+    plain projection. No explode, no Python, no aggregate.
+    """
+    for w in blocklist:
+        if not w or not all(c.isalnum() or c == "_" for c in w):
+            raise ValueError(f"blocklist words must be \\w-only: {w!r}")
+    pat = r"\b(" + "|".join(sorted(blocklist)) + r")\b"
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nt = F.size(toks).cast("long")
+    nf = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        nf.alias("n_flagged"),
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in sorted(blocklist)])
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_flagged"),
+        (nf * F.lit(1000) <= F.lit(int(max_frac_millis)) * nt).alias("keep"),
+    )
+

@@ -771,8 +771,10 @@ def segment_lines(
     segmenter: str = "newline",
     seg_tokens: int = 5,
     text_col: str = "text",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(doc_id, pos, line): split each document into ordered segments.
+    """(doc_id, *carry_cols, pos, line): split each document into
+    ordered segments.
 
     'newline' splits on \\n (the C4/CCNet line unit). 'tokens' chunks
     the whitespace token stream into non-overlapping seg_tokens-word
@@ -793,7 +795,9 @@ def segment_lines(
         )
     else:
         raise ValueError(f"unknown segmenter {segmenter!r}")
-    return docs.select("doc_id", F.posexplode(arr).alias("pos", "line"))
+    return docs.select(
+        "doc_id", *carry_cols, F.posexplode(arr).alias("pos", "line")
+    )
 
 
 def line_dedup(
@@ -803,6 +807,7 @@ def line_dedup(
     seg_tokens: int = 5,
     hash_fn: str = "xxhash64",
     text_col: str = "text",
+    group_col: str = None,
 ) -> DataFrame:
     """Cross-document line dedup (the C4/CCNet boilerplate rule): a
     segment occurring in >= min_docs DISTINCT documents is removed from
@@ -814,6 +819,13 @@ def line_dedup(
     toward min_docs (count_distinct doc_id); whitespace-only segments
     are never counted or dropped (they would otherwise all collide).
 
+    group_col (e.g. 'source'): the CCNet HOST-BOILERPLATE variant --
+    the duplicate census is scoped per group, so navigation chrome
+    shared by every page of one host is dropped there without touching
+    an unrelated host that legitimately reuses the phrase. The census
+    key widens to (group, lh), the join matches on both, and the
+    output carries the group column; everything else is unchanged.
+
     Scale shape (100 TB): the global duplicate census groups on the
     8-byte line hash with map-side partials — full text never enters an
     exchange KEY. The dup set (only hashes of lines duplicated across
@@ -824,19 +836,20 @@ def line_dedup(
     payload, once. No Python anywhere.
     """
     sep = "\n" if segmenter == "newline" else " "
-    segs = segment_lines(docs, segmenter, seg_tokens, text_col).withColumn(
-        "lh", line_hash(F.col("line"), hash_fn)
-    )
+    gcols = [group_col] if group_col else []
+    segs = segment_lines(
+        docs, segmenter, seg_tokens, text_col, carry_cols=tuple(gcols)
+    ).withColumn("lh", line_hash(F.col("line"), hash_fn))
     dup = (
         segs.where(F.trim(F.col("line")) != "")
-        .groupBy("lh")
+        .groupBy(*gcols, "lh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= F.lit(min_docs))
-        .select("lh", F.lit(True).alias("_dup"))
+        .select(*gcols, "lh", F.lit(True).alias("_dup"))
     )
-    flagged = segs.join(dup, "lh", "left")
+    flagged = segs.join(dup, gcols + ["lh"], "left")
     kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
-    return flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id", *gcols).agg(
         F.concat_ws(
             sep,
             F.transform(

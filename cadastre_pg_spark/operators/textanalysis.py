@@ -881,3 +881,106 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy in nats ->
+    (doc_id, n_chars_counted, n_distinct_chars, entropy): the
+    compression-proxy quality signal (gibberish and key-mash pages
+    score near-uniform-high; template/repeat pages score low) that
+    corpus filters like CCNet/Gopher pair with token-level rules.
+
+    entropy = ln(n) - (1/n) * sum_c count_c * ln(count_c), computed
+    under the surprisal/mutual_info micro-nat rule: ln is taken once
+    per (doc, char) census row and quantized round(ln(c)*1e6) ->
+    BIGINT, so the accumulation is an exact order-independent integer
+    sum; the closing (lnN_u - su/n)/1e6 is three correctly-rounded
+    double ops behind a 6 dp round (engine-parity policy, see
+    CLAUDE.md oracle notes).
+
+    Scale shape (100 TB): text explodes to narrow (doc_id, ch) rows
+    via sequence+substring (pure codegen, no Python); the census is a
+    map-side-partial count on (doc_id, ch) whose cardinality is
+    bounded by n_docs * |alphabet|; one final doc_id aggregate. Text
+    itself never becomes a shuffle key.
+    """
+    # explode the index sequence FIRST, substring on exploded rows:
+    # a transform(sequence, substr) array build would be an
+    # interpreted Catalyst lambda per character (CLAUDE.md); this way
+    # sequence/explode/substring are all whole-stage codegen.
+    chars = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("i"),
+    ).select("doc_id", F.col("_t").substr(F.col("i"), F.lit(1)).alias("ch"))
+    census = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+    per = census.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("c") * u).cast("long").alias("su"),
+    )
+    return per.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        F.round(
+            (
+                F.round(
+                    F.log(F.col("n_chars_counted").cast("double")) * F.lit(1e6)
+                )
+                - F.col("su").cast("double") / F.col("n_chars_counted").cast("double")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def token_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility per language -> (lang, n_docs, sum_chars,
+    sum_tokens, fertility): mean characters per BPE-ish pretoken, the
+    standard multilingual-tokenizer health metric (a language whose
+    fertility balloons is under-served by the vocab and will dominate
+    sequence length budgets). sum_chars counts the characters the
+    pretokenizer actually consumed (sum of token lengths, so
+    whitespace collapsing can't skew the ratio); fertility is one
+    correctly-rounded double division of two exact BIGINT sums behind
+    a 6 dp round -- bitwise identical cross-engine.
+
+    Scale shape (100 TB): per-doc token extraction is one JVM
+    regexp_extract_all in whole-stage codegen; the aggregate is a
+    map-side-partial sum on the tiny lang key. No explode, no Python.
+    """
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+    )
+    per = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("nt"),
+        # sum of token lengths == length of the concatenation: one
+        # codegen concat_ws+length, not an interpreted Catalyst fold
+        # (CLAUDE.md: higher-order aggregate runs ~30k rows/s).
+        F.length(F.concat_ws("", toks)).cast("long").alias("nc"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("sum_chars"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            "sum_tokens",
+            F.round(
+                F.col("sum_chars").cast("double")
+                / F.col("sum_tokens").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
