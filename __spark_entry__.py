@@ -2829,6 +2829,25 @@ def q_token_fertility(spark, sf_dir):
     return token_fertility(_docs(spark, sf_dir))
 
 
+BLOOM_NSHINGLE, BLOOM_FLAG_MILLIS = 3, 40  # 207/480 flagged at sf0.01
+
+
+def q_bloom_contamination(spark, sf_dir):
+    """Join-free Bloom decontamination of the TRAIN side: the eval
+    suite's 3-gram Bloom bitmap is driver-built and broadcast; the
+    train corpus is probed in one zero-copy Arrow pass (no shuffle,
+    no join). The oracle replays the exact bit array, false positives
+    included."""
+    from cadastre_pg_spark.operators.corpus import bloom_contamination
+
+    return bloom_contamination(
+        _docs(spark, sf_dir),
+        n_shingle=BLOOM_NSHINGLE,
+        flag_millis=BLOOM_FLAG_MILLIS,
+        hash_fn="md5",
+    )
+
+
 HB_SEG_TOKENS = 3  # 3-token segments: real per-source drops at sf0.01
 
 
@@ -2858,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (committed SWEEP_r4.json) + pytest.
     return {
         "blocklist_filter": q_blocklist_filter,
+        "bloom_contamination": q_bloom_contamination,
         "char_entropy": q_char_entropy,
         "token_fertility": q_token_fertility,
         "host_boilerplate": q_host_boilerplate,
@@ -3096,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "bloom_contamination": _bloom_contamination_sql_oracle(
+            n=BLOOM_NSHINGLE, eval_mod=20, flag_millis=BLOOM_FLAG_MILLIS
+        ),
         "blocklist_filter": rf"""
             WITH b AS (
               SELECT doc_id,
@@ -5151,6 +5174,63 @@ def _group_sample_sql_oracle(k: int) -> str:
                             doc_id) AS BIGINT) AS "rank"
           FROM documents
         ) WHERE "rank" <= {k}
+    """
+
+
+def _bloom_contamination_sql_oracle(
+    n: int, eval_mod: int, flag_millis: int
+) -> str:
+    """Independent replay of corpus.bloom_contamination: the Bloom bit
+    array IS the distinct-position set, so membership (all k probe
+    positions set, INCLUDING cross-hash-function false positives) is
+    three IN-subqueries against one MATERIALIZED position CTE."""
+    from cadastre_pg_spark.operators.corpus import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_M,
+    )
+
+    probes = [
+        f"(hh * {a} + {b}) % {BLOOM_M}" for a, b in zip(BLOOM_A, BLOOM_B)
+    ]
+    pos_list = ", ".join(probes)
+    in_tests = " AND ".join(f"{p} IN (SELECT p FROM pos)" for p in probes)
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                 ({_hex32_sql("md5('e:' || CAST(doc_id AS VARCHAR))")}
+                    % {eval_mod} = 0) AS is_eval
+          FROM documents
+        ),
+        sg AS (
+          SELECT doc_id, is_eval,
+                 [array_to_string(t[i+1:i+{n}], ' ')
+                  for i in range(0, greatest(len(t) - {n - 1}, 0))] AS sg
+          FROM tok
+        ),
+        sh AS MATERIALIZED (
+          SELECT doc_id, is_eval,
+                 list_distinct(list_transform(list_transform(sg, s -> md5(s)),
+                                              m -> {_hex32_sql('m')})) AS sh
+          FROM sg
+        ),
+        pos AS MATERIALIZED (
+          SELECT DISTINCT unnest([{pos_list}]) AS p
+          FROM (SELECT DISTINCT unnest(sh) AS hh FROM sh WHERE is_eval)
+        ),
+        trx AS (SELECT doc_id, unnest(sh) AS hh FROM sh WHERE NOT is_eval),
+        hits AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM trx WHERE {in_tests}
+          GROUP BY doc_id
+        )
+        SELECT s.doc_id AS doc_id,
+               CAST(len(s.sh) AS BIGINT) AS n_shingles,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               (len(s.sh) > 0 AND coalesce(h.n_hits, 0) * 1000
+                  >= {flag_millis} * len(s.sh)) AS flagged
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        WHERE NOT s.is_eval
     """
 
 

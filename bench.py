@@ -283,6 +283,7 @@ AGG_COL = {{
     "reproject_points": "lon",
     "sales_cube": "n_rows",
     "blocklist_filter": "n_flagged",
+    "bloom_contamination": "n_hits",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

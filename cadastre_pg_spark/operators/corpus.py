@@ -967,3 +967,123 @@ def blocklist_filter(
         (nf * F.lit(1000) <= F.lit(int(max_frac_millis)) * nt).alias("keep"),
     )
 
+
+# Bloom position mixers: p_j = (h * A_j + B_j) % BLOOM_M over the
+# 32-bit gram hash h. BLOOM_M is PRIME (largest < 2^20), so the mod
+# mixes every bit of h * A_j; a power-of-two modulus would keep only
+# the low bits and make the k probes collide together. h < 2^32 and
+# A_j < 2^17 keep the product < 2^49 -- exact in BIGINT/int64 on both
+# engines, no overflow under Spark 4 ANSI mode.
+BLOOM_A = (48271, 69621, 40692)
+BLOOM_B = (11, 17, 23)
+BLOOM_M = 1048573
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    n_shingle: int = 5,
+    eval_mod: int = 20,
+    flag_millis: int = 200,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bloom-filter decontamination -- the JOIN-FREE scale sibling of
+    `contamination`. The eval suite's n-grams compile into a ~128 KiB
+    bit array broadcast to every executor; the 100-TB train side is
+    probed with a zero-copy mapInArrow membership test and NEVER
+    shuffles, never joins -- the shape GPT-3/Llama-style pipelines use
+    to screen a web corpus against benchmarks.
+
+    Output: one row per TRAIN doc (the big side -- `contamination`
+    reports the eval side): (doc_id, n_shingles, n_hits, flagged)
+    where n_hits counts the doc's distinct grams whose k=3 Bloom
+    probes ALL hit set bits, and flagged is the exact-integer rule
+    n_hits * 1000 >= flag_millis * n_shingles (never for shingle-less
+    docs). False positives at the ~2^20-bit / k=3 design point are
+    part of the defined semantics -- the DuckDB oracle reproduces the
+    exact bit array, so the driver compare covers them too.
+
+    Scale shape (100 TB): the build side collects DISTINCT bit
+    positions to the driver -- bounded by k * distinct eval grams and
+    by BLOOM_M (2^20) regardless of corpus size, the same bounded-
+    collect contract as the band-size table in dedup.py. The probe is
+    one Arrow pass over narrow (doc_id, gram-hash-array) rows: int64
+    position arithmetic + three uint8 gathers per gram, summed per doc
+    with cumsum-over-offsets. No join, no shuffle, no pandas boxing.
+    """
+    split = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingles(F.col("text"), n_shingle),
+                lambda s: shingle_hash32(s, hash_fn),
+            )
+        ).alias("sh"),
+        (
+            F.pmod(_hash32(F.col("doc_id"), "e:", hash_fn), F.lit(eval_mod))
+            == 0
+        ).alias("is_eval"),
+    )
+    ev_h = split.filter(F.col("is_eval")).select(F.explode("sh").alias("h"))
+    pos_rows = (
+        ev_h.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.col("h") * F.lit(a) + F.lit(b), F.lit(BLOOM_M)
+                        )
+                        for a, b in zip(BLOOM_A, BLOOM_B)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    import numpy as np
+
+    bits = np.zeros(BLOOM_M, dtype=np.uint8)
+    if pos_rows:
+        bits[np.fromiter((r.p for r in pos_rows), dtype=np.int64)] = 1
+    sc = docs.sparkSession.sparkContext
+    b_bits = sc.broadcast(bits)
+
+    def probe(batches):
+        import pyarrow as pa
+
+        bb = b_bits.value
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lst = batch.column("sh")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = np.ones(len(vals), dtype=np.uint8)
+            for a, b in zip(BLOOM_A, BLOOM_B):
+                hit &= bb[(vals * a + b) % BLOOM_M]
+            csum = np.concatenate(
+                [[0], np.cumsum(hit.astype(np.int64))]
+            )
+            n_hits = csum[offs[1:]] - csum[offs[:-1]]
+            n_sh = offs[1:] - offs[:-1]
+            flagged = (n_sh > 0) & (
+                n_hits * 1000 >= int(flag_millis) * n_sh
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(n_sh, pa.int64()),
+                    pa.array(n_hits, pa.int64()),
+                    pa.array(flagged, pa.bool_()),
+                ],
+                names=["doc_id", "n_shingles", "n_hits", "flagged"],
+            )
+
+    train = split.filter(~F.col("is_eval")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "sh"
+    )
+    return train.mapInArrow(
+        probe,
+        schema="doc_id long, n_shingles long, n_hits long, flagged boolean",
+    )

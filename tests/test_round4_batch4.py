@@ -182,3 +182,70 @@ def test_line_dedup_default_unchanged(spark):
     assert out.columns == ["doc_id", "clean_text", "n_kept", "n_dropped"]
     got = {r.doc_id: r.n_dropped for r in out.collect()}
     assert got == {1: 1, 2: 1}
+
+
+# ------------------------------------------------- bloom_contamination ----
+
+
+def _bloom_docs(spark):
+    from cadastre_pg_spark.operators.corpus import _hash32
+    # find doc_ids whose 'e:'-salted hash makes them eval under mod 20
+    base = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).withColumn("e", F.pmod(_hash32(F.col("doc_id"), "e:", "xxhash64"), F.lit(20)))
+    rows = base.collect()
+    ev = [r.doc_id for r in rows if r.e == 0]
+    tr = [r.doc_id for r in rows if r.e != 0]
+    return ev, tr
+
+
+def test_bloom_contamination_flags_shared_grams(spark):
+    from cadastre_pg_spark.operators.corpus import bloom_contamination
+
+    ev, tr = _bloom_docs(spark)
+    eval_text = "alpha beta gamma delta epsilon"
+    dirty = "alpha beta gamma delta zeta"  # shares 2 of its 3 3-grams
+    clean = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(ev[0], eval_text), (tr[0], dirty), (tr[1], clean)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bloom_contamination(
+            docs, n_shingle=3, eval_mod=20, flag_millis=500
+        ).collect()
+    }
+    assert ev[0] not in out  # eval side is not reported
+    assert out[tr[0]].n_shingles == 3 and out[tr[0]].n_hits == 2
+    assert out[tr[0]].flagged  # 2/3 >= 50%
+    assert out[tr[1]].n_hits == 0 and not out[tr[1]].flagged
+
+
+def test_bloom_contamination_empty_eval_and_short_docs(spark):
+    from cadastre_pg_spark.operators.corpus import bloom_contamination
+
+    ev, tr = _bloom_docs(spark)
+    docs = spark.createDataFrame(
+        [(tr[0], "a b c d"), (tr[1], "xy")],  # no eval docs at all
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bloom_contamination(docs, n_shingle=3).collect()
+    }
+    assert out[tr[0]].n_hits == 0 and not out[tr[0]].flagged
+    # doc shorter than the shingle width: zero shingles, never flagged
+    assert out[tr[1]].n_shingles == 0 and not out[tr[1]].flagged
+
+
+def test_bloom_positions_fit_bigint(spark):
+    """Probe arithmetic must stay exact: max 32-bit hash times the
+    largest mixer stays under 2^63 (ANSI mode would error, numpy
+    int64 would wrap silently)."""
+    from cadastre_pg_spark.operators.corpus import BLOOM_A, BLOOM_B, BLOOM_M
+
+    h_max = (1 << 32) - 1
+    for a, b in zip(BLOOM_A, BLOOM_B):
+        assert h_max * a + b < (1 << 63)
+    assert BLOOM_M < (1 << 20)
