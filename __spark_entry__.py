@@ -2829,6 +2829,34 @@ def q_token_fertility(spark, sf_dir):
     return token_fertility(_docs(spark, sf_dir))
 
 
+LPA_ITERS = 4
+
+
+def q_label_prop(spark, sf_dir):
+    """Synchronous label propagation (4 fixed rounds, ties -> min
+    label) over the deterministic link graph — community detection
+    inside the CC islands; the oracle unrolls identical rounds."""
+    from cadastre_pg_spark.operators.graph import label_prop
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    _, edges = _pr_graph(spark, n)
+    return label_prop(edges, iters=LPA_ITERS)
+
+
+SNM_WINDOW, SNM_PREFIX = 3, 2
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (window 3, 2-char prefix blocks):
+    lag-generated candidate pairs inside each block's key sort, exact
+    token jaccard attached after pair generation by id join."""
+    from cadastre_pg_spark.operators.dedup import sorted_neighborhood
+
+    return sorted_neighborhood(
+        _docs(spark, sf_dir), window=SNM_WINDOW, prefix_len=SNM_PREFIX
+    )
+
+
 BLOOM_NSHINGLE, BLOOM_FLAG_MILLIS = 3, 40  # 207/480 flagged at sf0.01
 
 
@@ -2878,6 +2906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
+        "label_prop": q_label_prop,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "char_entropy": q_char_entropy,
         "token_fertility": q_token_fertility,
         "host_boilerplate": q_host_boilerplate,
@@ -3116,6 +3146,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "label_prop": _label_prop_sql_oracle(iters=LPA_ITERS),
+        "sorted_neighborhood": _snm_sql_oracle(
+            window=SNM_WINDOW, prefix_len=SNM_PREFIX
+        ),
         "bloom_contamination": _bloom_contamination_sql_oracle(
             n=BLOOM_NSHINGLE, eval_mod=20, flag_millis=BLOOM_FLAG_MILLIS
         ),
@@ -7135,6 +7169,95 @@ def _top_per_cell_sql_oracle() -> str:
           FROM t
         )
         SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
+    """
+
+
+def _label_prop_sql_oracle(iters: int) -> str:
+    """Unrolled-CTE replay of graph.label_prop: symmetrized distinct
+    edge set, per-round (node, label) vote counts, winner by
+    row_number(n DESC, label ASC), isolated nodes keep via COALESCE."""
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    sql = f"""
+        WITH raw AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+          ) WHERE src <> dst
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""
+    prev = "l0"
+    for r in range(1, iters + 1):
+        sql += f""",
+        c{r} AS (
+          SELECT e.dst AS node, l.lab, count(*) AS n
+          FROM e JOIN {prev} l ON e.src = l.node GROUP BY 1, 2
+        ),
+        b{r} AS (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY n DESC, lab ASC) AS rn
+            FROM c{r}) WHERE rn = 1
+        ),
+        l{r} AS (
+          SELECT l.node, COALESCE(b.lab, l.lab) AS lab
+          FROM {prev} l LEFT JOIN b{r} b USING (node)
+        )"""
+        prev = f"l{r}"
+    sql += f"""
+        SELECT node, CAST(lab AS BIGINT) AS label FROM {prev}
+    """
+    return sql
+
+
+def _snm_sql_oracle(window: int, prefix_len: int) -> str:
+    """Independent replay of dedup.sorted_neighborhood: normalized
+    key (norm_text twin), prefix blocks, per-block (key, doc_id) sort
+    position, pairs at position gap 1..window, exact distinct-token
+    jaccard."""
+    return rf"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')),
+                   '\s+', ' ', 'g')) AS k
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, k, substring(k, 1, {prefix_len}) AS blk,
+                 row_number() OVER (
+                   PARTITION BY substring(k, 1, {prefix_len})
+                   ORDER BY k ASC, doc_id ASC) AS p
+          FROM keyed
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(b.p - a.p AS BIGINT) AS gap
+          FROM pos a JOIN pos b
+            ON a.blk = b.blk
+           AND b.p - a.p BETWEEN 1 AND {window}
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(trim(text), '\s+'))
+                   AS t
+          FROM documents
+        )
+        SELECT p.doc_a, p.doc_b, p.gap,
+               round(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+                     / CAST(len(ta.t) + len(tb.t)
+                            - len(list_intersect(ta.t, tb.t)) AS DOUBLE),
+                     6) AS jaccard
+        FROM pairs p
+        JOIN toks ta ON ta.doc_id = p.doc_a
+        JOIN toks tb ON tb.doc_id = p.doc_b
     """
 
 

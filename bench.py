@@ -191,6 +191,28 @@ BENCH_QUERIES = [
     "ann_topk",
     "tile_extract",
     "config_route",
+    # round-4 batch 2/3 additions
+    "chunk_docs",
+    "norm_dedup",
+    "skipgram_pmi",
+    "winnowing",
+    "winnow_pairs",
+    "containment_pairs",
+    "crawl_delta",
+    "skew_report",
+    "tfidf_topk",
+    "ks_drift",
+    "ccnet_buckets",
+    "source_sketch_sim",
+    "morton_range_scan",
+    # round-4 batch 4/5 additions
+    "blocklist_filter",
+    "char_entropy",
+    "token_fertility",
+    "host_boilerplate",
+    "bloom_contamination",
+    "label_prop",
+    "sorted_neighborhood",
 ]
 
 _CHILD = r"""
@@ -284,6 +306,21 @@ AGG_COL = {{
     "sales_cube": "n_rows",
     "blocklist_filter": "n_flagged",
     "bloom_contamination": "n_hits",
+    "label_prop": "label",
+    "sorted_neighborhood": "jaccard",
+    "chunk_docs": "chunk_tokens",
+    "norm_dedup": "n_copies",
+    "skipgram_pmi": "pmi_u",
+    "winnowing": "fph",
+    "winnow_pairs": "n_shared",
+    "containment_pairs": "containment",
+    "crawl_delta": "n",
+    "skew_report": "hhi",
+    "tfidf_topk": "score_u",
+    "ks_drift": "ks_d",
+    "ccnet_buckets": "surprisal",
+    "source_sketch_sim": "jaccard_est",
+    "morton_range_scan": "lon",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

@@ -660,3 +660,81 @@ def sssp(
         f"sssp: labels still improving after {max_rounds} rounds — "
         "negative weights or a deeper graph than the budget; raise max_rounds"
     )
+
+
+def label_prop(
+    edges: DataFrame,
+    a: str = "src",
+    b: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan-style LPA) -> (node,
+    label): the community-detection pass a link-graph pipeline runs
+    after connected components -- CC finds reachability islands, LPA
+    finds dense neighborhoods INSIDE one island (host clusters, topic
+    hubs). Deterministic contract: labels start as node ids, each of
+    the FIXED `iters` rounds every node adopts the most frequent label
+    among its (undirected, deduplicated) neighbors with ties broken by
+    the SMALLEST label, and isolated nodes keep their own label --
+    synchronous fixed-round semantics make the result exact and let
+    the DuckDB oracle unroll the identical rounds (asynchronous LPA's
+    visit-order dependence would be unverifiable).
+
+    Scale shape (100 TB): the symmetrized edge table is checkpointed
+    ONCE and never re-shuffles -- under the measured ~5M-node gate the
+    per-round label and winner tables broadcast (the connected_
+    components house pattern), so each round is one map-side join +
+    one (node, label) count with map-side partials + one map-side
+    winner pick via max(struct(n, -label)) -- no window function, no
+    sort. Per-round localCheckpoint truncates lineage.
+    """
+    sym = (
+        edges.select(
+            F.col(a).cast("long").alias("src"),
+            F.col(b).cast("long").alias("dst"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(b).cast("long").alias("src"),
+                F.col(a).cast("long").alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    cached = [sym, lab]
+    bcast = lab.count() <= 5_000_000
+
+    def _b(d):
+        return F.broadcast(d) if bcast else d
+
+    for _ in range(iters):
+        votes = sym.join(_b(lab), sym.src == lab.node).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        cnt = votes.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("n"))
+        best = cnt.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("n"), (-F.col("lab")).alias("neg"), F.col("lab")
+                )
+            ).alias("s")
+        ).select("node", F.col("s.lab").alias("new_lab"))
+        lab = (
+            lab.join(_b(best), "node", "left")
+            .select(
+                "node", F.coalesce("new_lab", "lab").alias("lab")
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached.append(lab)
+    out = lab.select("node", F.col("lab").alias("label"))
+    out._cadastre_cached = cached
+    return out

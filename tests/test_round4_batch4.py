@@ -249,3 +249,119 @@ def test_bloom_positions_fit_bigint(spark):
     for a, b in zip(BLOOM_A, BLOOM_B):
         assert h_max * a + b < (1 << 63)
     assert BLOOM_M < (1 << 20)
+
+
+# ------------------------------------------------------- label_prop ----
+
+
+def _lpa_brute(edge_list, iters):
+    """Reference synchronous LPA: most-frequent neighbor label, ties
+    to the smallest label, isolated nodes keep their label."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            counts = defaultdict(int)
+            for u in adj[v]:
+                counts[lab[u]] += 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_prop_matches_brute_force(spark):
+    from cadastre_pg_spark.operators.graph import label_prop
+
+    # deterministic pseudo-random graph with real community structure:
+    # two cliques bridged by one edge, plus a chain
+    edges = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+        + [(4, 10)]
+        + [(20, 21), (21, 22), (22, 23)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3, 4):
+        got = {
+            r.node: r.label for r in label_prop(df, iters=iters).collect()
+        }
+        assert got == _lpa_brute(edges, iters), f"iters={iters}"
+
+
+def test_label_prop_cliques_converge_to_min_member(spark):
+    from cadastre_pg_spark.operators.graph import label_prop
+
+    edges = [(i, j) for i in range(3, 8) for j in range(i + 1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_prop(df, iters=4).collect()}
+    assert set(got.values()) == {3}
+
+
+def test_label_prop_drops_self_loop_only_nodes(spark):
+    from cadastre_pg_spark.operators.graph import label_prop
+
+    df = spark.createDataFrame(
+        [(1, 2), (9, 9)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_prop(df, iters=2).collect()}
+    assert 9 not in got and set(got) == {1, 2}
+
+
+# ------------------------------------------------ sorted_neighborhood ----
+
+
+def test_snm_pairs_within_window_and_block(spark):
+    from cadastre_pg_spark.operators.dedup import sorted_neighborhood
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa one two"),
+            (2, "aa one two three"),
+            (3, "aa zzz"),
+            (4, "bb other block"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted_neighborhood(docs, window=1, prefix_len=2).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    # block 'aa' sort order by normalized key: doc1 < doc2 < doc3
+    assert set(pairs) == {(1, 2), (2, 3)}
+    assert pairs[(1, 2)].gap == 1
+    # jaccard({aa,one,two},{aa,one,two,three}) = 3/4
+    assert pairs[(1, 2)].jaccard == pytest.approx(0.75)
+    # doc4 is alone in block 'bb': no pair
+
+
+def test_snm_window_width(spark):
+    from cadastre_pg_spark.operators.dedup import sorted_neighborhood
+
+    docs = spark.createDataFrame(
+        [(i, f"xx word{i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    out = sorted_neighborhood(docs, window=2, prefix_len=2).collect()
+    # 5 records, window 2: 4 gap-1 pairs + 3 gap-2 pairs
+    assert len(out) == 7
+    assert sum(1 for r in out if r.gap == 2) == 3
+
+
+def test_snm_normalization_drives_sort(spark):
+    """Case/punctuation variants normalize to adjacent keys and pair
+    up even though raw strings sort apart."""
+    from cadastre_pg_spark.operators.dedup import sorted_neighborhood
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "hzzz different")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in
+           sorted_neighborhood(docs, window=1, prefix_len=2).collect()}
+    assert (1, 2) in out or (2, 1) in out
