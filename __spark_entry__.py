@@ -2829,6 +2829,31 @@ def q_token_fertility(spark, sf_dir):
     return token_fertility(_docs(spark, sf_dir))
 
 
+JL_PLANES = 16
+
+
+def q_jl_project(spark, sf_dir):
+    """Integer-exact JL random projection over int8-quantized
+    embeddings: closed-form integer planes, zero-shuffle matmul in
+    one Arrow pass; proj is exact BIGINT on both engines."""
+    from cadastre_pg_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return jl_project(emb, n_planes=JL_PLANES)
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Per-label embedding-centroid cosine to the global centroid --
+    the domain-shift check before corpus mixing; unit-quantized
+    integer sums, one closing rounded cosine."""
+    from cadastre_pg_spark.operators.similarity import centroid_drift
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = centroid_drift(emb, group_col="label")
+    return out.withColumn("label", F.col("label").cast("long"))
+
+
 LPA_ITERS = 4
 
 
@@ -2906,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
+        "jl_project": q_jl_project,
+        "centroid_drift": q_centroid_drift,
         "label_prop": q_label_prop,
         "sorted_neighborhood": q_sorted_neighborhood,
         "char_entropy": q_char_entropy,
@@ -3146,6 +3173,49 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "jl_project": _jl_project_sql_oracle(n_planes=JL_PLANES),
+        "centroid_drift": r"""
+            WITH ex AS (
+              SELECT label AS grp, i - 1 AS d,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                * CAST('10000000.0' AS DOUBLE))
+                          AS BIGINT) AS q
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, len(embedding))) AS i) u
+            ),
+            per AS (
+              SELECT grp, d, CAST(sum(q) AS BIGINT) AS sq,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM ex GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT grp, d, n,
+                     CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                          AS BIGINT) AS m
+              FROM per
+            ),
+            g AS (
+              SELECT d,
+                     CAST(floor(CAST(sum(sq) AS DOUBLE)
+                                / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS mg
+              FROM per GROUP BY d
+            ),
+            a AS (
+              SELECT grp, CAST(max(n) AS BIGINT) AS n_vecs,
+                     CAST(sum(m.m * g.mg) AS BIGINT) AS dot_u,
+                     CAST(sum(m.m * m.m) AS BIGINT) AS norm_g_u,
+                     CAST(sum(g.mg * g.mg) AS BIGINT) AS norm_all_u
+              FROM m JOIN g USING (d) GROUP BY grp
+            )
+            SELECT CAST(grp AS BIGINT) AS label, n_vecs, dot_u,
+                   norm_g_u, norm_all_u,
+                   round(CAST(dot_u AS DOUBLE)
+                         / sqrt(CAST(norm_g_u AS DOUBLE))
+                         / sqrt(CAST(norm_all_u AS DOUBLE)), 6)
+                     AS cos_drift
+            FROM a
+        """,
         "label_prop": _label_prop_sql_oracle(iters=LPA_ITERS),
         "sorted_neighborhood": _snm_sql_oracle(
             window=SNM_WINDOW, prefix_len=SNM_PREFIX
@@ -7169,6 +7239,44 @@ def _top_per_cell_sql_oracle() -> str:
           FROM t
         )
         SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
+    """
+
+
+def _jl_project_sql_oracle(n_planes: int) -> str:
+    """Independent replay of similarity.jl_project: the quantize_int8
+    code pipeline (identical IEEE op order) followed by the exact
+    integer plane dot -- w[p][d] = ((p*JL_A + d*JL_B) % JL_M) - JL_M//2."""
+    from cadastre_pg_spark.operators.similarity import JL_A, JL_B, JL_M
+
+    half = JL_M // 2
+    return rf"""
+        WITH s AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+          FROM embeddings
+        ),
+        sc AS (
+          SELECT vec_id, xs,
+                 list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+          FROM s
+        ),
+        c AS (
+          SELECT vec_id,
+                 CASE WHEN scale = 0 THEN
+                   list_transform(xs, x -> CAST(0 AS BIGINT))
+                 ELSE
+                   list_transform(xs,
+                     x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                 END AS codes
+          FROM sc
+        )
+        SELECT vec_id, CAST(p AS BIGINT) AS plane,
+               CAST(list_sum(list_transform(
+                 generate_series(1, len(codes)),
+                 i -> codes[i] * (((p * {JL_A} + (i - 1) * {JL_B})
+                                   % {JL_M}) - {half})))
+                    AS BIGINT) AS proj
+        FROM c, range(0, {n_planes}) t(p)
     """
 
 

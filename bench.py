@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "bloom_contamination",
     "label_prop",
     "sorted_neighborhood",
+    "jl_project",
+    "centroid_drift",
 ]
 
 _CHILD = r"""
@@ -321,6 +323,8 @@ AGG_COL = {{
     "ccnet_buckets": "surprisal",
     "source_sketch_sim": "jaccard_est",
     "morton_range_scan": "lon",
+    "jl_project": "proj",
+    "centroid_drift": "cos_drift",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

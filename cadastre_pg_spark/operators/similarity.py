@@ -868,3 +868,151 @@ def semdedup(
     out._cadastre_cached = [asn]
     out._skipped_lists = skipped
     return out
+
+
+# JL projection plane mixer: w[p][d] = ((p*JL_A + d*JL_B) % JL_M) - JL_M//2
+# -- closed-form integer weights (the _planes idea in exact integer
+# arithmetic), |w| <= 1001, so an int8-code dot over d dims is bounded
+# by 127 * 1001 * d: exact BIGINT far past any realistic width.
+JL_A, JL_B, JL_M = 48611, 71993, 2003
+
+
+def jl_project(
+    embs: DataFrame, n_planes: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection -> (vec_id, plane,
+    proj): dimensionality reduction for the embedding column, composed
+    with int8 quantization so the ENTIRE pipeline is integer-exact --
+    quantize to int8 codes (the disk format a 100-TB index stores
+    anyway), then project with closed-form integer planes. proj is an
+    exact BIGINT on both engines; distance structure is preserved up
+    to the JL distortion bound (property-tested), and downstream
+    consumers (clustering, dedup banding, visualization) read 16
+    longs instead of 64 floats.
+
+    Scale shape (100 TB): one mapInPandas (the quantize stage) + one
+    zero-copy mapInArrow integer matmul -- no shuffle anywhere, no
+    broadcast (the plane matrix is regenerated from the closed form
+    inside each worker for whatever width the batch carries). Output
+    explodes to (vec_id, plane) rows for the driver compare; at scale
+    keep the matrix form by reading proj back via groupBy(vec_id).
+    """
+    codes = quantize_int8(embs, vec_col).select("vec_id", "codes")
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            lst = batch.column("codes")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ids)
+            if n == 0:
+                continue
+            d = int(offs[1] - offs[0])
+            mat = vals.reshape(n, d)
+            p = np.arange(n_planes, dtype=np.int64)[:, None]
+            dd = np.arange(d, dtype=np.int64)[None, :]
+            w = (p * JL_A + dd * JL_B) % JL_M - JL_M // 2
+            proj = mat @ w.T  # (n, n_planes) exact int64
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_planes), pa.int64()),
+                    pa.array(
+                        np.tile(np.arange(n_planes, dtype=np.int64), n),
+                        pa.int64(),
+                    ),
+                    pa.array(proj.reshape(-1), pa.int64()),
+                ],
+                names=["vec_id", "plane", "proj"],
+            )
+
+    return codes.mapInArrow(
+        gen, schema="vec_id long, plane long, proj long"
+    )
+
+
+def centroid_drift(
+    embs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    unit: float = 1e7,
+) -> DataFrame:
+    """Per-group embedding centroid drift -> (group, n_vecs, dot_u,
+    norm_g_u, norm_all_u, cos_drift): cosine between each group's mean
+    vector and the global mean -- the domain-shift health check a
+    multi-source corpus runs before mixing (a source whose centroid
+    points away from the corpus is out-of-distribution; a cosine near
+    1 means redundant coverage).
+
+    Exactness: each component quantizes to integer units
+    floor(x * unit) BEFORE summation, so per-dim sums are exact
+    BIGINTs (order-independent); per-dim MEANS re-quantize as
+    floor(sum / n) (floor-on-double, the portable quantizer); the
+    closing cosine is three correctly-rounded double ops over exact
+    integer dot/norm sums, behind a 6 dp round. Bounds: |mean unit|
+    <= unit * max|x| regardless of group size, so the dot/norm sums
+    never grow with data volume; the per-dim sum itself holds to
+    ~1.6e12 rows per group at unit=1e7 with |x|<=0.6.
+
+    Scale shape (100 TB): posexplode to narrow (group, dim, q) rows --
+    pure codegen -- one (group, dim) map-side-partial SUM (cardinality
+    n_groups * dims, tiny), the global centroid derived from the SAME
+    sums (no second scan), one broadcast-sized join on dim. No Python.
+    """
+    ex = embs.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).select(
+        "grp",
+        "d",
+        F.floor(F.col("x").cast("double") * F.lit(float(unit)))
+        .cast("long")
+        .alias("q"),
+    )
+    per = ex.groupBy("grp", "d").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    m = per.select(
+        "grp",
+        "d",
+        "n",
+        F.floor(F.col("sq").cast("double") / F.col("n").cast("double"))
+        .cast("long")
+        .alias("m"),
+    )
+    glob = (
+        per.groupBy("d")
+        .agg(F.sum("sq").alias("gsq"), F.sum("n").alias("gn"))
+        .select(
+            "d",
+            F.floor(
+                F.col("gsq").cast("double") / F.col("gn").cast("double")
+            )
+            .cast("long")
+            .alias("mg"),
+        )
+    )
+    j = m.join(F.broadcast(glob), "d")
+    agg = j.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum(F.col("m") * F.col("mg")).cast("long").alias("dot_u"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("norm_g_u"),
+        F.sum(F.col("mg") * F.col("mg")).cast("long").alias("norm_all_u"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_vecs",
+        "dot_u",
+        "norm_g_u",
+        "norm_all_u",
+        F.round(
+            F.col("dot_u").cast("double")
+            / F.sqrt(F.col("norm_g_u").cast("double"))
+            / F.sqrt(F.col("norm_all_u").cast("double")),
+            6,
+        ).alias("cos_drift"),
+    )

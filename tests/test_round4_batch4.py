@@ -365,3 +365,103 @@ def test_snm_normalization_drives_sort(spark):
     out = {(r.doc_a, r.doc_b): r for r in
            sorted_neighborhood(docs, window=1, prefix_len=2).collect()}
     assert (1, 2) in out or (2, 1) in out
+
+
+# --------------------------------------------------------- jl_project ----
+
+
+def test_jl_project_matches_numpy_and_preserves_distances(spark):
+    import numpy as np
+    from cadastre_pg_spark.operators.similarity import (
+        JL_A,
+        JL_B,
+        JL_M,
+        jl_project,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n, planes = 32, 40, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    out = jl_project(embs, n_planes=planes).collect()
+    got = np.zeros((n, planes), dtype=np.int64)
+    for r in out:
+        got[r.vec_id, r.plane] = r.proj
+    # replay: quantize then integer plane dot
+    m64 = mat.astype(np.float64)
+    scale = np.abs(m64).max(axis=1) / 127.0
+    codes = np.floor(m64 / scale[:, None] + 0.5).astype(np.int64)
+    w = (
+        np.arange(planes, dtype=np.int64)[:, None] * JL_A
+        + np.arange(d, dtype=np.int64)[None, :] * JL_B
+    ) % JL_M - JL_M // 2
+    assert np.array_equal(got, codes @ w.T)
+
+
+def test_jl_project_separates_clusters(spark):
+    """The JL property that matters downstream: well-separated
+    clusters in the original space stay separated after projection
+    (iid-gaussian pairwise distances concentrate, so a rank
+    correlation over ALL pairs is noise even for truly random planes
+    -- cluster separation is the usable contract)."""
+    import numpy as np
+    from itertools import combinations
+    from cadastre_pg_spark.operators.similarity import jl_project
+
+    rng = np.random.default_rng(11)
+    d, per, planes = 32, 8, 16
+    centers = rng.normal(size=(3, d)) * 10.0
+    pts = np.concatenate(
+        [c + rng.normal(size=(per, d)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    n = len(pts)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = np.zeros((n, planes), dtype=np.int64)
+    for r in jl_project(embs, n_planes=planes).collect():
+        got[r.vec_id, r.plane] = r.proj
+    lab = np.repeat(np.arange(3), per)
+    within, across = [], []
+    for i, j in combinations(range(n), 2):
+        dist = np.linalg.norm((got[i] - got[j]).astype(np.float64))
+        (within if lab[i] == lab[j] else across).append(dist)
+    assert max(within) < min(across), (max(within), min(across))
+
+
+def test_jl_project_zero_vector(spark):
+    from cadastre_pg_spark.operators.similarity import jl_project
+
+    embs = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    out = jl_project(embs, n_planes=4).collect()
+    assert len(out) == 4 and all(r.proj == 0 for r in out)
+
+
+# ----------------------------------------------------- centroid_drift ----
+
+
+def test_centroid_drift_identical_group_scores_one(spark):
+    """A group whose vectors all equal the global mean direction has
+    cosine drift 1; an orthogonal group scores ~0."""
+    from cadastre_pg_spark.operators.similarity import centroid_drift
+
+    rows = (
+        [(i, [1.0, 0.0, 0.0, 0.0], "a") for i in range(6)]
+        + [(10 + i, [0.0, 1.0, 0.0, 0.0], "b") for i in range(2)]
+    )
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r.label: r for r in centroid_drift(embs).collect()}
+    # global mean = (0.75, 0.25, 0, 0); cos(a, global) > cos(b, global)
+    assert out["a"].cos_drift > 0.9
+    assert out["b"].cos_drift < out["a"].cos_drift
+    assert out["a"].n_vecs == 6 and out["b"].n_vecs == 2
+    # drift is scale-invariant in group size: integer norms positive
+    assert out["a"].norm_g_u > 0 and out["a"].norm_all_u > 0
