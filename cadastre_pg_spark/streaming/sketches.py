@@ -141,3 +141,91 @@ def cms_stream(
         .outputMode("update")
         .start()
     )
+
+
+MG_OUTPUT_SCHEMA = (
+    "grp string, n_seen long, keys array<string>, counts array<long>"
+)
+
+
+def _mg_apply(summary: dict, v: str, k: int):
+    """One Misra-Gries update: increment if tracked, insert if a slot
+    is free, else decrement every counter (dropping zeros)."""
+    if v in summary:
+        summary[v] += 1
+    elif len(summary) < k:
+        summary[v] = 1
+    else:
+        drop = [u for u in summary if summary[u] == 1]
+        for u in summary:
+            summary[u] -= 1
+        for u in drop:
+            del summary[u]
+
+
+def _make_mg_update(k: int):
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, n = state.get
+            summary = dict(zip(list(keys), [int(c) for c in counts]))
+            n = int(n)
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                _mg_apply(summary, str(v), k)
+                n += 1
+        items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(
+            ([i[0] for i in items], [i[1] for i in items], n)
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "n_seen": [n],
+                "keys": [[i[0] for i in items]],
+                "counts": [[i[1] for i in items]],
+            }
+        )
+
+    return _update
+
+
+def mg_stream(
+    grouped_values: DataFrame,
+    k: int = 8,
+    query_name: str = "mg",
+):
+    """Streaming Misra-Gries heavy hitters — the stream twin of
+    operators/sketches.heavy_hitters' per-partition candidate stage:
+    one k-slot frequency summary per group, updated per micro-batch
+    via applyInPandasWithState, re-emitted (sorted by count desc, key
+    asc) on every update.
+
+    Unlike the HLL/CMS streams the MG summary is NOT order-insensitive
+    — arrival order can shift WHICH tail keys occupy slots — but the
+    classical guarantees hold for ANY order and are what the tests
+    assert: every tracked count is within n_seen/(k+1) of the true
+    count (never above it... never below true - n/(k+1)), and any key
+    with true count > n_seen/(k+1) is GUARANTEED tracked. The batch
+    operator recounts candidates exactly; at stream scale pair this
+    with a stream-static recount join the same way.
+
+    State per group: <= k (key, count) pairs + one long — constant
+    memory however long the stream runs (the property that makes MG
+    the streaming-top-k workhorse). Returns the started memory-sink
+    query; the last row per grp is the current summary.
+    """
+    out = grouped_values.groupBy("grp").applyInPandasWithState(
+        _make_mg_update(k),
+        MG_OUTPUT_SCHEMA,
+        "keys array<string>, counts array<long>, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )
