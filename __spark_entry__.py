@@ -2829,6 +2829,31 @@ def q_token_fertility(spark, sf_dir):
     return token_fertility(_docs(spark, sf_dir))
 
 
+LANGMIX_SEG = 16
+TEMPMIX_BUDGET = 15_000
+
+
+def q_lang_mix(spark, sf_dir):
+    """Chunk-level language consistency per doc (16-token chunks):
+    majority chunk language (ties -> smallest tag), distinct chunk
+    languages, majority fraction."""
+    from cadastre_pg_spark.operators.textanalysis import lang_mix
+
+    return lang_mix(_docs(spark, sf_dir), seg_tokens=LANGMIX_SEG)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """alpha=0.5 temperature-balanced mixture with in-plan derived
+    sqrt shares (quantized to exact integers before the cross-group
+    total); md5 mode for the twin."""
+    from cadastre_pg_spark.operators.corpus import temperature_mixture
+
+    return temperature_mixture(
+        _docs(spark, sf_dir), token_budget=TEMPMIX_BUDGET, hash_fn="md5",
+        salt="m:",
+    )
+
+
 JL_PLANES = 16
 
 
@@ -2931,6 +2956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
+        "lang_mix": q_lang_mix,
+        "temperature_mixture": q_temperature_mixture,
         "jl_project": q_jl_project,
         "centroid_drift": q_centroid_drift,
         "label_prop": q_label_prop,
@@ -3173,6 +3200,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "lang_mix": _lang_mix_sql_oracle(seg_tokens=LANGMIX_SEG),
+        "temperature_mixture": _temperature_mixture_sql_oracle(
+            budget=TEMPMIX_BUDGET
+        ),
         "jl_project": _jl_project_sql_oracle(n_planes=JL_PLANES),
         "centroid_drift": r"""
             WITH ex AS (
@@ -7239,6 +7270,86 @@ def _top_per_cell_sql_oracle() -> str:
           FROM t
         )
         SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
+    """
+
+
+def _lang_mix_sql_oracle(seg_tokens: int) -> str:
+    """Independent replay of textanalysis.lang_mix: token-window
+    chunks (the line_dedup lateral-series segmenter), the lang_id CASE
+    chain per chunk, winner by row_number(n DESC, lang ASC)."""
+    from cadastre_pg_spark.operators.textanalysis import lang_pred_sql
+
+    ld = seg_tokens
+    pred = lang_pred_sql("line")
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents
+        ),
+        segs AS (
+          SELECT doc_id,
+                 array_to_string(arr[(i*{ld})+1:((i+1)*{ld})], ' ') AS line
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(0,
+                          GREATEST(CAST(ceil(len(arr) / {ld}.0) AS BIGINT),
+                                   1) - 1)) AS i) u
+        ),
+        pred AS (
+          SELECT doc_id, {pred} AS lg FROM segs
+        ),
+        cnt AS (
+          SELECT doc_id, lg, CAST(count(*) AS BIGINT) AS n
+          FROM pred GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT doc_id, lg, n,
+                 CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_chunks,
+                 CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_langs,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, lg ASC) AS rn
+          FROM cnt
+        )
+        SELECT doc_id, n_chunks, n_langs, lg AS major_lang,
+               round(CAST(n AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+                 AS major_frac
+        FROM win WHERE rn = 1
+    """
+
+
+def _temperature_mixture_sql_oracle(budget: int) -> str:
+    """Independent replay of corpus.temperature_mixture (md5 mode):
+    token census, floor(sqrt*1e6) integer share units, exact BIGINT
+    total, identical double op order for the ppm threshold."""
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, lang AS grp,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        st AS (
+          SELECT grp, CAST(sum(n_tokens) AS DOUBLE) AS t_grp,
+                 CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))
+                            * CAST('1000000.0' AS DOUBLE)) AS BIGINT)
+                   AS s_u
+          FROM toks GROUP BY grp
+        ),
+        tot AS (SELECT CAST(sum(s_u) AS BIGINT) AS s_tot FROM st)
+        SELECT doc_id, grp, n_tokens, u FROM (
+          SELECT t.doc_id, t.grp, t.n_tokens,
+                 {_hex32_sql("md5('m:' || CAST(t.doc_id AS VARCHAR))")}
+                   % 1000000 AS u,
+                 LEAST(CAST(floor(CAST('{float(budget)!r}' AS DOUBLE)
+                         * CAST(s.s_u AS DOUBLE)
+                         / CAST(tt.s_tot AS DOUBLE)
+                         / s.t_grp
+                         * CAST('1000000.0' AS DOUBLE)) AS BIGINT),
+                       1000000) AS th
+          FROM toks t JOIN st s USING (grp), tot tt
+        ) WHERE u < th
     """
 
 

@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "sorted_neighborhood",
     "jl_project",
     "centroid_drift",
+    "lang_mix",
+    "temperature_mixture",
 ]
 
 _CHILD = r"""
@@ -325,6 +327,8 @@ AGG_COL = {{
     "morton_range_scan": "lon",
     "jl_project": "proj",
     "centroid_drift": "cos_drift",
+    "lang_mix": "major_frac",
+    "temperature_mixture": "u",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

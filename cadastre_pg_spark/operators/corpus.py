@@ -1087,3 +1087,73 @@ def bloom_contamination(
         probe,
         schema="doc_id long, n_shingles long, n_hits long, flagged boolean",
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    salt: str = "tm:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-balanced mixture sampling at alpha = 0.5 -- the
+    XLM-R/mT5 language-balancing rule with the weights DERIVED
+    IN-PLAN from measured token mass (budget_mixture's sibling where
+    the caller supplies weights): group g's share of the token budget
+    is sqrt(t_g) / sum_h sqrt(t_h), which upsamples small languages
+    relative to proportional mixing without letting any group dominate.
+
+    alpha is fixed at 0.5 BY DESIGN: sqrt is an IEEE correctly-rounded
+    op, so the derived shares replay bit-identically in the DuckDB
+    twin -- a general pow(t, alpha) differs by ~1 ulp across engines
+    (CLAUDE.md oracle notes) and could flip a floor'd threshold.
+    Each sqrt is quantized floor(sqrt(t_g) * 1e6) -> BIGINT before the
+    cross-group total, so the normalizing sum is exact integer
+    arithmetic regardless of group iteration order.
+
+        thr_g = floor(budget * s_g / S / t_g * 1e6),  s_g = floor(sqrt(t_g)*1e6)
+        keep  iff  hash(doc_id) mod 1e6 < min(thr_g, 1e6)
+
+    Returns surviving (doc_id, grp, n_tokens, u) rows.
+
+    Scale shape (100 TB): identical to budget_mixture -- one per-group
+    aggregate (map-side partials) broadcast back onto the scan, one
+    integer-compare filter, no driver collect, no second corpus scan.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    stats = toks.groupBy("grp").agg(
+        F.sum(F.col("n_tokens").cast("decimal(28,0)"))
+        .cast("double")
+        .alias("t_grp")
+    )
+    stats = stats.withColumn(
+        "s_u", F.floor(F.sqrt(F.col("t_grp")) * F.lit(1e6)).cast("long")
+    )
+    total = stats.agg(F.sum("s_u").cast("long").alias("s_tot"))
+    thr = F.least(
+        F.floor(
+            F.lit(float(token_budget))
+            * F.col("s_u").cast("double")
+            / F.col("s_tot").cast("double")
+            / F.col("t_grp")
+            * F.lit(float(MILLION))
+        ),
+        F.lit(float(MILLION)),
+    ).cast("long")
+    rates = (
+        stats.crossJoin(F.broadcast(total))
+        .select("grp", thr.alias("thr"))
+    )
+    u = F.pmod(_hash32(F.col("doc_id"), salt, hash_fn), F.lit(MILLION))
+    return (
+        toks.join(F.broadcast(rates), "grp")
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("thr"))
+        .select("doc_id", "grp", "n_tokens", "u")
+    )

@@ -984,3 +984,85 @@ def token_fertility(docs: DataFrame) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+def lang_pred_col(text_col) -> Column:
+    """The lang_id keyword-argmax heuristic as a reusable Column over
+    any string expression (ties -> 'und')."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    scores = {
+        lang: sum((occurrences(padded, kw) for kw in kws), F.lit(0.0))
+        for lang, kws in LANG_KEYWORDS.items()
+    }
+    en, fr, de = scores["en"], scores["fr"], scores["de"]
+    return (
+        F.when((en > fr) & (en > de), F.lit("en"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def lang_pred_sql(expr: str) -> str:
+    """SQL twin of lang_pred_col over an arbitrary string expression."""
+    padded = f"(' ' || {expr} || ' ')"
+    s = {
+        lang: " + ".join(occurrences_sql(padded, kw) for kw in kws)
+        for lang, kws in LANG_KEYWORDS.items()
+    }
+    return f"""CASE
+    WHEN ({s['en']}) > ({s['fr']}) AND ({s['en']}) > ({s['de']}) THEN 'en'
+    WHEN ({s['fr']}) > ({s['en']}) AND ({s['fr']}) > ({s['de']}) THEN 'fr'
+    WHEN ({s['de']}) > ({s['en']}) AND ({s['de']}) > ({s['fr']}) THEN 'de'
+    ELSE 'und'
+  END"""
+
+
+def lang_mix(
+    docs: DataFrame, seg_tokens: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Chunk-level language consistency -> (doc_id, n_chunks,
+    n_langs, major_lang, major_frac): run the keyword lang-id per
+    non-overlapping seg_tokens-token chunk and summarize per document
+    -- the mixed-language detector (code-switching pages, bilingual
+    boilerplate, template wrappers around foreign content) that a
+    doc-level lang-id by construction cannot see; pipelines route
+    high-mix documents to splitting rather than a single language
+    bucket.
+
+    major_lang is the most frequent chunk prediction with ties to the
+    LEXICOGRAPHICALLY SMALLEST tag ('und' counts as a language -- a
+    document of undetermined chunks is majority-undetermined);
+    major_frac = major count / n_chunks, one correctly-rounded double
+    division of exact ints behind a 6 dp round.
+
+    Scale shape (100 TB): chunking is the segment_lines codegen
+    explode; the lang CASE chain is pure JVM string arithmetic per
+    chunk; one (doc_id, lang) count with map-side partials and one
+    doc_id aggregate picking the winner via max(struct(n, rev_lang))
+    -- no window, no Python.
+    """
+    from cadastre_pg_spark.operators.dedup import segment_lines
+
+    segs = segment_lines(docs, "tokens", seg_tokens, text_col)
+    pred = segs.select(
+        "doc_id", lang_pred_col(F.col("line")).alias("lg")
+    )
+    cnt = pred.groupBy("doc_id", "lg").agg(F.count(F.lit(1)).alias("n"))
+    # ties -> smallest tag: max(struct(n, neg)) where neg inverts the
+    # lexicographic order of the (ascii, fixed) language tags
+    inv = F.ascii(F.substring(F.col("lg"), 1, 1)) * F.lit(-1)
+    win = cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(F.struct(F.col("n"), inv.alias("inv"), F.col("lg"))).alias("s"),
+    )
+    return win.select(
+        "doc_id",
+        "n_chunks",
+        "n_langs",
+        F.col("s.lg").alias("major_lang"),
+        F.round(
+            F.col("s.n").cast("double") / F.col("n_chunks").cast("double"), 6
+        ).alias("major_frac"),
+    )

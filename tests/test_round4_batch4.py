@@ -465,3 +465,79 @@ def test_centroid_drift_identical_group_scores_one(spark):
     assert out["a"].n_vecs == 6 and out["b"].n_vecs == 2
     # drift is scale-invariant in group size: integer norms positive
     assert out["a"].norm_g_u > 0 and out["a"].norm_all_u > 0
+
+
+# ----------------------------------------------------------- lang_mix ----
+
+
+def test_lang_mix_detects_code_switching(spark):
+    from cadastre_pg_spark.operators.textanalysis import lang_mix
+
+    en = "the cat and the dog of the house"  # 8 tokens, en keywords
+    fr = "le chat et la maison et le jardin"  # 8 tokens, fr keywords
+    docs = spark.createDataFrame(
+        [
+            (1, en + " " + en),  # pure english, 2 chunks
+            (2, en + " " + fr),  # half-and-half
+            (3, "xx yy zz"),  # no keywords -> und
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lang_mix(docs, seg_tokens=8).collect()}
+    assert out[1].n_langs == 1 and out[1].major_lang == "en"
+    assert out[1].major_frac == pytest.approx(1.0)
+    assert out[2].n_langs == 2
+    # tie between en and fr at 1 chunk each -> smallest tag wins
+    assert out[2].major_lang == "en" and out[2].major_frac == pytest.approx(0.5)
+    assert out[3].major_lang == "und"
+
+
+def test_lang_mix_tie_breaks_to_smallest_tag(spark):
+    from cadastre_pg_spark.operators.textanalysis import lang_mix
+
+    de = "der hund die katze und der"
+    fr = "le chat et la maison le"
+    docs = spark.createDataFrame(
+        [(1, de + " " + fr)], "doc_id long, text string"
+    )
+    (r,) = lang_mix(docs, seg_tokens=6).collect()
+    assert r.n_chunks == 2 and r.major_lang == "de"  # de < fr
+
+
+# ------------------------------------------------ temperature_mixture ----
+
+
+def test_temperature_mixture_upsamples_small_groups(spark):
+    """At alpha=0.5 the keep-RATE of a small language exceeds the big
+    language's rate (sqrt flattens shares), while expected token mass
+    stays near the budget split sqrt(t_g)/sum sqrt."""
+    from cadastre_pg_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big", "w " * 20) for i in range(400)] + [
+        (1000 + i, "sml", "w " * 20) for i in range(25)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    out = temperature_mixture(docs, token_budget=4000).collect()
+    kept = {"big": 0, "sml": 0}
+    for r in out:
+        kept[r.grp] += 1
+    rate_big, rate_sml = kept["big"] / 400, kept["sml"] / 25
+    assert rate_sml > rate_big
+    # sqrt shares: sqrt(8000):sqrt(500) = 4:1 of a 4000-token budget
+    # -> sml target 800 tokens = 40 docs > its 25 -> rate capped at 1
+    assert kept["sml"] == 25
+    assert 0 < kept["big"] < 400
+
+
+def test_temperature_mixture_deterministic(spark):
+    from cadastre_pg_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "a" if i % 3 else "b", "t " * (5 + i % 7)) for i in range(90)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    a = sorted(r.doc_id for r in temperature_mixture(docs, 300).collect())
+    b = sorted(r.doc_id for r in temperature_mixture(docs, 300).collect())
+    assert a == b and len(a) > 0
