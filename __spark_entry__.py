@@ -977,6 +977,44 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+URLF_SEGS = "/s1/s2/s3/s4/s5/s6/s7/s8"
+
+
+def q_url_filter(spark, sf_dir):
+    """Crawl-frontier URL prefilter over a deterministic decorated URL
+    table (blocked extensions, deep calendar paths, long session query
+    strings): rule gate by URL shape alone, zero shuffles."""
+    from cadastre_pg_spark.operators.corpus import url_filter
+
+    n = max(400, int(URLD_PER_SF * _sf_of(sf_dir)))
+    i = F.col("id")
+    host = F.concat(
+        F.lit("https://Host"), (i % F.lit(5)).cast("string"),
+        F.lit(".example.org"),
+    )
+    path = F.substring(F.lit(URLF_SEGS), 1, ((i % F.lit(9)) * F.lit(3)).cast("int"))
+    ext = (
+        F.when(i % 6 == F.lit(1), F.lit(".jpg"))
+        .when(i % 6 == F.lit(2), F.lit(".pdf"))
+        .when(i % 6 == F.lit(4), F.lit(".txt"))
+        .when(i % 6 == F.lit(5), F.lit(".zip"))
+        .when(i % 6 == F.lit(0), F.lit(".html"))
+        .otherwise(F.lit(""))
+    )
+    query = (
+        F.when(i % 4 == F.lit(1),
+               F.concat(F.lit("?q="), F.repeat(F.lit("x"), (i % F.lit(50)).cast("int"))))
+        .when(i % 4 == F.lit(2), F.lit("?id=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 7 == F.lit(0), F.lit("#top")).otherwise(F.lit(""))
+    urls = spark.range(n).select(
+        i.alias("page_id"),
+        F.concat(host, path, ext, query, frag).alias("url"),
+    )
+    return url_filter(urls)
+
+
 PR_NODES_PER_SF = 50_000
 PR_ITERS = 5
 PR_DAMPING = 0.85
@@ -2956,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
+        "url_filter": q_url_filter,
         "lang_mix": q_lang_mix,
         "temperature_mixture": q_temperature_mixture,
         "jl_project": q_jl_project,
@@ -3200,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "url_filter": _url_filter_sql_oracle(),
         "lang_mix": _lang_mix_sql_oracle(seg_tokens=LANGMIX_SEG),
         "temperature_mixture": _temperature_mixture_sql_oracle(
             budget=TEMPMIX_BUDGET
@@ -7270,6 +7310,61 @@ def _top_per_cell_sql_oracle() -> str:
           FROM t
         )
         SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
+    """
+
+
+def _url_filter_sql_oracle() -> str:
+    """Independent replay of corpus.url_filter over the identical
+    synthesized URL table (sf-pinned n, like the graph oracles):
+    same portable regexes, same first-failing-rule CASE."""
+    from cadastre_pg_spark.operators.corpus import URL_BLOCKED_EXT
+
+    n = max(400, int(URLD_PER_SF * 0.01))
+    exts = ", ".join(f"'{e}'" for e in URL_BLOCKED_EXT)
+    return rf"""
+        WITH urls AS (
+          SELECT i AS page_id,
+                 'https://Host' || CAST(i % 5 AS VARCHAR) || '.example.org'
+                 || substring('{URLF_SEGS}', 1, CAST((i % 9) * 3 AS INT))
+                 || (CASE CAST(i % 6 AS INT)
+                       WHEN 1 THEN '.jpg' WHEN 2 THEN '.pdf'
+                       WHEN 4 THEN '.txt' WHEN 5 THEN '.zip'
+                       WHEN 0 THEN '.html' ELSE '' END)
+                 || (CASE CAST(i % 4 AS INT)
+                       WHEN 1 THEN '?q=' || repeat('x', CAST(i % 50 AS INT))
+                       WHEN 2 THEN '?id=1' ELSE '' END)
+                 || (CASE WHEN i % 7 = 0 THEN '#top' ELSE '' END) AS url
+          FROM range(0, {n}) t(i)
+        ),
+        b AS (
+          SELECT page_id, url, lower(url) AS u,
+                 regexp_replace(lower(url), '[?#].*$', '') AS nq
+          FROM urls
+        ),
+        c AS (
+          SELECT page_id, url, u, nq,
+                 regexp_replace(
+                   regexp_replace(nq, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                   '/+$', '') AS tp
+          FROM b
+        ),
+        d AS (
+          SELECT page_id, url,
+                 CAST(length(tp) - length(replace(tp, '/', ''))
+                      AS BIGINT) AS path_depth,
+                 CAST(length(regexp_extract(u, '\?([^#]*)', 1))
+                      AS BIGINT) AS query_len,
+                 regexp_extract(nq, '\.([a-z0-9]{{1,5}})$', 1) AS ext
+          FROM c
+        )
+        SELECT page_id, url, path_depth, query_len, ext,
+               NOT (ext IN ({exts}) OR path_depth > 6 OR query_len > 32)
+                 AS keep,
+               CASE WHEN ext IN ({exts}) THEN 'ext'
+                    WHEN path_depth > 6 THEN 'depth'
+                    WHEN query_len > 32 THEN 'query'
+                    ELSE 'ok' END AS reason
+        FROM d
     """
 
 

@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "centroid_drift",
     "lang_mix",
     "temperature_mixture",
+    "url_filter",
 ]
 
 _CHILD = r"""
@@ -329,6 +330,7 @@ AGG_COL = {{
     "centroid_drift": "cos_drift",
     "lang_mix": "major_frac",
     "temperature_mixture": "u",
+    "url_filter": "path_depth",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

@@ -1157,3 +1157,61 @@ def temperature_mixture(
         .where(F.col("u") < F.col("thr"))
         .select("doc_id", "grp", "n_tokens", "u")
     )
+
+
+URL_BLOCKED_EXT = ("jpg", "png", "gif", "zip", "pdf", "exe", "css", "js")
+
+
+def url_filter(
+    pages: DataFrame,
+    max_depth: int = 6,
+    max_query_len: int = 32,
+    blocked_ext: tuple = URL_BLOCKED_EXT,
+    url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Crawl-frontier URL prefilter -> (page_id, url, path_depth,
+    query_len, ext, keep, reason): the rule gate a crawler runs BEFORE
+    fetching -- binary/media extensions, calendar-crawl path depth,
+    and session-id query strings are dropped by URL shape alone, which
+    at 100 TB saves the fetch, the store, and every downstream stage.
+
+    Rules (first failing rule names the reason, 'ok' otherwise):
+      ext   -- the path's final .extension is on the blocklist
+      depth -- more than max_depth path segments
+      query -- query string longer than max_query_len chars
+
+    Every expression is a portable regex (Java == RE2 subset: no
+    lookaround, no backrefs) on the lowercased URL; extension parsing
+    strips query/fragment FIRST so 'a.jpg?x=1' is caught. Zero
+    shuffles -- a pure codegen projection that composes with the scan.
+    """
+    u = F.lower(F.col(url_col))
+    no_qf = F.regexp_replace(u, r"[?#].*$", "")
+    # path part: strip protocol+host, keep everything from the first /
+    path = F.regexp_replace(no_qf, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    trimmed = F.regexp_replace(path, r"/+$", "")
+    depth = (
+        F.length(trimmed) - F.length(F.regexp_replace(trimmed, "/", ""))
+    ).cast("long")
+    ext = F.regexp_extract(no_qf, r"\.([a-z0-9]{1,5})$", 1)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qlen = F.length(qs).cast("long")
+    bad_ext = ext.isin(*blocked_ext)
+    bad_depth = depth > F.lit(int(max_depth))
+    bad_query = qlen > F.lit(int(max_query_len))
+    reason = (
+        F.when(bad_ext, F.lit("ext"))
+        .when(bad_depth, F.lit("depth"))
+        .when(bad_query, F.lit("query"))
+        .otherwise(F.lit("ok"))
+    )
+    return pages.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(url_col).alias(url_col),
+        depth.alias("path_depth"),
+        qlen.alias("query_len"),
+        ext.alias("ext"),
+        (~(bad_ext | bad_depth | bad_query)).alias("keep"),
+        reason.alias("reason"),
+    )

@@ -44,6 +44,8 @@ SF_PINNED = {
     "spatial_join_scale",
     "host_stats",
     "url_dedup",
+    "url_filter",
+    "label_prop",
     "pagerank",
     "triangles",
     "kcore",

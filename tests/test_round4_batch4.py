@@ -541,3 +541,45 @@ def test_temperature_mixture_deterministic(spark):
     a = sorted(r.doc_id for r in temperature_mixture(docs, 300).collect())
     b = sorted(r.doc_id for r in temperature_mixture(docs, 300).collect())
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------- url_filter ----
+
+
+def test_url_filter_rules_and_reasons(spark):
+    from cadastre_pg_spark.operators.corpus import url_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example.org/page.html"),
+            (2, "https://a.example.org/img/photo.JPG"),  # ext (lowercased)
+            (3, "https://a.example.org/a/b/c/d/e/f/g/h.html"),  # depth 8
+            (4, "https://a.example.org/p?sid=" + "y" * 40),  # query 44
+            (5, "https://a.example.org/doc.pdf?x=1"),  # ext before query
+            (6, "https://a.example.org/"),  # bare root
+            (7, "https://a.example.org/x.html#frag"),  # fragment stripped
+        ],
+        "page_id long, url string",
+    )
+    out = {r.page_id: r for r in url_filter(urls).collect()}
+    assert out[1].keep and out[1].reason == "ok" and out[1].ext == "html"
+    assert not out[2].keep and out[2].reason == "ext"
+    assert not out[3].keep and out[3].reason == "depth"
+    assert out[3].path_depth == 8
+    assert not out[4].keep and out[4].reason == "query"
+    assert out[4].query_len == 44
+    assert not out[5].keep and out[5].reason == "ext" and out[5].ext == "pdf"
+    assert out[6].keep and out[6].path_depth == 0
+    assert out[7].keep and out[7].ext == "html"
+
+
+def test_url_filter_plan_has_no_exchange(spark):
+    from cadastre_pg_spark.operators.corpus import url_filter
+
+    urls = spark.createDataFrame(
+        [(1, "https://h/x")], "page_id long, url string"
+    )
+    plan = (
+        url_filter(urls)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
