@@ -422,3 +422,77 @@ def test_novelty_score_shuffles_hash_not_text(spark):
     for line in explain_string(df).splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_blocklist_and_url_filter_are_map_only(spark):
+    """Both prefilters are pure codegen projections: zero exchanges,
+    no Python, the blocklist baked in as a plan literal."""
+    for name in ("blocklist_filter", "url_filter"):
+        df = E.queries()[name](spark, SF_UNIT)
+        a = audit(df)
+        assert not a["shuffle_exchange"], name
+        assert not a["arrow_eval"], name
+        assert a["codegen"], name
+
+
+def test_char_entropy_shuffles_narrow_census_not_text(spark):
+    """The census key is (doc_id, single-char) -- full text never
+    becomes an exchange key."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["char_entropy"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["arrow_eval"]
+    for line in explain_string(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_bloom_contamination_probe_has_no_join_no_shuffle(spark):
+    """The decontamination probe is ONE Arrow pass: no join operator
+    and no exchange anywhere in the probe plan (the eval bitmap was
+    collected driver-side and broadcast as a python value)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["bloom_contamination"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert "Join" not in s, s[:2000]
+    assert "Exchange" not in s, s[:2000]
+    assert "MapInArrow" in s or "ArrowEvalPython" in s or "PythonMapInArrow" in s, s[:500]
+
+
+def test_jl_project_is_single_arrow_pass_no_shuffle(spark):
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["jl_project"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert "Exchange" not in s, s[:2000]
+    assert "Join" not in s
+
+
+def test_temperature_mixture_broadcasts_rates_onto_scan(spark):
+    """The derived-rate table joins back as a broadcast -- the corpus
+    never shuffles for its own sampling."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["temperature_mixture"](spark, SF_UNIT)
+    a = audit(df)
+    assert a["broadcast_join"]
+    # the only hash exchanges are group-key-sized (grp), never doc text
+    for line in explain_string(df).splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_sorted_neighborhood_pairs_without_self_join(spark):
+    """Candidate generation is window lags: exactly the block sort
+    exchanges plus the two id-keyed token attaches -- the pair stage
+    itself contributes no join. Count joins: the plan's only joins are
+    the two token attach equi-joins."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["sorted_neighborhood"](spark, SF_UNIT)
+    s = explain_string(df)
+    # formatted mode prints one "Join type:" detail per join operator
+    assert s.count("Join type:") == 2, s[:3000]
+    assert "Window" in s
