@@ -977,6 +977,22 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+BOOT_REPS, BOOT_TRIM = 40, 1
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """One-pass Poisson bootstrap over event values per event_type
+    (40 replicates, central 95%): deterministic per-row Poisson(1)
+    weights from ppm hash draws, 82 aggregate columns, one exchange."""
+    from cadastre_pg_spark.operators.stats import poisson_bootstrap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return poisson_bootstrap(
+        ev, "event_type", "value", "event_id",
+        n_reps=BOOT_REPS, k_trim=BOOT_TRIM, hash_fn="md5",
+    )
+
+
 URLF_SEGS = "/s1/s2/s3/s4/s5/s6/s7/s8"
 
 
@@ -2994,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
+        "poisson_bootstrap": q_poisson_bootstrap,
         "url_filter": q_url_filter,
         "lang_mix": q_lang_mix,
         "temperature_mixture": q_temperature_mixture,
@@ -3239,6 +3256,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "poisson_bootstrap": _poisson_bootstrap_sql_oracle(
+            n_reps=BOOT_REPS, k_trim=BOOT_TRIM
+        ),
         "url_filter": _url_filter_sql_oracle(),
         "lang_mix": _lang_mix_sql_oracle(seg_tokens=LANGMIX_SEG),
         "temperature_mixture": _temperature_mixture_sql_oracle(
@@ -7310,6 +7330,58 @@ def _top_per_cell_sql_oracle() -> str:
           FROM t
         )
         SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
+    """
+
+
+def _poisson_bootstrap_sql_oracle(n_reps: int, k_trim: int) -> str:
+    """Independent replay of stats.poisson_bootstrap (md5 mode): the
+    same ppm Poisson(1) weight cuts per (row, replicate), exact BIGINT
+    sums, identical rounded-double replicate means, list order stats."""
+    from cadastre_pg_spark.operators.stats import BOOT_PPM
+
+    def w_expr(b: int) -> str:
+        u = _hex32_sql(f"md5('b{b}:' || CAST(event_id AS VARCHAR))")
+        return (
+            f"(CASE WHEN ({u}) % 1000000 < {BOOT_PPM[0]} THEN 0 "
+            f"WHEN ({u}) % 1000000 < {BOOT_PPM[1]} THEN 1 "
+            f"WHEN ({u}) % 1000000 < {BOOT_PPM[2]} THEN 2 "
+            f"WHEN ({u}) % 1000000 < {BOOT_PPM[3]} THEN 3 ELSE 4 END)"
+        )
+
+    sums = ",\n                 ".join(
+        f"CAST(sum({w_expr(b)} * q) AS BIGINT) AS sxw{b}, "
+        f"CAST(sum({w_expr(b)}) AS BIGINT) AS sw{b}"
+        for b in range(n_reps)
+    )
+    mexprs = ", ".join(
+        f"CASE WHEN sw{b} > 0 THEN round(CAST(sxw{b} AS DOUBLE)"
+        f" / CAST(sw{b} AS DOUBLE) / CAST('1000000.0' AS DOUBLE), 6)"
+        f" ELSE 0.0 END"
+        for b in range(n_reps)
+    )
+    return rf"""
+        WITH base AS (
+          SELECT event_type AS grp, event_id,
+                 CAST(floor(CAST(value AS DOUBLE)
+                            * CAST('1000000.0' AS DOUBLE)) AS BIGINT) AS q
+          FROM events
+        ),
+        per AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q) AS BIGINT) AS sq,
+                 {sums}
+          FROM base GROUP BY grp
+        ),
+        m AS (
+          SELECT grp, n, sq, list_sort([{mexprs}]) AS means
+          FROM per
+        )
+        SELECT grp AS event_type, n,
+               round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                     / CAST('1000000.0' AS DOUBLE), 6) AS mean,
+               means[{k_trim + 1}] AS boot_lo,
+               means[{n_reps - k_trim}] AS boot_hi
+        FROM m
     """
 
 

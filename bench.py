@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "lang_mix",
     "temperature_mixture",
     "url_filter",
+    "poisson_bootstrap",
 ]
 
 _CHILD = r"""
@@ -331,6 +332,7 @@ AGG_COL = {{
     "lang_mix": "major_frac",
     "temperature_mixture": "u",
     "url_filter": "path_depth",
+    "poisson_bootstrap": "mean",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

@@ -789,3 +789,99 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
             / (F.col("n_rows") * F.col("n_rows")).cast("double")
         ).alias("hhi"),
     )
+
+
+# Poisson(1) CDF thresholds in exact ppm units: P(W<=w) for w=0..3,
+# W~Poisson(1); a uniform ppm draw below threshold[w] means weight<=w.
+# Above the last threshold the weight caps at 4 (P(W>=5) ~ 0.37%).
+BOOT_PPM = (367879, 735759, 919699, 981012)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 40,
+    k_trim: int = 1,
+    unit: float = 1e6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One-pass Poisson bootstrap -> (group, n, mean, boot_lo,
+    boot_hi): confidence bounds for a per-group mean computed the way
+    a 100-TB engine must -- each row draws a DETERMINISTIC Poisson(1)
+    weight per replicate from its own hash (the classical large-scale
+    'Poisson bootstrap': resampling-with-replacement is unimplementable
+    across a cluster, but Binomial(n, 1/n) -> Poisson(1) as n grows,
+    and Poisson draws are per-row independent), so all n_reps
+    replicates accumulate in ONE aggregation pass with map-side
+    partials -- no row fan-out, no explode, no second scan, no
+    driver-side randomness.
+
+    boot_lo/boot_hi are the (k_trim+1)-th smallest / largest replicate
+    means (defaults: 40 reps, trim 1 -> the central 95%). Exactness:
+    values quantize floor(x * unit) -> BIGINT before any sum; weights
+    are exact-integer CASE cuts on ppm hash draws; each replicate mean
+    is two correctly-rounded double ops behind a 6 dp round; the order
+    statistics are an array_sort over those rounded doubles. The
+    DuckDB twin replays every piece.
+
+    Scale shape (100 TB): ONE groupBy(group) with 2*n_reps+2 aggregate
+    columns (sum w_b*q, sum w_b) -- group-key-sized exchange, all
+    codegen; the replicate arrays are built per GROUP row, so sorting
+    cost is n_groups * B log B, nothing at data scale.
+    """
+    from cadastre_pg_spark.operators.corpus import _hash32
+
+    if not (0 <= 2 * k_trim < n_reps):
+        raise ValueError("need 0 <= 2*k_trim < n_reps")
+    q = F.floor(F.col(value_col).cast("double") * F.lit(float(unit))).cast(
+        "long"
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("sq"),
+    ]
+    for b in range(n_reps):
+        u = F.pmod(
+            _hash32(F.col(id_col), f"b{b}:", hash_fn), F.lit(1_000_000)
+        )
+        w = (
+            F.when(u < F.lit(BOOT_PPM[0]), F.lit(0))
+            .when(u < F.lit(BOOT_PPM[1]), F.lit(1))
+            .when(u < F.lit(BOOT_PPM[2]), F.lit(2))
+            .when(u < F.lit(BOOT_PPM[3]), F.lit(3))
+            .otherwise(F.lit(4))
+            .cast("long")
+        )
+        aggs.append(F.sum(w * q).cast("long").alias(f"sxw{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"sw{b}"))
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"sw{b}") > 0,
+                    F.round(
+                        F.col(f"sxw{b}").cast("double")
+                        / F.col(f"sw{b}").cast("double")
+                        / F.lit(float(unit)),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0))
+                for b in range(n_reps)
+            ]
+        )
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(
+            F.col("sq").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(unit)),
+            6,
+        ).alias("mean"),
+        F.element_at(means, k_trim + 1).alias("boot_lo"),
+        F.element_at(means, n_reps - k_trim).alias("boot_hi"),
+    )

@@ -583,3 +583,62 @@ def test_url_filter_plan_has_no_exchange(spark):
         url_filter(urls)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# -------------------------------------------------- poisson_bootstrap ----
+
+
+def test_poisson_bootstrap_brackets_the_mean(spark):
+    """CI brackets the point estimate, tightens with group size, and
+    weight draws reproduce exactly across runs."""
+    from cadastre_pg_spark.operators.stats import poisson_bootstrap
+
+    rows = [(i, "big", 10.0 + (i % 7)) for i in range(4000)] + [
+        (10_000 + i, "small", 10.0 + (i % 7)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    out = {
+        r.grp: r
+        for r in poisson_bootstrap(
+            df, "grp", "value", "event_id", n_reps=40
+        ).collect()
+    }
+    for g in ("big", "small"):
+        assert out[g].boot_lo <= out[g].mean <= out[g].boot_hi, out[g]
+    width_big = out["big"].boot_hi - out["big"].boot_lo
+    width_small = out["small"].boot_hi - out["small"].boot_lo
+    assert width_big < width_small  # sqrt(n) shrinkage
+    # determinism
+    out2 = {
+        r.grp: r
+        for r in poisson_bootstrap(
+            df, "grp", "value", "event_id", n_reps=40
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_poisson_bootstrap_single_exchange(spark):
+    """One group-key aggregate, no explode: the plan has exactly one
+    hash exchange and no generator."""
+    from cadastre_pg_spark.operators.stats import poisson_bootstrap
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, grp string, value double"
+    )
+    s = explain_string(
+        poisson_bootstrap(df, "grp", "value", "event_id", n_reps=8)
+    )
+    assert s.count("Exchange") <= 2, s[:2000]  # shuffle (+AQE reuse line)
+    assert "Generate" not in s
+
+
+def test_poisson_bootstrap_validates_trim(spark):
+    from cadastre_pg_spark.operators.stats import poisson_bootstrap
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, grp string, value double"
+    )
+    with pytest.raises(ValueError):
+        poisson_bootstrap(df, "grp", "value", "event_id", n_reps=4, k_trim=2)
