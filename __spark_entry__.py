@@ -977,6 +977,15 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+def q_ab_test(spark, sf_dir):
+    """Hash-armed A/B z-test of event values per event_type: user-level
+    arm assignment, DECIMAL-exact moments, fixed-order double z."""
+    from cadastre_pg_spark.operators.stats import ab_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_test(ev, "event_type", "value", "user_id", hash_fn="md5")
+
+
 BOOT_REPS, BOOT_TRIM = 40, 1
 
 
@@ -3011,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "ab_test": q_ab_test,
         "url_filter": q_url_filter,
         "lang_mix": q_lang_mix,
         "temperature_mixture": q_temperature_mixture,
@@ -3256,6 +3266,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
+        "ab_test": _ab_test_sql_oracle(),
         "poisson_bootstrap": _poisson_bootstrap_sql_oracle(
             n_reps=BOOT_REPS, k_trim=BOOT_TRIM
         ),
@@ -7330,6 +7341,72 @@ def _top_per_cell_sql_oracle() -> str:
           FROM t
         )
         SELECT cell, rank, doc_id, score FROM r WHERE rank <= {TOPCELL_K}
+    """
+
+
+def _ab_test_sql_oracle() -> str:
+    """Independent replay of stats.ab_test (md5 mode): identical arm
+    hash, HUGEINT-exact conditional moment sums (DuckDB's decimal
+    analog), identical double op order for mean/variance/z."""
+    arm = (
+        "("
+        + _hex32_sql("md5('ab:' || CAST(user_id AS VARCHAR))")
+        + ") % 2 = 0"
+    )
+    return rf"""
+        WITH base AS (
+          SELECT event_type AS grp,
+                 CAST(floor(CAST(value AS DOUBLE)
+                            * CAST('10000.0' AS DOUBLE)) AS BIGINT) AS q,
+                 {arm} AS arm_a
+          FROM events
+        ),
+        per AS (
+          SELECT grp,
+                 CAST(count(*) FILTER (WHERE arm_a) AS BIGINT) AS n_a,
+                 CAST(count(*) FILTER (WHERE NOT arm_a) AS BIGINT) AS n_b,
+                 CAST(coalesce(sum(CAST(q AS HUGEINT))
+                       FILTER (WHERE arm_a), 0) AS DOUBLE) AS s_a,
+                 CAST(coalesce(sum(CAST(q AS HUGEINT))
+                       FILTER (WHERE NOT arm_a), 0) AS DOUBLE) AS s_b,
+                 CAST(coalesce(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+                       FILTER (WHERE arm_a), 0) AS DOUBLE) AS ss_a,
+                 CAST(coalesce(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+                       FILTER (WHERE NOT arm_a), 0) AS DOUBLE) AS ss_b
+          FROM base GROUP BY grp
+        ),
+        m AS (
+          SELECT grp, n_a, n_b,
+                 CASE WHEN n_a > 0 THEN
+                   s_a / CAST(n_a AS DOUBLE) / CAST('10000.0' AS DOUBLE)
+                 ELSE 0.0 END AS mean_a,
+                 CASE WHEN n_b > 0 THEN
+                   s_b / CAST(n_b AS DOUBLE) / CAST('10000.0' AS DOUBLE)
+                 ELSE 0.0 END AS mean_b,
+                 CASE WHEN n_a >= 2 THEN
+                   (ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0)
+                   / (CAST('10000.0' AS DOUBLE) * CAST('10000.0' AS DOUBLE))
+                 ELSE 0.0 END AS var_a,
+                 CASE WHEN n_b >= 2 THEN
+                   (ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0)
+                   / (CAST('10000.0' AS DOUBLE) * CAST('10000.0' AS DOUBLE))
+                 ELSE 0.0 END AS var_b
+          FROM per
+        )
+        SELECT grp AS event_type, n_a, n_b,
+               round(mean_a, 6) AS mean_a,
+               round(mean_b, 6) AS mean_b,
+               round(mean_a - mean_b, 6) AS diff,
+               round(CASE WHEN n_a >= 2 AND n_b >= 2
+                          AND (var_a / CAST(n_a AS DOUBLE)
+                               + var_b / CAST(n_b AS DOUBLE)) > 0
+                     THEN (mean_a - mean_b)
+                          / sqrt(var_a / CAST(n_a AS DOUBLE)
+                                 + var_b / CAST(n_b AS DOUBLE))
+                     ELSE 0.0 END, 6) AS z
+        FROM m
     """
 
 

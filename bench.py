@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "temperature_mixture",
     "url_filter",
     "poisson_bootstrap",
+    "ab_test",
 ]
 
 _CHILD = r"""
@@ -333,6 +334,7 @@ AGG_COL = {{
     "temperature_mixture": "u",
     "url_filter": "path_depth",
     "poisson_bootstrap": "mean",
+    "ab_test": "z",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

@@ -885,3 +885,96 @@ def poisson_bootstrap(
         F.element_at(means, k_trim + 1).alias("boot_lo"),
         F.element_at(means, n_reps - k_trim).alias("boot_hi"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_col: str,
+    salt: str = "ab:",
+    unit: float = 1e4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hash-armed A/B test -> (group, n_a, n_b, mean_a, mean_b,
+    diff, z): assign each experiment UNIT (user, not event -- the
+    assignment column is the caller's choice) to arm A/B by a salted
+    hash parity, then per group compute the two-sample z statistic of
+    the value mean difference under unequal variances (Welch form
+    without the t correction -- at corpus row counts z is the usable
+    statistic).
+
+    Exactness: values quantize floor(x * unit) -> BIGINT; first and
+    second moments sum through DECIMAL(38,0) casts (exact and
+    order-independent at any scale -- a BIGINT sum of squares would
+    overflow near 1e12 rows); the closing mean/variance/z chain is a
+    fixed order of correctly-rounded double ops behind 6 dp rounds.
+    Variance uses the unbiased n-1 form; arms with fewer than 2 rows
+    or zero pooled variance yield z = 0.0 (defined, portable).
+
+    Scale shape (100 TB): one groupBy(group) with conditional
+    aggregates (map-side partials, group-key-sized exchange), no join,
+    no second scan. The arm hash is JVM codegen per row.
+    """
+    from cadastre_pg_spark.operators.corpus import _hash32
+
+    q = F.floor(F.col(value_col).cast("double") * F.lit(float(unit))).cast(
+        "long"
+    )
+    arm_a = (
+        F.pmod(_hash32(F.col(unit_col), salt, hash_fn), F.lit(2)) == 0
+    )
+
+    def _sum(cond, expr, name):
+        return (
+            F.sum(F.when(cond, expr).otherwise(F.lit(0).cast("long")).cast(
+                "decimal(38,0)"
+            ))
+            .cast("double")
+            .alias(name)
+        )
+
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.when(arm_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(~arm_a, 1)).cast("long").alias("n_b"),
+        _sum(arm_a, q, "s_a"),
+        _sum(~arm_a, q, "s_b"),
+        _sum(arm_a, q * q, "ss_a"),
+        _sum(~arm_a, q * q, "ss_b"),
+    )
+    u2 = F.lit(float(unit)) * F.lit(float(unit))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # ANSI mode: x/0 is an ERROR, not inf -- every division is gated
+    # on its arm having enough rows (empty arm -> mean/var 0.0)
+    mean_a = F.when(
+        F.col("n_a") > 0, F.col("s_a") / na / F.lit(float(unit))
+    ).otherwise(F.lit(0.0))
+    mean_b = F.when(
+        F.col("n_b") > 0, F.col("s_b") / nb / F.lit(float(unit))
+    ).otherwise(F.lit(0.0))
+    var_a = F.when(
+        F.col("n_a") >= 2,
+        (F.col("ss_a") - F.col("s_a") * F.col("s_a") / na)
+        / (na - F.lit(1.0))
+        / u2,
+    ).otherwise(F.lit(0.0))
+    var_b = F.when(
+        F.col("n_b") >= 2,
+        (F.col("ss_b") - F.col("s_b") * F.col("s_b") / nb)
+        / (nb - F.lit(1.0))
+        / u2,
+    ).otherwise(F.lit(0.0))
+    se2 = var_a / na + var_b / nb
+    z = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (mean_a - mean_b) / F.sqrt(se2),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("diff"),
+        F.round(z, 6).alias("z"),
+    )

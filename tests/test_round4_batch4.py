@@ -642,3 +642,39 @@ def test_poisson_bootstrap_validates_trim(spark):
     )
     with pytest.raises(ValueError):
         poisson_bootstrap(df, "grp", "value", "event_id", n_reps=4, k_trim=2)
+
+
+# ------------------------------------------------------------ ab_test ----
+
+
+def test_ab_test_null_effect_and_injected_lift(spark):
+    """Arms from the unit hash split a null effect to |z| small; an
+    injected lift on arm A pushes z positive and large."""
+    from cadastre_pg_spark.operators.corpus import _hash32
+    from cadastre_pg_spark.operators.stats import ab_test
+
+    base = spark.createDataFrame(
+        [(i, i % 97, "m", float(10 + (i % 5))) for i in range(4000)],
+        "event_id long, user_id long, grp string, value double",
+    )
+    (null_row,) = ab_test(base, "grp", "value", "user_id").collect()
+    assert abs(null_row.z) < 3.0
+    assert null_row.n_a + null_row.n_b == 4000
+    # inject +2.0 on arm A (using the same salted hash the op uses)
+    arm = F.pmod(_hash32(F.col("user_id"), "ab:", "xxhash64"), F.lit(2)) == 0
+    lifted = base.withColumn(
+        "value", F.when(arm, F.col("value") + F.lit(2.0)).otherwise(F.col("value"))
+    )
+    (row,) = ab_test(lifted, "grp", "value", "user_id").collect()
+    assert row.diff == pytest.approx(2.0, abs=0.2)
+    assert row.z > 10.0
+
+
+def test_ab_test_degenerate_arms_define_zero(spark):
+    from cadastre_pg_spark.operators.stats import ab_test
+
+    df = spark.createDataFrame(
+        [(1, 1, "g", 5.0)], "event_id long, user_id long, grp string, value double"
+    )
+    (r,) = ab_test(df, "grp", "value", "user_id").collect()
+    assert r.z == 0.0
