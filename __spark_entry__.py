@@ -977,6 +977,24 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+PPR_SEED_MOD = 25
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from the every-25th-page seed set over
+    the deterministic link graph: teleport mass on seeds only, 5
+    integer-unit rounds, unrolled-CTE oracle."""
+    from cadastre_pg_spark.operators.graph import personalized_pagerank
+    from pyspark.sql import functions as F
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    seeds = nodes.where(F.col("node") % PPR_SEED_MOD == 0)
+    return personalized_pagerank(
+        edges, nodes, seeds, iters=PR_ITERS, damping=PR_DAMPING
+    )
+
+
 def q_ab_test(spark, sf_dir):
     """Hash-armed A/B z-test of event values per event_type: user-level
     arm assignment, DECIMAL-exact moments, fixed-order double z."""
@@ -3021,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": q_bloom_contamination,
         "poisson_bootstrap": q_poisson_bootstrap,
         "ab_test": q_ab_test,
+        "ppr": q_ppr,
         "url_filter": q_url_filter,
         "lang_mix": q_lang_mix,
         "temperature_mixture": q_temperature_mixture,
@@ -3267,6 +3286,7 @@ def oracle_sql() -> dict[str, str]:
         # HF-rule chunk grid (1 if n<=cs else ceil((n-cs)/st)+1) with a
         # per-chunk md5-prefix content hash over the joined token slice
         "ab_test": _ab_test_sql_oracle(),
+        "ppr": _ppr_sql_oracle(),
         "poisson_bootstrap": _poisson_bootstrap_sql_oracle(
             n_reps=BOOT_REPS, k_trim=BOOT_TRIM
         ),
@@ -7767,6 +7787,57 @@ def _pagerank_sql_oracle() -> str:
         r{k} AS (SELECT v, CAST(floor(rd * {unit}) AS BIGINT) AS u FROM it{k})"""
         prev = f"r{k}"
     sql += f"\n        SELECT v AS node, rd AS pr FROM it{PR_ITERS}"
+    return sql
+
+
+def _ppr_sql_oracle() -> str:
+    """Unrolled-CTE replay of personalized_pagerank: the pagerank
+    integer-unit recurrence with teleport mass on the seed set only
+    (v % PPR_SEED_MOD = 0), ranks seeded 1/|seeds| on seeds else 0."""
+    from cadastre_pg_spark.operators.graph import RANK_UNIT
+
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    n_seeds = len([v for v in range(n) if v % PPR_SEED_MOD == 0])
+    base = repr((1.0 - PR_DAMPING) / n_seeds)
+    u0 = int((1.0 / n_seeds) * RANK_UNIT)
+    d_lit = repr(PR_DAMPING)
+    unit = "CAST('1e14' AS DOUBLE)"
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    seed = f"(v % {PPR_SEED_MOD} = 0)"
+    sql = f"""
+        WITH nodes AS (SELECT i AS v FROM range(0, {n}) t(i)),
+        edges AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (
+          SELECT v, CASE WHEN {seed} THEN CAST({u0} AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS u
+          FROM nodes
+        )"""
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        sql += f""",
+        it{k} AS (
+          SELECT nd.v AS v,
+                 (CASE WHEN nd.v % {PPR_SEED_MOD} = 0
+                       THEN CAST('{base}' AS DOUBLE) ELSE 0.0 END)
+                 + CAST('{d_lit}' AS DOUBLE)
+                   * (CAST(COALESCE(s.s, 0) AS DOUBLE) / {unit}) AS rd
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS v,
+                   SUM(CAST(floor(CAST(r.u AS DOUBLE) / d.d) AS BIGINT)) AS s
+            FROM edges e JOIN {prev} r ON r.v = e.src JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.v = nd.v
+        ),
+        r{k} AS (SELECT v, CAST(floor(rd * {unit}) AS BIGINT) AS u FROM it{k})"""
+        prev = f"r{k}"
+    sql += f"\n        SELECT v AS node, rd AS rank FROM it{PR_ITERS}"
     return sql
 
 

@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "url_filter",
     "poisson_bootstrap",
     "ab_test",
+    "ppr",
 ]
 
 _CHILD = r"""
@@ -335,6 +336,7 @@ AGG_COL = {{
     "url_filter": "path_depth",
     "poisson_bootstrap": "mean",
     "ab_test": "z",
+    "ppr": "rank",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

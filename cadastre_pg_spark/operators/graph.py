@@ -738,3 +738,91 @@ def label_prop(
     out = lab.select("node", F.col("lab").alias("label"))
     out._cadastre_cached = cached
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    n_seeds: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank -> (node, rank): the pagerank recurrence
+    with the teleport mass concentrated on a SEED set instead of
+    spread uniformly -- the crawl-scheduling / related-page primitive
+    (authority relative to a trusted frontier, not globally). Seeds
+    get base = (1-d)/|seeds| per round; non-seeds get 0; everything
+    else (integer-unit quantization, per-edge floor, exact BIGINT
+    inbound sums, unrolled-round DuckDB replay) is identical to
+    `pagerank` -- see its docstring for the exactness contract.
+
+    Ranks start at 1/|seeds| on seeds and 0 elsewhere (the standard
+    PPR initialization, so round 0 already integrates to 1).
+
+    Scale shape: same as pagerank -- the seed flag joins once into the
+    node-sized rank table (broadcast under the 5M gate); per round one
+    edge-to-rank join, one map-side-partial SUM on dst, one node join.
+    """
+    if n_seeds is None:
+        n_seeds = seeds.count()
+    if n_seeds <= 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    base = (1.0 - damping) / n_seeds
+    u0 = int((1.0 / n_seeds) * RANK_UNIT)
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    sd = seeds.select(
+        F.col("node").cast("long").alias("v"), F.lit(True).alias("is_seed")
+    )
+    nod = (
+        nodes.select(F.col("node").cast("long").alias("v"))
+        .join(F.broadcast(sd), "v", "left")
+        .select("v", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nod.select(
+        "v",
+        F.when(F.col("is_seed"), F.lit(u0)).otherwise(F.lit(0)).alias("u"),
+    )
+    cached = [ed, nod]
+    bcast = n_nodes <= 5_000_000
+
+    def _b(d):
+        return F.broadcast(d) if bcast else d
+
+    out = None
+    for _ in range(iters):
+        contrib = (
+            ed.join(_b(ranks), ed.src == ranks.v)
+            .select(
+                "dst",
+                F.floor(F.col("u").cast("double") / F.col("d")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        stepped = nod.join(_b(contrib), F.col("v") == F.col("dst"), "left")
+        rd = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0)) + (
+            F.lit(damping)
+            * (
+                F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                / F.lit(RANK_UNIT)
+            )
+        )
+        out = stepped.select("v", "is_seed", rd.alias("rd")).localCheckpoint(
+            eager=True
+        )
+        cached.append(out)
+        ranks = out.select(
+            "v", F.floor(F.col("rd") * F.lit(RANK_UNIT)).alias("u")
+        )
+    res = out.select(F.col("v").alias("node"), F.col("rd").alias("rank"))
+    res._cadastre_cached = cached
+    return res

@@ -46,6 +46,7 @@ SF_PINNED = {
     "url_dedup",
     "url_filter",
     "label_prop",
+    "ppr",
     "pagerank",
     "triangles",
     "kcore",

@@ -38,6 +38,7 @@ def test_query_matches_oracle(spark, name):
             "clustering_coef",
             "sssp",
             "label_prop",  # oracle unrolls the sf0.01-sized graph
+            "ppr",
             # pins the measured sf0.01 k-means recall literal
             "ivf_recall",
         )

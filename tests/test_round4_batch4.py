@@ -678,3 +678,37 @@ def test_ab_test_degenerate_arms_define_zero(spark):
     )
     (r,) = ab_test(df, "grp", "value", "user_id").collect()
     assert r.z == 0.0
+
+
+# ---------------------------------------------------------------- ppr ----
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    """On a two-cluster graph with the seed in cluster 1, cluster-1
+    nodes outrank cluster-2 nodes; global pagerank would not separate
+    the symmetric clusters."""
+    from cadastre_pg_spark.operators.graph import personalized_pagerank
+
+    c1 = [(i, j) for i in range(5) for j in range(5) if i != j]
+    c2 = [(10 + i, 10 + j) for i in range(5) for j in range(5) if i != j]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(v,) for v in list(range(5)) + list(range(10, 15))], "node long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, nodes, seeds, iters=6).collect()
+    }
+    assert min(out[v] for v in range(5)) > max(out[v] for v in range(11, 15))
+
+
+def test_ppr_requires_seeds(spark):
+    from cadastre_pg_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    n = spark.createDataFrame([(1,), (2,)], "node long")
+    s = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, n, s)
