@@ -977,6 +977,21 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(urls)
 
 
+RETR_K = 10
+RETR_TERMS = ["data", "join", "window", "merge", "vector"]
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """MRR / recall@10 of the BM25 ranking against exact conjunctive
+    containment ground truth (5-term conjunction, so the relevant set
+    is small enough that recall@10 discriminates) -- top-k via
+    TakeOrdered (no global window), window only over the k
+    survivors."""
+    from cadastre_pg_spark.operators.textanalysis import retrieval_eval
+
+    return retrieval_eval(_docs(spark, sf_dir), RETR_TERMS, k=RETR_K)
+
+
 PPR_SEED_MOD = 25
 
 
@@ -3040,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         "ab_test": q_ab_test,
         "ppr": q_ppr,
+        "retrieval_eval": q_retrieval_eval,
         "url_filter": q_url_filter,
         "lang_mix": q_lang_mix,
         "temperature_mixture": q_temperature_mixture,
@@ -3287,6 +3303,7 @@ def oracle_sql() -> dict[str, str]:
         # per-chunk md5-prefix content hash over the joined token slice
         "ab_test": _ab_test_sql_oracle(),
         "ppr": _ppr_sql_oracle(),
+        "retrieval_eval": _retrieval_eval_sql_oracle(k=RETR_K),
         "poisson_bootstrap": _poisson_bootstrap_sql_oracle(
             n_reps=BOOT_REPS, k_trim=BOOT_TRIM
         ),
@@ -7788,6 +7805,53 @@ def _pagerank_sql_oracle() -> str:
         prev = f"r{k}"
     sql += f"\n        SELECT v AS node, rd AS pr FROM it{PR_ITERS}"
     return sql
+
+
+def _retrieval_eval_sql_oracle(k: int) -> str:
+    """Independent replay of textanalysis.retrieval_eval: the
+    bm25_score_sql twin as a CTE, conjunctive-containment relevance,
+    (bm25 DESC, doc_id ASC) top-k, identical miss-value rules."""
+    from cadastre_pg_spark.operators.textanalysis import (
+        bm25_score_sql,
+        occurrences_sql,
+    )
+
+    bm = bm25_score_sql(RETR_TERMS).strip()
+    padded = "(' ' || text || ' ')"
+    rel = " AND ".join(
+        f"({occurrences_sql(padded, f' {t} ')}) > 0" for t in RETR_TERMS
+    )
+    return rf"""
+        WITH bm AS ({bm}),
+        rel AS (SELECT doc_id, ({rel}) AS rel FROM documents),
+        totals AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (WHERE rel) AS BIGINT) AS n_relevant
+          FROM rel
+        ),
+        topk AS (
+          SELECT b.doc_id, r.rel,
+                 row_number() OVER (ORDER BY b.bm25 DESC, b.doc_id ASC)
+                   AS rnk
+          FROM bm b JOIN rel r USING (doc_id)
+          ORDER BY b.bm25 DESC, b.doc_id ASC LIMIT {k}
+        ),
+        hits AS (
+          SELECT min(rnk) FILTER (WHERE rel) AS first_rel,
+                 CAST(count(*) FILTER (WHERE rel) AS BIGINT) AS n_hit
+          FROM topk
+        )
+        SELECT CAST({k} AS BIGINT) AS k, t.n_docs, t.n_relevant,
+               CAST(coalesce(h.first_rel, 0) AS BIGINT) AS first_rel_rank,
+               CASE WHEN h.first_rel IS NOT NULL
+                    THEN round(1.0 / CAST(h.first_rel AS DOUBLE), 6)
+                    ELSE 0.0 END AS mrr,
+               CASE WHEN t.n_relevant > 0
+                    THEN round(CAST(h.n_hit AS DOUBLE)
+                               / CAST(t.n_relevant AS DOUBLE), 6)
+                    ELSE 0.0 END AS recall_at_k
+        FROM totals t, hits h
+    """
 
 
 def _ppr_sql_oracle() -> str:

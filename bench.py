@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "poisson_bootstrap",
     "ab_test",
     "ppr",
+    "retrieval_eval",
 ]
 
 _CHILD = r"""
@@ -337,6 +338,7 @@ AGG_COL = {{
     "poisson_bootstrap": "mean",
     "ab_test": "z",
     "ppr": "rank",
+    "retrieval_eval": "recall_at_k",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

@@ -1066,3 +1066,79 @@ def lang_mix(
             F.col("s.n").cast("double") / F.col("n_chunks").cast("double"), 6
         ).alias("major_frac"),
     )
+
+
+def retrieval_eval(
+    docs: DataFrame, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Retrieval quality of the BM25 ranking -> ONE row (k, n_docs,
+    n_relevant, first_rel_rank, mrr, recall_at_k): ground truth is
+    exact conjunctive containment (a document is relevant iff EVERY
+    query term occurs), the ranking is bm25_score with (score desc,
+    doc_id asc) tie-break, and the metrics are the standard eval pair
+    -- reciprocal rank of the first relevant hit in the top k, and the
+    fraction of all relevant documents the top k recovers.
+
+    Scale shape (100 TB): the crucial choice is NO GLOBAL WINDOW --
+    ranking the corpus with row_number() would serialize into one
+    partition; instead the top k arrives via orderBy().limit(k)
+    (TakeOrderedAndProject: per-partition heaps + one k-row merge) and
+    only those k rows see a window (bounded by k, not by data). The
+    relevance census is one map-side aggregate. first_rel_rank is 0
+    (and mrr 0.0) when no relevant doc makes the cut -- a defined,
+    portable miss value.
+    """
+    from pyspark.sql import Window as W
+
+    scored = bm25_score(docs, terms)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    is_rel = None
+    for t in terms:
+        c = occurrences(padded, f" {t} ") > 0
+        is_rel = c if is_rel is None else (is_rel & c)
+    rel = docs.select("doc_id", is_rel.alias("rel"))
+    totals = rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("rel").cast("long")).cast("long").alias("n_relevant"),
+    )
+    topk = (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy().orderBy(
+                    F.col("bm25").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .join(rel, "doc_id")
+    )
+    hits = topk.agg(
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+        F.sum(F.col("rel").cast("long")).cast("long").alias("n_hit"),
+    )
+    return totals.crossJoin(F.broadcast(hits)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_docs",
+        "n_relevant",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_relevant").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+    )

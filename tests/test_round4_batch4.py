@@ -712,3 +712,51 @@ def test_ppr_requires_seeds(spark):
     s = spark.createDataFrame([], "node long")
     with pytest.raises(ValueError):
         personalized_pagerank(e, n, s)
+
+
+# ----------------------------------------------------- retrieval_eval ----
+
+
+def test_retrieval_eval_known_ranking(spark):
+    from cadastre_pg_spark.operators.textanalysis import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta filler filler filler"),  # relevant, high tf
+            (2, "alpha filler beta alpha beta"),  # relevant, higher tf
+            (3, "alpha alpha alpha filler filler"),  # not relevant (no beta)
+            (4, "other words entirely here now"),
+            (5, "beta alpha padding x y"),  # relevant
+        ],
+        "doc_id long, text string",
+    )
+    (r,) = retrieval_eval(docs, ["alpha", "beta"], k=2).collect()
+    assert r.n_relevant == 3
+    assert r.first_rel_rank == 1 and r.mrr == pytest.approx(1.0)
+    # only 2 slots for 3 relevant docs -> recall 2/3
+    assert r.recall_at_k == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_retrieval_eval_no_relevant_defines_misses(spark):
+    from cadastre_pg_spark.operators.textanalysis import retrieval_eval
+
+    docs = spark.createDataFrame(
+        [(1, "nothing matches here"), (2, "still nothing")],
+        "doc_id long, text string",
+    )
+    (r,) = retrieval_eval(docs, ["absent", "terms"], k=5).collect()
+    assert r.n_relevant == 0 and r.first_rel_rank == 0
+    assert r.mrr == 0.0 and r.recall_at_k == 0.0
+
+
+def test_retrieval_eval_topk_plan_uses_take_ordered(spark):
+    """No global row_number over the corpus: the ranking arrives via
+    TakeOrderedAndProject."""
+    from cadastre_pg_spark.operators.textanalysis import retrieval_eval
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    s = explain_string(retrieval_eval(docs, ["a"], k=2), mode="simple")
+    assert "TakeOrderedAndProject" in s, s[:2000]
