@@ -908,10 +908,18 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # a transform(sequence, substr) array build would be an
     # interpreted Catalyst lambda per character (CLAUDE.md); this way
     # sequence/explode/substring are all whole-stage codegen.
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] (step -1 is
+    # inferred), so an empty text must be gated to an empty array --
+    # DuckDB's generate_series(1, 0) is empty, and the defined
+    # semantics are "no census row for an empty document".
+    n_ch = F.length(F.col(text_col))
+    idx = F.when(n_ch >= 1, F.sequence(F.lit(1), n_ch)).otherwise(
+        F.array().cast("array<int>")
+    )
     chars = docs.select(
         "doc_id",
         F.col(text_col).alias("_t"),
-        F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("i"),
+        F.explode(idx).alias("i"),
     ).select("doc_id", F.col("_t").substr(F.col("i"), F.lit(1)).alias("ch"))
     census = chars.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).alias("c")

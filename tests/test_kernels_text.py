@@ -335,3 +335,62 @@ def test_text_zoo_robustness_new_ops(spark):
     got = d.collect()
     assert len(got) == len(zoo)
     assert all(r.logratio is not None for r in got)
+
+
+def test_text_zoo_robustness_batch4_ops(spark):
+    """The adversarial zoo through this round's text operators: no
+    ANSI crash, counts non-negative, fractions in range, entropy
+    defined for every input including empty and single-char texts."""
+    from cadastre_pg_spark.operators.corpus import blocklist_filter
+    from cadastre_pg_spark.operators.dedup import (
+        line_dedup,
+        sorted_neighborhood,
+    )
+    from cadastre_pg_spark.operators.textanalysis import (
+        char_entropy,
+        lang_mix,
+        token_fertility,
+    )
+
+    zoo = [
+        "", " ", "\n", "a", "###", "a" * 5000, "word " * 2000,
+        "你好 мир hello 123 مرحبا", "🙂 emoji only 🙂", "a\x00b",
+        "'q' \"d\" \\b", ". . . . . .", "0" * 64,
+        "the the the the", "slow big dup slow big dup",
+    ]
+    rows = [(i, t, "en" if i % 2 else "fr", f"s{i % 3}")
+            for i, t in enumerate(zoo)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    ce = char_entropy(df).collect()
+    # empty text explodes to zero char rows -> no output row: defined
+    assert len(ce) == len([t for t in zoo if len(t) > 0])
+    for r in ce:
+        assert r.entropy >= -1e-9 and r.n_chars_counted > 0
+
+    bl = blocklist_filter(df, ["slow", "big", "dup"]).collect()
+    assert len(bl) == len(zoo)
+    for r in bl:
+        assert 0 <= r.n_distinct_flagged <= 3
+        assert r.n_flagged >= r.n_distinct_flagged or r.n_flagged >= 0
+
+    tf = token_fertility(df).collect()
+    for r in tf:
+        assert r.sum_tokens >= 0
+
+    lm = lang_mix(df, seg_tokens=4).collect()
+    assert len(lm) == len(zoo)
+    for r in lm:
+        assert 0.0 < r.major_frac <= 1.0 and r.n_langs >= 1
+
+    hb = line_dedup(
+        df, min_docs=2, segmenter="tokens", seg_tokens=3,
+        group_col="source",
+    ).collect()
+    assert len(hb) == len(zoo)
+
+    snm = sorted_neighborhood(df, window=2, prefix_len=2).collect()
+    for r in snm:
+        assert 0.0 <= r.jaccard <= 1.0
