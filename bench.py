@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "ab_test",
     "ppr",
     "retrieval_eval",
+    "embedding_contamination",
+    "spearman_corr",
 ]
 
 _CHILD = r"""
@@ -339,6 +341,8 @@ AGG_COL = {{
     "ab_test": "z",
     "ppr": "rank",
     "retrieval_eval": "recall_at_k",
+    "embedding_contamination": "max_cosine",
+    "spearman_corr": "corr",
     "char_entropy": "entropy",
     "token_fertility": "fertility",
     "host_boilerplate": "n_dropped",

@@ -1016,3 +1016,79 @@ def centroid_drift(
             6,
         ).alias("cos_drift"),
     )
+
+
+def embedding_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Eval-set leakage screen over embeddings: per TRAIN vector, the
+    max cosine to ANY eval vector plus the nearest eval id (ties ->
+    min eval id), flagged at `threshold` -> (vec_id, max_cosine,
+    nearest_eval_id, contaminated).  The embedding-space sibling of
+    corpus.contamination (n-gram overlap) / corpus.bloom_contamination
+    (membership): it catches paraphrased or re-tokenized eval leakage
+    that exact n-grams miss.
+
+    Scale shape (the topk_cosine contract): the eval matrix — a
+    benchmark suite, thousands of vectors — is collected, unit-
+    normalized, and BROADCAST; every train batch does ONE float64
+    matmul against it inside mapInPandas, then reduces to a single
+    row per train vector.  No |train| x |eval| row fan-out ever
+    exists outside the kernel, no shuffle at all: scan -> map ->
+    result.  At 100 TB the cost is one dense GEMM per batch, embar-
+    rassingly parallel.  Route eval sets too big to broadcast through
+    ann_topk buckets instead.
+
+    Parity: cosines round to 6 decimals before the max/threshold
+    (straddle odds ~1e-8 vs the oracle's DECIMAL-summed dots, see
+    topk_cosine); the >= compare then sees identical doubles on both
+    sides.  Ties at the max break to the smallest eval id (eval ids
+    are sorted ascending, argmax takes the first hit).
+    """
+    sc = train.sparkSession.sparkContext
+    qpdf = evalset.select("vec_id", "embedding").toPandas()
+    out_schema = (
+        "vec_id long, max_cosine double, nearest_eval_id long"
+    )
+    if len(qpdf) == 0:
+        empty = train.select(
+            F.col("vec_id"),
+            F.lit(0.0).alias("max_cosine"),
+            F.lit(0).cast("long").alias("nearest_eval_id"),
+        ).limit(0)
+        return empty.withColumn("contaminated", F.lit(False))
+    qpdf = qpdf.sort_values("vec_id")
+    qids = qpdf["vec_id"].to_numpy(np.int64)
+    Q = np.stack(qpdf["embedding"].values).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    bc = sc.broadcast((qids, (Q / qn[:, None]).T))  # (dim, nq)
+
+    def gen(batches):
+        qid, Qt = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].values).astype(np.float64)
+            en = np.linalg.norm(E, axis=1)
+            en[en == 0] = 1.0
+            cos = np.round((E / en[:, None]) @ Qt, 6)  # (rows, nq)
+            mx = cos.max(axis=1)
+            nearest = qid[(cos == mx[:, None]).argmax(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "max_cosine": mx,
+                    "nearest_eval_id": nearest,
+                }
+            )
+
+    return (
+        train.select("vec_id", "embedding")
+        .mapInPandas(gen, schema=out_schema)
+        .withColumn(
+            "contaminated", F.col("max_cosine") >= F.lit(float(threshold))
+        )
+    )

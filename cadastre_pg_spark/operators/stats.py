@@ -978,3 +978,50 @@ def ab_test(
         F.round(mean_a - mean_b, 6).alias("diff"),
         F.round(z, 6).alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation -> (group, n, corr),
+    corr rounded to 6 decimals (NULL where either side is constant).
+
+    Exactness: Pearson is invariant to affine maps of its inputs, so
+    instead of fractional average ranks the kernel uses the BIGINT
+    doubled rank  rank2 = rank_asc + rank_desc_mirrored = i + j  for a
+    tie block spanning sorted positions [i..j] (whose average rank is
+    (i+j)/2).  rank2 = rank_asc - rank_desc + n_g + 1 needs only
+    windows partitioned by the GROUP key: one exchange, four sorts,
+    no (group, value) repartition for tie counting.  The integer
+    ranks then reuse group_corr's DECIMAL moment algebra, so the
+    whole statistic is order-independent and engine-identical.
+
+    Scale shape: exact ranks require a per-group sort — one exchange
+    on the group key, window sorts inside each partition.  A group
+    must fit a task's spill budget (ranks are 2 longs/row); at 100 TB
+    with few giant groups, pre-bucket values (ntile or fixed grids)
+    for an approximate Spearman instead.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    n_g = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+
+    def rank2(c: str):
+        asc = F.rank().over(
+            Window.partitionBy(group_col).orderBy(F.col(c).asc())
+        )
+        desc = F.rank().over(
+            Window.partitionBy(group_col).orderBy(F.col(c).desc())
+        )
+        return (asc - desc + n_g + F.lit(1)).cast("long")
+
+    ranked = base.select(
+        F.col(group_col),
+        rank2(x_col).alias("rx2"),
+        rank2(y_col).alias("ry2"),
+    )
+    return group_corr(ranked, group_col, "rx2", "ry2")
