@@ -496,3 +496,30 @@ def test_sorted_neighborhood_pairs_without_self_join(spark):
     # formatted mode prints one "Join type:" detail per join operator
     assert s.count("Join type:") == 2, s[:3000]
     assert "Window" in s
+
+
+def test_spearman_ranks_in_one_exchange(spark):
+    """All four rank windows and the count window partition by the
+    GROUP key only (no (group, value) repartition for tie counting),
+    so the whole rank stage runs after ONE shuffle of the scan; the
+    moment aggregate adds the usual partial/final pair on the same
+    key. Expect exactly 2 exchanges: scan->group-partition windows,
+    then the final single-key aggregate exchange."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["spearman_corr"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert s.count("Exchange") <= 2, s[:3000]
+    assert "Window" in s
+
+
+def test_embedding_contamination_no_shuffle_no_join(spark):
+    """Broadcast eval matrix + one matmul per batch: the plan is scan
+    -> mapInPandas -> project, with no Exchange and no Join anywhere
+    (the |train| x |eval| pair space exists only inside the kernel)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["embedding_contamination"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert "Exchange" not in s, s[:3000]
+    assert "Join type:" not in s, s[:3000]
