@@ -3075,6 +3075,78 @@ def q_spearman_corr(spark, sf_dir):
     return spearman_corr(ev, "event_type", "value", "hod")
 
 
+def q_inverted_index(spark, sf_dir):
+    """Capped postings-list construction: per-term df/cf census plus
+    the top-5 documents by (tf DESC, doc_id ASC), min_df=2 rare-tail
+    prune. The engine's salted two-phase rank is lossless vs the
+    oracle's single-window formulation (operators/textanalysis.py
+    docstring)."""
+    from cadastre_pg_spark.operators.textanalysis import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), k=5, min_df=2)
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic pretraining shuffle plan: 32-bit md5 hash order,
+    shard = h mod 16, 1-based within-shard position — one exchange,
+    reproducible independent of input partitioning."""
+    from cadastre_pg_spark.operators.corpus import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), n_shards=16, hash_fn="md5")
+
+
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup clusters (md5-mode
+    minhash pair graph, threshold 0.4) hash as ONE unit into splits,
+    so near-duplicate docs never straddle train and eval; singletons
+    split on their own doc_id. Oracle replays the recursive-CTE
+    clusters + the identical ppm CASE chain."""
+    from cadastre_pg_spark.operators.corpus import cluster_split
+
+    return cluster_split(_docs(spark, sf_dir), threshold=0.4, hash_fn="md5")
+
+
+HITS_ITERS = 5
+
+
+def q_hits(spark, sf_dir):
+    """5-round HITS hubs/authorities over the deterministic link
+    graph — pagerank's link-analysis twin with the same integer-unit
+    quantized recurrence (floor to 1e-14 units between half-rounds),
+    so DuckDB replays every half-round via unrolled CTEs."""
+    from cadastre_pg_spark.operators.graph import hits
+
+    n = max(300, int(PR_NODES_PER_SF * _sf_of(sf_dir)))
+    nodes, edges = _pr_graph(spark, n)
+    return hits(edges, nodes, iters=HITS_ITERS, n_nodes=n)
+
+
+LINSCORE_BUCKETS = 4096
+LINSCORE_BIAS_U = -250_000
+
+
+def q_linear_score(spark, sf_dir):
+    """Broadcast fastText-style linear classifier apply (md5 feature
+    hashes for the DuckDB twin): unigram + bigram features share one
+    4096-bucket space; the deterministic multiplicative-hash weight
+    table lives in integer micro-units, the label is an integer sign
+    test — no float boundary can flip it."""
+    from cadastre_pg_spark.operators.textanalysis import linear_score
+
+    b = F.col("id")
+    w = ((b * F.lit(S.MULT_H)) % F.lit(S.MOD)) % F.lit(2001) - F.lit(1000)
+    weights = spark.range(LINSCORE_BUCKETS).select(
+        b.cast("long").alias("bucket"), w.cast("long").alias("w")
+    )
+    return linear_score(
+        _docs(spark, sf_dir),
+        weights,
+        n_buckets=LINSCORE_BUCKETS,
+        bias_u=LINSCORE_BIAS_U,
+        hash_fn="md5",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -3266,6 +3338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "embedding_contamination": q_embedding_contamination,
         "spearman_corr": q_spearman_corr,
+        "inverted_index": q_inverted_index,
+        "global_shuffle": q_global_shuffle,
+        "cluster_split": q_cluster_split,
+        "hits": q_hits,
+        "linear_score": q_linear_score,
     }
 
 
@@ -5182,6 +5259,110 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                    END AS corr
+            FROM agg
+        """,
+        # capped postings lists: (term,doc) tf census -> df/cf stats
+        # (min_df prune) + top-5 docs per term; the engine's salted
+        # two-phase rank is lossless vs this single-window twin
+        "inverted_index": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY 1 HAVING count(*) >= 2
+            ),
+            rk AS (
+              SELECT term, doc_id, tf,
+                     CAST(row_number() OVER (
+                       PARTITION BY term
+                       ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rank
+              FROM tf
+            )
+            SELECT rk.term, st.df, st.cf, rk.rank, rk.doc_id, rk.tf
+            FROM rk JOIN st ON st.term = rk.term
+            WHERE rk.rank <= 5
+        """,
+        # deterministic pretraining shuffle: md5-prefix 32-bit order
+        # key, shard = h mod 16, 1-based within-shard position
+        "global_shuffle": f"""
+            WITH hsh AS (
+              SELECT doc_id,
+                     {_hex32_sql("md5('gs:' || CAST(doc_id AS VARCHAR))")}
+                       AS h
+              FROM documents
+            )
+            SELECT doc_id, h % 16 AS shard, h,
+                   CAST(row_number() OVER (
+                     PARTITION BY h % 16
+                     ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+            FROM hsh
+        """,
+        # leakage-safe split: recursive-CTE near-dup clusters (the
+        # dedup_clusters twin), rep = cluster id or own doc_id, then
+        # the hash_split ppm CASE on the representative
+        "cluster_split": f"""
+            WITH cc AS MATERIALIZED ( {_dedup_clusters_sql_oracle(threshold=0.4)} ),
+            j AS (
+              SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS rep
+              FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+            ),
+            h AS (
+              SELECT doc_id, rep,
+                     {_hex32_sql("md5('cs:' || CAST(rep AS VARCHAR))")}
+                       % 1000000 AS u
+              FROM j
+            )
+            SELECT doc_id, rep, u,
+                   CASE WHEN u >= 0 AND u < 900000 THEN 'train'
+                        WHEN u >= 900000 AND u < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        "hits": _hits_sql_oracle(),
+        # broadcast linear classifier: md5-prefix feature hashes
+        # (unigram + bigram n-grams, shared bucket space), the same
+        # multiplicative-hash micro-unit weight table, exact BIGINT
+        # sums, integer sign-test label
+        "linear_score": f"""
+            WITH wts AS (
+              SELECT i AS bucket,
+                     ((i * {S.MULT_H}) % {S.MOD}) % 2001 - 1000 AS w
+              FROM range(0, {LINSCORE_BUCKETS}) t(i)
+            ),
+            tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, unnest(
+                [{_hex32_sql("md5(array_to_string(t[i+1:i+1], ' '))")}
+                 for i in range(0, len(t))]) % {LINSCORE_BUCKETS} AS bucket
+              FROM tok
+              UNION ALL
+              SELECT doc_id, unnest(
+                [{_hex32_sql("md5(array_to_string(t[i+1:i+2], ' '))")}
+                 for i in range(0, greatest(len(t) - 1, 0))])
+                % {LINSCORE_BUCKETS} AS bucket
+              FROM tok
+            ),
+            agg AS (
+              SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS s_u
+              FROM feats f LEFT JOIN wts w ON w.bucket = f.bucket
+              GROUP BY 1
+            )
+            SELECT doc_id, n_feats,
+                   round(CAST(s_u + {LINSCORE_BIAS_U} AS DOUBLE)
+                         / CAST('1e6' AS DOUBLE), 6) AS logit,
+                   (s_u + {LINSCORE_BIAS_U}) > 0 AS label
             FROM agg
         """,
     }
@@ -7884,6 +8065,68 @@ def _snm_sql_oracle(window: int, prefix_len: int) -> str:
         JOIN toks ta ON ta.doc_id = p.doc_a
         JOIN toks tb ON tb.doc_id = p.doc_b
     """
+
+
+def _hits_sql_oracle() -> str:
+    """Unrolled-CTE replay of the integer-unit HITS recurrence
+    (operators/graph.hits): per half-round an exact inbound BIGINT
+    SUM of units, then floor((s / t) * 1e14) in IEEE doubles with the
+    literal-identical op shape, dead-round CASE gate included. Initial
+    hub mass floor(1e14 / n) keeps every value inside the 2^53
+    exact-double range, so the BIGINT->DOUBLE casts are exact."""
+    from cadastre_pg_spark.operators.graph import RANK_UNIT
+
+    n = max(300, int(PR_NODES_PER_SF * 0.01))
+    u0 = int(RANK_UNIT / n)
+    unit = "CAST('1e14' AS DOUBLE)"
+    deg_expr = f"(1 + ((i * {S.MULT_H}) % {S.MOD}) % 3)"
+    dst_expr = (
+        f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
+    )
+    sql = f"""
+        WITH nodes AS (SELECT i AS v FROM range(0, {n}) t(i)),
+        edges AS (
+          SELECT i AS src,
+                 unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
+          FROM range(0, {n}) t(i)
+        ),
+        h0 AS (SELECT v, CAST({u0} AS BIGINT) AS u FROM nodes)"""
+    prev_h = "h0"
+    for r in range(1, HITS_ITERS + 1):
+        sql += f""",
+        sa{r} AS (
+          SELECT e.dst AS w, SUM(s.u) AS s
+          FROM edges e JOIN {prev_h} s ON s.v = e.src GROUP BY e.dst
+        ),
+        ta{r} AS (SELECT SUM(s) AS t FROM sa{r}),
+        a{r} AS (
+          SELECT nd.v,
+                 CASE WHEN t > 0 THEN
+                   CAST(floor((CAST(COALESCE(sa{r}.s, 0) AS DOUBLE)
+                               / CAST(t AS DOUBLE)) * {unit}) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS u
+          FROM nodes nd LEFT JOIN sa{r} ON sa{r}.w = nd.v CROSS JOIN ta{r}
+        ),
+        sh{r} AS (
+          SELECT e.src AS w, SUM(s.u) AS s
+          FROM edges e JOIN a{r} s ON s.v = e.dst GROUP BY e.src
+        ),
+        th{r} AS (SELECT SUM(s) AS t FROM sh{r}),
+        h{r} AS (
+          SELECT nd.v,
+                 CASE WHEN t > 0 THEN
+                   CAST(floor((CAST(COALESCE(sh{r}.s, 0) AS DOUBLE)
+                               / CAST(t AS DOUBLE)) * {unit}) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS u
+          FROM nodes nd LEFT JOIN sh{r} ON sh{r}.w = nd.v CROSS JOIN th{r}
+        )"""
+        prev_h = f"h{r}"
+    sql += f"""
+        SELECT h.v AS node,
+               CAST(h.u AS DOUBLE) / {unit} AS hub,
+               CAST(a.u AS DOUBLE) / {unit} AS authority
+        FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.v = h.v"""
+    return sql
 
 
 def _pagerank_sql_oracle() -> str:

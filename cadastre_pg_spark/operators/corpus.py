@@ -724,32 +724,129 @@ def hash_split(
     Scale shape (100 TB): shuffle-free — a scan-level hash + CASE
     chain (the stratified_sample shape); group mode hashes the group
     key instead of doc_id, still no exchange, no census, no join."""
+    bounds = _ppm_bounds(splits)
+    key = F.col(group_col) if group_col else F.col("doc_id")
+    u = F.pmod(_hash32(key, salt, hash_fn), F.lit(MILLION))
+    return docs.select(
+        "doc_id",
+        *([key.alias("grp")] if group_col else []),
+        u.alias("u"),
+        _split_case(u, bounds).alias("split"),
+    )
+
+
+def _ppm_bounds(splits) -> list[tuple[str, int, int]]:
+    """Half-open integer ppm intervals [(name, lo, hi)) in the given
+    order; quantization residue goes to the LAST split."""
     items = list(splits)
     if abs(sum(w for _, w in items) - 1.0) > 1e-9:
         raise ValueError("split weights must sum to 1")
     if len({n for n, _ in items}) != len(items):
         raise ValueError("duplicate split names")
-    key = F.col(group_col) if group_col else F.col("doc_id")
-    u = F.pmod(_hash32(key, salt, hash_fn), F.lit(MILLION))
     cum = 0
-    expr = None
     bounds = []
     for name, w in items:
         lo = cum
         cum = min(MILLION, cum + int(round(w * MILLION)))
         bounds.append((name, lo, cum))
     bounds[-1] = (bounds[-1][0], bounds[-1][1], MILLION)  # residue -> last
+    return bounds
+
+
+def _split_case(u: F.Column, bounds) -> F.Column:
+    """The ppm-interval CASE chain over a [0, 1e6) hash column."""
+    expr = None
     for name, lo, hi in reversed(bounds):
         expr = (
             F.lit(name)
             if expr is None
             else F.when((u >= lo) & (u < hi), F.lit(name)).otherwise(expr)
         )
-    return docs.select(
+    return expr
+
+
+def cluster_split(
+    docs: DataFrame,
+    splits: list[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    threshold: float = 0.5,
+    salt: str = "cs:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Leakage-safe train/val/test split by NEAR-DUP CLUSTER: documents
+    are clustered with the minhash pair graph (graph.dedup_clusters)
+    and the split is hashed from the CLUSTER representative, so two
+    near-duplicate documents can never straddle train and eval — the
+    contamination mode `hash_split(group_col=...)` cannot catch when
+    near-dups cross hosts (mirrors, syndication, boilerplate reposts).
+    Singleton documents (no near-dup pair) split independently on their
+    own doc_id. Returns (doc_id, rep, u, split) where `rep` is the
+    cluster id (min doc_id of the component) or the doc's own id.
+
+    Scale shape (100 TB): the corpus-sized work is all inside the
+    bucket-capped minhash pipeline; the cluster table holds only
+    pair-participant docs (a small fraction of the corpus), is
+    materialized ONCE (localCheckpoint) for both the measured
+    broadcast gate and the attach join, and joins map-side under the
+    ~5M-row house gate. The split itself is the shuffle-free ppm CASE
+    chain shared with hash_split."""
+    from .graph import dedup_clusters
+
+    bounds = _ppm_bounds(splits)
+    cc0 = dedup_clusters(docs, threshold=threshold, hash_fn=hash_fn)
+    cc = cc0.localCheckpoint(eager=True)
+    cached = [cc] + getattr(cc0, "_cadastre_cached", [])
+    bcast = cc.count() <= 5_000_000
+    j = docs.select("doc_id").join(
+        F.broadcast(cc) if bcast else cc, "doc_id", "left"
+    )
+    rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    u = F.pmod(_hash32(rep, salt, hash_fn), F.lit(MILLION))
+    out = j.select(
         "doc_id",
-        *([key.alias("grp")] if group_col else []),
+        rep.alias("rep"),
         u.alias("u"),
-        expr.alias("split"),
+        _split_case(u, bounds).alias("split"),
+    )
+    out._cadastre_cached = cached
+    return out
+
+
+def global_shuffle(
+    docs: DataFrame,
+    n_shards: int = 16,
+    salt: str = "gs:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard plan — the
+    "shuffle the corpus before pretraining" op. Every doc hashes to a
+    32-bit key h; shard = h mod n_shards routes it to one of
+    `n_shards` equal output files, and pos = its 1-based position
+    within the shard in (h, doc_id) order. The (shard, pos) pair is a
+    total training order that is reproducible run-to-run and
+    independent of input partitioning or arrival order — unlike
+    DataFrame.orderBy(rand()) which changes under retries.
+
+    Returns (doc_id, shard, h, pos).
+
+    Scale shape (100 TB): ONE exchange — the row_number window
+    hash-partitions on shard and sorts (h, doc_id) within each; a
+    writer twin is repartition(shard) + sortWithinPartitions, which
+    streams each shard file in final order with no further shuffle.
+    Shards are balanced by the uniformity of the hash, and n_shards
+    is chosen so one shard fits an executor's sort spill budget."""
+    from pyspark.sql import Window
+
+    h = _hash32(F.col("doc_id"), salt, hash_fn)
+    w = Window.partitionBy("shard").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "h", "pos")
     )
 
 

@@ -218,6 +218,107 @@ def pagerank(
     return res
 
 
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 5,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over
+    edges(src, dst) — pagerank's link-analysis twin: authorities are
+    the pages good hubs point AT (crawl-prioritization signal beside
+    PageRank), hubs are the pages that point at good authorities
+    (directory/spam-farm detector). Returns (node, hub, authority)
+    after `iters` full rounds.
+
+    Exactness contract (same as pagerank): scores live as BIGINT units
+    of 1e-14. Each half-round is an exact BIGINT inbound SUM of units,
+    then an L1 normalization computed in IEEE doubles with a literal-
+    identical op shape — floor((s / t) * 1e14) — so every step replays
+    bitwise in DuckDB's unrolled-CTE twin. Initial hub mass is
+    floor(1e14 / n) per node, keeping every unit value <= ~1e14 and
+    every SUM far inside the 2^53 exact-double range, so the
+    BIGINT->DOUBLE casts are exact. A dead half-round (t = 0 or NULL:
+    no edges) yields all-zero scores via an ANSI-gated CASE, never a
+    0/0.
+
+    Scale shape per half-round: one edges-to-scores equi-join (the
+    node-sized score table broadcasts under the ~5M house gate, so the
+    static edge table is never re-shuffled per round), one map-side-
+    partial SUM keyed on the receiving endpoint, and the normalizer is
+    a ONE-ROW global agg crossed back in via broadcast — no collect,
+    no driver round-trip. localCheckpoint truncates per-round lineage
+    exactly like pagerank/connected_components."""
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    unit = F.lit(float(RANK_UNIT))
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    nv = nodes.select(F.col("node").cast("long").alias("v"))
+    u0 = int(RANK_UNIT / n_nodes)
+    h = nv.select("v", F.lit(u0).cast("long").alias("u")).localCheckpoint(
+        eager=True
+    )
+    cached = [e, h]
+    bcast = n_nodes <= 5_000_000
+
+    def _b(d):
+        return F.broadcast(d) if bcast else d
+
+    def _half(scores, src_col, dst_col):
+        """One half-round: inbound unit SUM onto dst_col, L1-normalize,
+        re-floor to units. Returns the new node-sized (v, u) table."""
+        s = (
+            e.join(_b(scores), F.col(src_col) == scores.v)
+            .select(F.col(dst_col).alias("w"), "u")
+            .groupBy("w")
+            .agg(F.sum("u").alias("s"))
+        )
+        t = s.agg(F.sum("s").alias("t"))
+        out = (
+            nv.join(_b(s), F.col("v") == F.col("w"), "left")
+            .crossJoin(F.broadcast(t))
+            .select(
+                "v",
+                F.when(
+                    F.col("t") > 0,
+                    F.floor(
+                        (
+                            F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                            / F.col("t").cast("double")
+                        )
+                        * unit
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached.append(out)
+        return out
+
+    a = None
+    for _ in range(iters):
+        a = _half(h, "src", "dst")  # authority <- sum of in-edge hub mass
+        h = _half(a, "dst", "src")  # hub <- sum of out-edge authority mass
+    hub = h.select("v", (F.col("u").cast("double") / unit).alias("hub"))
+    auth = a.select(
+        F.col("v").alias("va"),
+        (F.col("u").cast("double") / unit).alias("authority"),
+    )
+    res = hub.join(_b(auth), F.col("v") == F.col("va")).select(
+        F.col("v").alias("node"), "hub", "authority"
+    )
+    res._cadastre_cached = cached
+    return res
+
+
 def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """k-core of the undirected simple graph of `edges` (src, dst):
     the maximal subgraph in which every node has degree >= k. Output

@@ -1150,3 +1150,142 @@ def retrieval_eval(
         .otherwise(F.lit(0.0))
         .alias("recall_at_k"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    k: int = 5,
+    min_df: int = 2,
+    n_salts: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Capped postings-list construction — the index-build op that
+    turns a crawl corpus into the (term -> top documents) table a
+    retrieval stack (BM25 serving, dedup forensics, corpus search)
+    consumes. One row per surviving (term, rank): (term, df, cf,
+    rank, doc_id, tf). Per-term postings are capped at the top-`k`
+    documents by (tf DESC, doc_id ASC) and terms appearing in fewer
+    than `min_df` documents are dropped (the rare-term tail that
+    dominates a web vocabulary).
+
+    Generalizes the reference's per-type staging censuses
+    (cadastre-pg/src/report.rs per-table counters, A3) to a full
+    term-level index artifact.
+
+    Scale shape (100 TB): the (term, doc) tf census partial-aggregates
+    map-side, so the first exchange carries per-document term counts,
+    never token occurrences. The top-k is a SALTED TWO-PHASE rank:
+    phase 1 ranks inside (term, pmod(xxhash64(doc_id), n_salts))
+    partitions and keeps k rows per salt — a stopword's postings
+    spread over `n_salts` tasks instead of melting one hot window
+    partition — and phase 2 ranks the <= k * n_salts survivors per
+    term. Lossless by the standard argument: any global top-k row is
+    necessarily within the top-k of its own salt partition. df/cf
+    come from a skew-immune map-side-combining groupBy, joined back
+    on term against the capped survivors only (bounded rows). The
+    oracle replays the single-window formulation, which equals the
+    salted one exactly.
+
+    The (term, doc) census feeds BOTH branches (rank and stats), so it
+    is persisted once (the heavy_hitters house pattern) instead of
+    re-tokenizing the corpus per consumer; release via
+    `result._cadastre_cached` after the terminal action."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    w1 = Window.partitionBy("term", "salt").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    w2 = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = (
+        tf.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+    out = top.join(stats, "term").select(
+        "term",
+        "df",
+        "cf",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "tf",
+    )
+    out._cadastre_cached = [tf]
+    return out
+
+
+def linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 16,
+    bias_u: int = 0,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a pretrained fastText-style LINEAR text classifier at
+    corpus scale — the "quality classifier" stage of a web pipeline
+    (pages scored by a model distilled from curated seeds). Features
+    are hashed unigrams AND bigrams sharing one bucket space
+    (`bucket = hash32(feature) % n_buckets`, the fastText trick);
+    `weights` is a (bucket BIGINT, w BIGINT) table of INTEGER
+    MICRO-UNIT weights (1e-6), `bias_u` the intercept in the same
+    units. Returns (doc_id, n_feats, logit, label): n_feats counts
+    hashed feature OCCURRENCES (missing buckets score 0), logit the
+    micro-unit-exact score in units of 1.0 (6 dp), label the sign
+    test logit_u + bias_u > 0 — an integer comparison, so no float
+    boundary can flip it between engines.
+
+    Scale shape (100 TB): the model is a BROADCAST hash join (a
+    65k-bucket weight table is ~1 MB — every executor holds it; the
+    corpus never shuffles for the lookup), feature extraction is the
+    narrow shingle_hash_rows codegen shape (arrays_zip shifted slices
+    + concat_ws + hash — one (doc_id, h) long-pair per occurrence,
+    never a carried token array, never an interpreted lambda), and
+    the per-doc sum partial-aggregates map-side so the one exchange
+    carries per-doc partials. Exact BIGINT sums — order-independent,
+    replayed verbatim by the DuckDB twin."""
+    from .dedup import shingle_hash_rows
+
+    feats = (
+        shingle_hash_rows(docs, 1, hash_fn, text_col=text_col)
+        .unionByName(shingle_hash_rows(docs, 2, hash_fn, text_col=text_col))
+        .select(
+            "doc_id",
+            F.pmod(F.col("h"), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+    scored = feats.join(F.broadcast(weights), "bucket", "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum(F.coalesce(F.col("w"), F.lit(0))).cast("long").alias("s_u"),
+    )
+    logit_u = F.col("s_u") + F.lit(int(bias_u))
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        F.round(logit_u.cast("double") / F.lit(1e6), 6).alias("logit"),
+        (logit_u > 0).alias("label"),
+    )

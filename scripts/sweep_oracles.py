@@ -48,6 +48,7 @@ SF_PINNED = {
     "label_prop",
     "ppr",
     "pagerank",
+    "hits",
     "triangles",
     "kcore",
     "bfs_hops",

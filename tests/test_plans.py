@@ -523,3 +523,48 @@ def test_embedding_contamination_no_shuffle_no_join(spark):
     s = explain_string(df)
     assert "Exchange" not in s, s[:3000]
     assert "Join type:" not in s, s[:3000]
+
+
+def test_inverted_index_shares_census_and_salts_the_rank(spark):
+    """The (term, doc) tf census is persisted and read by BOTH
+    branches (rank + df/cf stats) via InMemoryTableScan — the corpus
+    is tokenized once, not per consumer. Both WindowGroupLimit rungs
+    (the salted phase-1 and the per-term phase-2 top-k) must appear,
+    and no window ever partitions by raw text. Formatted explain
+    prints each physical Exchange twice (tree + detail), so the
+    threshold is 2x the physical count."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["inverted_index"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert "InMemoryTableScan" in s, s[:3000]
+    assert "WindowGroupLimit" in s, s[:3000]
+    assert s.count("Exchange") <= 12, s[:3000]
+    for c in df._cadastre_cached:
+        c.unpersist()
+
+
+def test_global_shuffle_single_exchange(spark):
+    """The shard-routing window is the ONLY exchange: hash + pmod are
+    scan-level projections and row_number partitions by shard.
+    (Formatted explain prints the one physical Exchange twice.)"""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["global_shuffle"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert s.count("Exchange") == 2, s[:3000]
+    assert "Window" in s
+
+
+def test_linear_score_broadcast_model_single_shuffle(spark):
+    """The weight table is a broadcast build side; feature extraction
+    is the narrow union of two codegen explode branches; the per-doc
+    sum partial-aggregates map-side. Exactly one shuffle exchange
+    (the doc_id agg) plus the broadcast exchange — each printed twice
+    in formatted mode."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["linear_score"](spark, SF_UNIT)
+    s = explain_string(df)
+    assert "BroadcastHashJoin" in s, s[:3000]
+    assert s.count("Exchange") <= 4, s[:3000]

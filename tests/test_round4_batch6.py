@@ -1,0 +1,259 @@
+"""Round-4 sixth-batch operators: inverted_index, global_shuffle,
+cluster_split, hits. Oracle parity is covered by the driver-contract
+sweep; these are the behavioral/losslessness/kernel-equality tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.operators.corpus import cluster_split, global_shuffle
+from cadastre_pg_spark.operators.graph import hits
+from cadastre_pg_spark.operators.textanalysis import inverted_index
+
+BASE = "the quick brown fox jumps over the lazy dog near the old stone bridge every morning"
+
+
+# ---------------------------------------------------- inverted_index ----
+
+
+def test_inverted_index_exact_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a a a b"),
+            (3, "c c d"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = inverted_index(docs, k=2, min_df=2).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    # 'd' (df=1) pruned by min_df=2
+    assert set(by_term) == {"a", "b", "c"}
+    a = sorted(by_term["a"], key=lambda r: r.rank)
+    assert [(r.doc_id, r.tf) for r in a] == [(2, 3), (1, 2)]
+    assert a[0].df == 2 and a[0].cf == 5
+    c = sorted(by_term["c"], key=lambda r: r.rank)
+    assert [(r.doc_id, r.tf) for r in c] == [(3, 2), (1, 1)]
+    b = by_term["b"]
+    assert {r.doc_id for r in b} == {1, 2}
+    # tf tie on 'b' (1 each) -> doc_id ASC breaks it
+    assert sorted((r.rank, r.doc_id) for r in b) == [(1, 1), (2, 2)]
+
+
+def test_inverted_index_salted_topk_is_lossless(spark):
+    # 60 docs sharing a hot term with distinct tfs: the salted
+    # two-phase rank must return the identical top-k as one window
+    rows = [(i, " ".join(["hot"] * (1 + i % 17) + [f"rare{i}", f"rare{i}"])) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for salts in (1, 8):
+        got = {
+            (r.term, r.rank): (r.doc_id, r.tf, r.df, r.cf)
+            for r in inverted_index(docs, k=4, min_df=1, n_salts=salts).collect()
+        }
+        if salts == 1:
+            want = got
+    assert got == want
+    # and the hot term's df/cf census is over ALL docs, not the cap
+    hot = [v for (t, _), v in want.items() if t == "hot"][0]
+    assert hot[2] == 60
+    assert hot[3] == sum(1 + i % 17 for i in range(60))
+
+
+def test_inverted_index_min_df_prunes_tail(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common unique{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = inverted_index(docs, k=3, min_df=2)
+    assert [r.term for r in out.select("term").distinct().collect()] == [
+        "common"
+    ]
+
+
+# ---------------------------------------------------- global_shuffle ----
+
+
+def test_global_shuffle_positions_are_dense_per_shard(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = global_shuffle(docs, n_shards=4).collect()
+    assert len(out) == 200
+    assert {r.doc_id for r in out} == set(range(200))
+    by_shard = {}
+    for r in out:
+        assert r.shard == r.h % 4
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        # 1..n dense positions, ordered by (h, doc_id)
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r.h, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_global_shuffle_is_deterministic_across_runs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, global_shuffle(docs, n_shards=8).collect()))
+    b = sorted(
+        map(tuple, global_shuffle(docs.repartition(13), n_shards=8).collect())
+    )
+    assert a == b
+
+
+# ----------------------------------------------------- cluster_split ----
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    rows = []
+    for i in range(30):
+        words = BASE + f" filler{i} " + " ".join(f"w{i}_{k}" for k in range(10))
+        rows.append((i, words))
+    for i in range(5):  # planted near-dups of docs 0..4
+        rows.append((100 + i, rows[i][1] + " postscript"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cluster_split_near_dups_never_straddle(spark, split_docs):
+    out = {r.doc_id: r for r in cluster_split(split_docs, threshold=0.5).collect()}
+    assert len(out) == 35
+    for i in range(5):
+        assert out[100 + i].rep == out[i].rep == i  # min doc_id of component
+        assert out[100 + i].split == out[i].split
+        assert out[100 + i].u == out[i].u
+
+
+def test_cluster_split_singletons_split_on_own_id(spark, split_docs):
+    from cadastre_pg_spark.operators.corpus import hash_split
+
+    out = {r.doc_id: r for r in cluster_split(split_docs, threshold=0.5).collect()}
+    solo = [i for i in range(5, 30)]
+    for i in solo:
+        assert out[i].rep == i
+    # singleton assignment must equal plain doc-level hash_split with
+    # the same salt (the ppm CASE chain is shared)
+    ref = {
+        r.doc_id: r.split
+        for r in hash_split(split_docs, salt="cs:").collect()
+    }
+    for i in solo:
+        assert out[i].split == ref[i]
+
+
+def test_cluster_split_validates_weights(spark, split_docs):
+    with pytest.raises(ValueError):
+        cluster_split(split_docs, splits=[("a", 0.5), ("b", 0.4)])
+
+
+# -------------------------------------------------------------- hits ----
+
+
+def _hits_ref(n, edges, iters, unit=10**14):
+    """Single-process replay of the quantized recurrence."""
+    h = np.full(n, unit // n, dtype=object)
+    a = np.zeros(n, dtype=object)
+    for _ in range(iters):
+        s = np.zeros(n, dtype=object)
+        for u, v in edges:
+            s[v] += h[u]
+        t = int(s.sum())
+        a = np.array(
+            [int(np.floor((float(x) / float(t)) * float(unit))) if t > 0 else 0 for x in s],
+            dtype=object,
+        )
+        s = np.zeros(n, dtype=object)
+        for u, v in edges:
+            s[u] += a[v]
+        t = int(s.sum())
+        h = np.array(
+            [int(np.floor((float(x) / float(t)) * float(unit))) if t > 0 else 0 for x in s],
+            dtype=object,
+        )
+    return h, a
+
+
+def test_hits_star_graph_shapes(spark):
+    # center 0 points at 1..6; 7 points at 0: 0 is the hub, 1..6 the
+    # authorities
+    edges = [(0, i) for i in range(1, 7)] + [(7, 0)]
+    n = 8
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    out = {r.node: r for r in hits(e, nd, iters=3, n_nodes=n).collect()}
+    assert out[0].hub == max(r.hub for r in out.values())
+    for i in range(2, 7):
+        assert out[i].authority == out[1].authority
+    assert out[1].authority > out[0].authority
+    # exact match vs the single-process quantized reference
+    h_ref, a_ref = _hits_ref(n, edges, 3)
+    for i in range(n):
+        assert out[i].hub == h_ref[i] / 1e14
+        assert out[i].authority == a_ref[i] / 1e14
+
+
+def test_hits_empty_edges_all_zero(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    nd = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    out = hits(e, nd, iters=2, n_nodes=4).collect()
+    assert len(out) == 4
+    assert all(r.hub == 0.0 and r.authority == 0.0 for r in out)
+
+
+def test_hits_rejects_zero_iters(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nd = spark.createDataFrame([(0,), (1,)], "node long")
+    with pytest.raises(ValueError):
+        hits(e, nd, iters=0, n_nodes=2)
+
+
+# ------------------------------------------------------ linear_score ----
+
+
+def test_linear_score_exact_hand_weights(spark):
+    from cadastre_pg_spark.operators.dedup import shingle_hash32
+    from cadastre_pg_spark.operators.textanalysis import linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad")], "doc_id long, text string"
+    )
+    nb = 64
+    # resolve the actual buckets of the features so the test pins
+    # exact weights regardless of hash values
+    feats = spark.createDataFrame(
+        [("good",), ("bad",), ("good good",)], "f string"
+    ).select(F.pmod(shingle_hash32(F.col("f"), "xxhash64"), F.lit(nb)).alias("b"))
+    b_good, b_bad, b_gg = [r.b for r in feats.collect()]
+    wmap = {b_good: 2_000_000, b_bad: -3_000_000, b_gg: 500_000}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, w long"
+    )
+    out = {
+        r.doc_id: r
+        for r in linear_score(docs, weights, n_buckets=nb).collect()
+    }
+    # doc 1: feats good, good, "good good" -> 2 + 2 + 0.5 = 4.5
+    assert out[1].n_feats == 3
+    assert out[1].logit == pytest.approx(4.5)
+    assert out[1].label is True
+    # doc 2: single unigram, no bigram
+    assert out[2].n_feats == 1
+    assert out[2].logit == pytest.approx(-3.0)
+    assert out[2].label is False
+
+
+def test_linear_score_zero_boundary_is_false_and_bias_shifts(spark):
+    from cadastre_pg_spark.operators.textanalysis import linear_score
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    weights = spark.createDataFrame([], "bucket long, w long")
+    # unmatched bucket scores 0; logit_u = 0 -> label False (strict >)
+    r0 = linear_score(docs, weights, n_buckets=16).collect()[0]
+    assert r0.logit == 0.0 and r0.label is False
+    r1 = linear_score(docs, weights, n_buckets=16, bias_u=1).collect()[0]
+    assert r1.label is True
