@@ -1025,3 +1025,132 @@ def spearman_corr(
         rank2(y_col).alias("ry2"),
     )
     return group_corr(ranked, group_col, "rx2", "ry2")
+
+
+def classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    gold_col: str,
+    threshold: float = 0.0,
+    chunk: float = 1.0,
+) -> DataFrame:
+    """One-row evaluation of a scored binary classifier against gold
+    labels — the metric stage that closes the quality-classifier loop
+    (textanalysis.linear_score trains offline, scores the corpus,
+    and THIS op tells you whether to trust the filter): confusion
+    counts at `threshold`, precision/recall/F1 from single exact
+    integer divisions (f1 = 2*tp / (tp + fp + P) — no float compound),
+    and tie-corrected ROC AUC via the Mann-Whitney pair count
+    AUC = (2*concordant + ties) / (2 * P * N), all BIGINT-exact until
+    one final rounded division each.
+
+    Scale shape (100 TB): NEVER ranks the corpus — rows collapse to a
+    per-distinct-score census first (map-side partial agg; the census
+    is bounded by the score grid, e.g. 6-dp-rounded scores), and the
+    cumulative negatives-below count uses the two-level scan of
+    concurrency_profile: per-chunk subtotals prefix-summed on the
+    DRIVER (one row per `chunk` of score space — scale-free), then a
+    window partitioned BY CHUNK — no single-partition sort anywhere.
+    Chunking is lossless; the DuckDB twin replays the plain
+    single-window formulation."""
+    from pyspark.sql import Window
+
+    census = (
+        df.select(
+            F.col(score_col).alias("score"),
+            F.col(gold_col).cast("boolean").alias("gold"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("gold"), 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+            F.sum(F.when(F.col("gold"), 0).otherwise(1))
+            .cast("long")
+            .alias("nn"),
+        )
+        .withColumn("chunk", F.floor(F.col("score") / F.lit(float(chunk))))
+        .persist()
+    )
+    totals = (
+        census.groupBy("chunk")
+        .agg(F.sum("nn").alias("cn"))
+        .orderBy("chunk")
+        .collect()
+    )
+    pre, rows = 0, []
+    for r in totals:
+        rows.append((r.chunk, pre))
+        pre += r.cn
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(rows, "chunk long, pre_n long")
+    w = (
+        Window.partitionBy("chunk")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = census.join(F.broadcast(pdf), "chunk").withColumn(
+        "below", F.sum("nn").over(w) + F.col("pre_n") - F.col("nn")
+    )
+    thr = F.lit(float(threshold))
+    agg = cum.agg(
+        F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("P"),
+        F.coalesce(F.sum("nn"), F.lit(0)).cast("long").alias("N"),
+        F.coalesce(F.sum(F.col("np") * F.col("below")), F.lit(0))
+        .cast("long")
+        .alias("C"),
+        F.coalesce(F.sum(F.col("np") * F.col("nn")), F.lit(0))
+        .cast("long")
+        .alias("T"),
+        F.coalesce(
+            F.sum(F.when(F.col("score") > thr, F.col("np")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("score") > thr, F.col("nn")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+    out = agg.select(
+        (F.col("P") + F.col("N")).alias("n"),
+        F.col("P").alias("n_pos"),
+        F.col("N").alias("n_neg"),
+        "tp",
+        "fp",
+        (F.col("P") - F.col("tp")).alias("fn"),
+        (F.col("N") - F.col("fp")).alias("tn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+                6,
+            ),
+        ).alias("prec"),
+        F.when(
+            F.col("P") > 0,
+            F.round(F.col("tp").cast("double") / F.col("P").cast("double"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("tp") + F.col("fp") + F.col("P") > 0,
+            F.round(
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.col("tp") + F.col("fp") + F.col("P")).cast("double"),
+                6,
+            ),
+        ).alias("f1"),
+        F.when(
+            (F.col("P") > 0) & (F.col("N") > 0),
+            F.round(
+                (F.lit(2) * F.col("C") + F.col("T")).cast("double")
+                / (F.lit(2) * F.col("P") * F.col("N")).cast("double"),
+                6,
+            ),
+        ).alias("auc"),
+    )
+    out._cadastre_cached = [census]
+    return out

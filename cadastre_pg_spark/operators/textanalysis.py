@@ -1289,3 +1289,72 @@ def linear_score(
         F.round(logit_u.cast("double") / F.lit(1e6), 6).alias("logit"),
         (logit_u > 0).alias("label"),
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Per-class evaluation of the lang-ID heuristic against the gold
+    `lang` column — the drift check a pipeline runs when the corpus
+    mix shifts (a heuristic tuned on en/fr/de silently degrades when
+    es/zh arrive). One row per GOLD class: (lang, n_gold, n_pred, tp,
+    prec, recall, f1); n_pred counts predictions of that label over
+    the whole table (0 for classes the heuristic can never emit, so
+    prec is NULL there — stated, not silent).
+
+    Scale shape (100 TB): the corpus collapses to the (gold, pred)
+    confusion census in ONE map-side-partial groupBy (#langs² cells);
+    every metric derives from that tiny table — the row/column
+    marginals are sub-aggregates of the census, the join runs on
+    #langs rows. Exact integer counts; each metric is one rounded
+    division."""
+    cells = (
+        docs.select(
+            F.col("lang").alias("gold"),
+            lang_pred_col(F.col("text")).alias("pred"),
+        )
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    by_gold = cells.groupBy("gold").agg(
+        F.sum("n").cast("long").alias("n_gold"),
+        F.sum(F.when(F.col("pred") == F.col("gold"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    by_pred = cells.groupBy("pred").agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    out = (
+        by_gold.join(by_pred, by_gold.gold == by_pred.pred, "left")
+        .select(
+            F.col("gold").alias("lang"),
+            "n_gold",
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            "tp",
+            F.when(
+                F.coalesce(F.col("n_pred"), F.lit(0)) > 0,
+                F.round(
+                    F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+                    6,
+                ),
+            ).alias("prec"),
+            F.when(
+                F.col("n_gold") > 0,
+                F.round(
+                    F.col("tp").cast("double") / F.col("n_gold").cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+            F.when(
+                F.coalesce(F.col("n_pred"), F.lit(0)) + F.col("n_gold") > 0,
+                F.round(
+                    (F.lit(2) * F.col("tp")).cast("double")
+                    / (F.coalesce(F.col("n_pred"), F.lit(0)) + F.col("n_gold"))
+                    .cast("double"),
+                    6,
+                ),
+            ).alias("f1"),
+        )
+    )
+    out._cadastre_cached = [cells]
+    return out

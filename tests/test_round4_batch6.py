@@ -257,3 +257,87 @@ def test_linear_score_zero_boundary_is_false_and_bias_shifts(spark):
     assert r0.logit == 0.0 and r0.label is False
     r1 = linear_score(docs, weights, n_buckets=16, bias_u=1).collect()[0]
     assert r1.label is True
+
+
+# --------------------------------------------------- classifier_eval ----
+
+
+def _auc_ref(scores, gold):
+    """Tie-corrected Mann-Whitney AUC, single-process."""
+    import numpy as np
+
+    s = np.asarray(scores, dtype=float)
+    g = np.asarray(gold, dtype=bool)
+    pos, neg = s[g], s[~g]
+    if len(pos) == 0 or len(neg) == 0:
+        return None
+    conc = sum((p > neg).sum() for p in pos)
+    ties = sum((p == neg).sum() for p in pos)
+    return (conc + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_classifier_eval_matches_reference_with_ties(spark):
+    from cadastre_pg_spark.operators.stats import classifier_eval
+
+    rng = np.random.RandomState(11)
+    scores = np.round(rng.randint(0, 20, 300) / 10.0, 6)  # heavy ties
+    gold = (scores + rng.normal(0, 0.8, 300)) > 1.0
+    df = spark.createDataFrame(
+        [(float(s), bool(g)) for s, g in zip(scores, gold)],
+        "score double, gold boolean",
+    )
+    r = classifier_eval(df, "score", "gold", threshold=1.0, chunk=0.25).collect()[0]
+    assert r.n == 300
+    assert r.tp == int(((scores > 1.0) & gold).sum())
+    assert r.fp == int(((scores > 1.0) & ~gold).sum())
+    assert r.auc == pytest.approx(_auc_ref(scores, gold), abs=1e-6)
+    p = r.tp / (r.tp + r.fp)
+    assert r.prec == pytest.approx(p, abs=1e-6)
+    assert r.f1 == pytest.approx(2 * r.tp / (r.tp + r.fp + r.n_pos), abs=1e-6)
+
+
+def test_classifier_eval_chunking_is_lossless(spark):
+    from cadastre_pg_spark.operators.stats import classifier_eval
+
+    rng = np.random.RandomState(3)
+    rows = [(round(float(v), 6), bool(v > 0)) for v in rng.normal(0, 2, 200)]
+    df = spark.createDataFrame(rows, "score double, gold boolean")
+    a = classifier_eval(df, "score", "gold", chunk=0.1).collect()[0]
+    b = classifier_eval(df, "score", "gold", chunk=100.0).collect()[0]
+    assert a == b
+    assert a.auc == 1.0  # perfect separation by construction
+
+
+def test_classifier_eval_degenerate_single_class(spark):
+    from cadastre_pg_spark.operators.stats import classifier_eval
+
+    df = spark.createDataFrame(
+        [(float(i), True) for i in range(5)], "score double, gold boolean"
+    )
+    r = classifier_eval(df, "score", "gold", threshold=2.0).collect()[0]
+    assert r.n_neg == 0 and r.auc is None and r.recall == pytest.approx(0.4)
+
+
+# ---------------------------------------------------- lang_confusion ----
+
+
+def test_lang_confusion_hand_corpus(spark):
+    from cadastre_pg_spark.operators.textanalysis import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog of note"),   # -> en
+            (2, "en", "le chat la nuit et demain"),      # -> fr (miss)
+            (3, "fr", "le chat la nuit et demain"),      # -> fr
+            (4, "zh", "no keywords at all here"),        # -> und
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in lang_confusion(docs).collect()}
+    assert set(out) == {"en", "fr", "zh"}
+    assert out["en"].n_gold == 2 and out["en"].tp == 1 and out["en"].n_pred == 1
+    assert out["en"].prec == 1.0 and out["en"].recall == 0.5
+    assert out["fr"].n_pred == 2 and out["fr"].prec == 0.5 and out["fr"].recall == 1.0
+    # zh can never be predicted: n_pred 0, prec NULL (stated), recall 0
+    assert out["zh"].n_pred == 0 and out["zh"].prec is None
+    assert out["zh"].recall == 0.0 and out["zh"].f1 == 0.0
