@@ -3179,6 +3179,19 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_docs(spark, sf_dir))
 
 
+BPE_K = 3
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer TRAINING: the first 3 BPE merges learned from the
+    corpus word vocabulary (Sennrich pair-census argmax, greedy
+    left-to-right application via the order-free run-parity rule).
+    The oracle unrolls the identical rounds with the same windows."""
+    from cadastre_pg_spark.operators.textanalysis import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), k=BPE_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -3377,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_score": q_linear_score,
         "classifier_eval": q_classifier_eval,
         "lang_confusion": q_lang_confusion,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -5485,6 +5499,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS f1
             FROM bg LEFT JOIN bp ON bp.pred = bg.gold
         """,
+        "bpe_merges": _bpe_merges_sql_oracle(k=BPE_K),
     }
 
 
@@ -8185,6 +8200,70 @@ def _snm_sql_oracle(window: int, prefix_len: int) -> str:
         JOIN toks ta ON ta.doc_id = p.doc_a
         JOIN toks tb ON tb.doc_id = p.doc_b
     """
+
+
+def _bpe_merges_sql_oracle(k: int = 3) -> str:
+    """Unrolled replay of textanalysis.bpe_merges: per round the
+    weighted pair census, the (n DESC, lhs, rhs) argmax via LIMIT 1,
+    occurrence run detection by row-number difference, the odd-k
+    run-parity survivor filter, and the consumed-row drop — windows
+    identical to the engine's."""
+    ctes = r"""
+        WITH wc AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents) GROUP BY word
+        ),
+        s0 AS (
+          SELECT word, cnt,
+                 CAST(unnest(range(1, length(word) + 1)) AS BIGINT) AS pos
+          FROM wc
+        ),
+        t0 AS (
+          SELECT word, cnt, pos,
+                 substring(word, CAST(pos AS INT), 1) AS sym
+          FROM s0
+        )"""
+    for r in range(1, k + 1):
+        ctes += f""",
+        pr{r} AS (
+          SELECT word, cnt, pos, sym,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+          FROM t{r - 1}
+        ),
+        m{r} AS (
+          SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS n
+          FROM pr{r} WHERE nxt IS NOT NULL
+          GROUP BY sym, nxt ORDER BY n DESC, a ASC, b ASC LIMIT 1
+        ),
+        occ{r} AS (
+          SELECT p.word, p.rn,
+                 row_number() OVER (PARTITION BY p.word ORDER BY p.rn) AS orn
+          FROM pr{r} p, m{r} m WHERE p.sym = m.a AND p.nxt = m.b
+        ),
+        keep{r} AS (
+          SELECT word, rn FROM (
+            SELECT word, rn,
+                   row_number() OVER (
+                     PARTITION BY word, rn - orn ORDER BY rn) AS kk
+            FROM occ{r})
+          WHERE kk % 2 = 1
+        ),
+        t{r} AS (
+          SELECT p.word, p.cnt, p.pos,
+                 CASE WHEN kp.rn IS NOT NULL THEN p.sym || p.nxt
+                      ELSE p.sym END AS sym
+          FROM pr{r} p
+          LEFT JOIN keep{r} kp ON kp.word = p.word AND kp.rn = p.rn
+          LEFT JOIN keep{r} kc ON kc.word = p.word AND kc.rn = p.rn - 1
+          WHERE kc.rn IS NULL
+        )"""
+    finals = "\n          UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, a AS lhs, b AS rhs, n FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return ctes + f"\n        {finals}"
 
 
 def _hits_sql_oracle() -> str:

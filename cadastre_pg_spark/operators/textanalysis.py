@@ -1358,3 +1358,130 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
     )
     out._cadastre_cached = [cells]
     return out
+
+
+def bpe_merges(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Learn the first `k` BPE merges from the corpus — tokenizer
+    TRAINING as a distributed operator (bpe_token_count only APPLIES a
+    fixed segmenter; this derives the merge table a tokenizer build
+    starts from). Classic Sennrich BPE on the word vocabulary: words
+    split to character symbols, each round merges the globally most
+    frequent adjacent symbol pair (count weighted by word frequency;
+    ties -> lexicographically smallest (lhs, rhs)), applied greedily
+    left-to-right within each word. Returns the merge table
+    (rnd, lhs, rhs, n) — k rows.
+
+    Greedy left-to-right application is made ORDER-FREE by the run-
+    parity rule: overlapping occurrences exist only when lhs == rhs
+    (an occurrence at sequence position i overlaps one at i+1 only if
+    the pair is (x, x)), so within each maximal run of row-adjacent
+    occurrences exactly the 1st, 3rd, 5th ... survive — a window
+    expression, not a sequential scan, and the DuckDB twin replays it
+    with identical windows.
+
+    Scale shape (100 TB): the corpus is touched ONCE (the word-count
+    census, map-side partial agg; the exchange carries (word, count)
+    partials — the vocabulary, not token occurrences). Every round
+    then runs over the symbol table (vocab_size x avg_word_len rows):
+    one pair census (partial-agg), one TakeOrdered(1) argmax whose
+    single row CROSS-JOINS back in as a broadcast (no driver
+    round-trip in the plan), and word-partitioned windows (bounded by
+    word length) for the merge application. localCheckpoint truncates
+    per-round lineage like every iterative operator here."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("bpe_merges: k must be >= 1")
+    wc = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stream = wc.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    ).select(
+        "word",
+        "cnt",
+        "pos",
+        F.substring(F.col("word"), F.col("pos"), 1).alias("sym"),
+    )
+    stream = stream.localCheckpoint(eager=True)
+    cached = [stream]
+    w_seq = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for rnd in range(1, k + 1):
+        pr = stream.select(
+            "word",
+            "cnt",
+            "pos",
+            "sym",
+            F.lead("sym").over(w_seq).alias("nxt"),
+            F.row_number().over(w_seq).alias("rn"),
+        )
+        m = (
+            pr.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("a"), F.col("nxt").alias("b"), "n"
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached.append(m)
+        merges.append(m.select(F.lit(rnd).cast("long").alias("rnd"),
+                               F.col("a").alias("lhs"),
+                               F.col("b").alias("rhs"), "n"))
+        j = pr.crossJoin(F.broadcast(m))
+        occ = j.where((F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")))
+        w_occ = Window.partitionBy("word").orderBy("rn")
+        runs = occ.withColumn("grp", F.col("rn") - F.row_number().over(w_occ))
+        w_run = Window.partitionBy("word", "grp").orderBy("rn")
+        keep = (
+            runs.withColumn("kk", F.row_number().over(w_run))
+            .where(F.pmod(F.col("kk"), F.lit(2)) == 1)
+            .select("word", F.col("rn").alias("keep_rn"))
+        )
+        nxt_stream = (
+            j.join(
+                keep.select(F.col("word").alias("kw"), "keep_rn"),
+                (F.col("word") == F.col("kw"))
+                & (F.col("rn") == F.col("keep_rn")),
+                "left",
+            )
+            .join(
+                keep.select(
+                    F.col("word").alias("cw"), F.col("keep_rn").alias("crn")
+                ),
+                (F.col("word") == F.col("cw"))
+                & (F.col("rn") == F.col("crn") + 1),
+                "left",
+            )
+            .where(F.col("crn").isNull())  # drop consumed rows
+            .select(
+                "word",
+                "cnt",
+                "pos",
+                F.when(
+                    F.col("keep_rn").isNotNull(),
+                    F.concat(F.col("sym"), F.col("nxt")),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cached.append(nxt_stream)
+        stream = nxt_stream
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    out._cadastre_cached = cached
+    return out

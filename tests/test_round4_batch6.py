@@ -341,3 +341,82 @@ def test_lang_confusion_hand_corpus(spark):
     # zh can never be predicted: n_pred 0, prec NULL (stated), recall 0
     assert out["zh"].n_pred == 0 and out["zh"].prec is None
     assert out["zh"].recall == 0.0 and out["zh"].f1 == 0.0
+
+
+# -------------------------------------------------------- bpe_merges ----
+
+
+def _bpe_ref(word_counts, k):
+    """Single-process Sennrich BPE reference with greedy left-to-right
+    merge application and (count desc, lhs, rhs) tie rule."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_matches_reference(spark):
+    from cadastre_pg_spark.operators.textanalysis import bpe_merges
+
+    rng = np.random.RandomState(5)
+    words = ["low", "lower", "lowest", "newer", "newest", "wider", "new"]
+    corpus = [words[i] for i in rng.randint(0, len(words), 400)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(corpus[i * 40 : (i + 1) * 40])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.lhs, r.rhs, r.n)
+        for r in bpe_merges(docs, k=5).orderBy("rnd").collect()
+    ]
+    wc = {}
+    for w in corpus:
+        wc[w] = wc.get(w, 0) + 1
+    assert got == _bpe_ref(wc, 5)
+
+
+def test_bpe_merges_run_parity_on_repeats(spark):
+    from cadastre_pg_spark.operators.textanalysis import bpe_merges
+
+    # 'aaaa' x3 + 'aaa': pairs (a,a) count 3*3 + 2 = 11; greedy
+    # left-to-right turns aaaa -> (aa)(aa), aaa -> (aa)a
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaa")], "doc_id long, text string"
+    )
+    out = bpe_merges(docs, k=2).orderBy("rnd").collect()
+    assert (out[0].lhs, out[0].rhs, out[0].n) == ("a", "a", 11)
+    # round 2 operates on [aa, aa] and [aa, a]: (aa,aa) count 3,
+    # (aa,a) count 1 -> merge (aa,aa)
+    assert (out[1].lhs, out[1].rhs, out[1].n) == ("aa", "aa", 3)
+    ref = _bpe_ref({"aaaa": 3, "aaa": 1}, 2)
+    assert [(r.lhs, r.rhs, r.n) for r in out] == ref
+
+
+def test_bpe_merges_rejects_zero_k(spark):
+    from cadastre_pg_spark.operators.textanalysis import bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_merges(docs, k=0)
