@@ -3179,6 +3179,22 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_docs(spark, sf_dir))
 
 
+CURRICULUM_CUTS = [150.0, 300.0, 600.0]
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Difficulty-stratified deterministic training order: n_chars
+    buckets from explicit cuts, within-bucket md5-hash shuffle over
+    (bucket, shard) partitions, round-robin interleave rank by pure
+    arithmetic — no global sort anywhere."""
+    from cadastre_pg_spark.operators.corpus import curriculum_order
+
+    return curriculum_order(
+        _docs(spark, sf_dir), "n_chars", CURRICULUM_CUTS, n_shards=16,
+        hash_fn="md5",
+    )
+
+
 BPE_K = 3
 
 
@@ -3391,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": q_classifier_eval,
         "lang_confusion": q_lang_confusion,
         "bpe_merges": q_bpe_merges,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -5500,6 +5517,32 @@ def oracle_sql() -> dict[str, str]:
             FROM bg LEFT JOIN bp ON bp.pred = bg.gold
         """,
         "bpe_merges": _bpe_merges_sql_oracle(k=BPE_K),
+        # curriculum order: explicit-cut buckets, md5 within-bucket
+        # shuffle, (bucket, shard)-partitioned positions, arithmetic
+        # round-robin rank — same formula as the engine
+        "curriculum_order": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST({" + ".join(
+                         f"(CASE WHEN n_chars >= CAST('{c!r}' AS DOUBLE)"
+                         f" THEN 1 ELSE 0 END)"
+                         for c in CURRICULUM_CUTS)} AS BIGINT) AS bucket,
+                     {_hex32_sql("md5('cu:' || CAST(doc_id AS VARCHAR))")}
+                       AS h
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, bucket, h, h % 16 AS shard,
+                     CAST(row_number() OVER (
+                       PARTITION BY bucket, h % 16
+                       ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+              FROM b
+            )
+            SELECT doc_id, bucket, shard, pos,
+                   ((pos - 1) * 16 + shard) * {len(CURRICULUM_CUTS) + 1}
+                     + bucket AS rank
+            FROM p
+        """,
     }
 
 

@@ -1312,3 +1312,64 @@ def url_filter(
         (~(bad_ext | bad_depth | bad_query)).alias("keep"),
         reason.alias("reason"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    cuts: list[float],
+    n_shards: int = 16,
+    salt: str = "cu:",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Curriculum training order: documents are stratified into
+    difficulty buckets by explicit `cuts` (boundaries from a prior
+    profile run, e.g. hist_quantile — bucket b = # cuts <= score,
+    half-open [cut, next)), shuffled WITHIN each bucket by
+    deterministic hash, and interleaved round-robin across buckets so
+    a training loader reading in `rank` order sees a difficulty mix
+    that cycles easy->hard at every step instead of blocks. Returns
+    (doc_id, bucket, shard, pos, rank); rank is a SPARSE total order
+    (gaps where a (bucket, shard) runs out of docs are harmless to a
+    rank-ordered reader).
+
+    rank = ((pos - 1) * n_shards + shard) * n_buckets + bucket — pure
+    arithmetic from per-partition positions, so NO global sort exists
+    anywhere.
+
+    Scale shape (100 TB): explicit cuts keep the plan shuffle-free up
+    to the one window exchange — no distribution scan, no percentile
+    barrier (deciles computed at corpus scale belong to a profiling
+    pass, not the ordering plan). The row_number window partitions by
+    (bucket, shard): n_buckets x n_shards bounded partitions, the
+    same executor-sort-budget argument as global_shuffle's shards."""
+    n_buckets = len(cuts) + 1
+    score = F.col(score_col)
+    bucket = sum(
+        (F.when(score >= F.lit(float(c)), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).cast("long")
+    h = _hash32(F.col("doc_id"), salt, hash_fn)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "bucket",
+            "shard",
+            "pos",
+            (
+                ((F.col("pos") - 1) * F.lit(n_shards) + F.col("shard"))
+                * F.lit(n_buckets)
+                + F.col("bucket")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )

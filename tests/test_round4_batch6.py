@@ -420,3 +420,45 @@ def test_bpe_merges_rejects_zero_k(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_merges(docs, k=0)
+
+
+# -------------------------------------------------- curriculum_order ----
+
+
+def test_curriculum_order_rank_is_a_total_interleave(spark):
+    from cadastre_pg_spark.operators.corpus import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(300)], "doc_id long, score double"
+    )
+    out = curriculum_order(docs, "score", [25.0, 50.0, 75.0], n_shards=4).collect()
+    assert len(out) == 300
+    # bucket assignment: # cuts <= score
+    for r in out:
+        score = r.doc_id % 100
+        assert r.bucket == sum(score >= c for c in (25, 50, 75))
+    # ranks are distinct (a valid total order)
+    ranks = [r.rank for r in out]
+    assert len(set(ranks)) == 300
+    # rank mod n_buckets recovers the bucket; rank interleaves buckets:
+    # consecutive ranks within one (shard,pos) cycle all 4 buckets
+    for r in out:
+        assert r.rank % 4 == r.bucket
+        assert (r.rank // 4) % 4 == r.shard
+        assert r.rank // 16 == r.pos - 1
+
+
+def test_curriculum_order_deterministic_and_dense_positions(spark):
+    from cadastre_pg_spark.operators.corpus import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(120)], "doc_id long, score double"
+    )
+    a = sorted(map(tuple, curriculum_order(docs, "score", [60.0], n_shards=3).collect()))
+    b = sorted(map(tuple, curriculum_order(docs.repartition(7), "score", [60.0], n_shards=3).collect()))
+    assert a == b
+    by_part = {}
+    for r in curriculum_order(docs, "score", [60.0], n_shards=3).collect():
+        by_part.setdefault((r.bucket, r.shard), []).append(r.pos)
+    for poss in by_part.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
