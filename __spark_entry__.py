@@ -3179,6 +3179,18 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_docs(spark, sf_dir))
 
 
+def q_scrub_spans(spark, sf_dir):
+    """Exact-substring dedup APPLY: rebuild every document with the
+    corpus-duplicated 8-token windows cut (md5 census mode); survivors
+    reassemble through codegen array ops, the oracle through
+    string_agg ORDER BY — sha-pinned output text."""
+    from cadastre_pg_spark.operators.dedup import scrub_spans
+
+    return scrub_spans(
+        _docs(spark, sf_dir), w=DUP_SPAN_W, min_count=2, hash_fn="md5"
+    )
+
+
 CURRICULUM_CUTS = [150.0, 300.0, 600.0]
 
 
@@ -3408,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "bpe_merges": q_bpe_merges,
         "curriculum_order": q_curriculum_order,
+        "scrub_spans": q_scrub_spans,
     }
 
 
@@ -5543,6 +5556,7 @@ def oracle_sql() -> dict[str, str]:
                      + bucket AS rank
             FROM p
         """,
+        "scrub_spans": _scrub_spans_sql_oracle(w=DUP_SPAN_W, min_count=2),
     }
 
 
@@ -8242,6 +8256,64 @@ def _snm_sql_oracle(window: int, prefix_len: int) -> str:
         FROM pairs p
         JOIN toks ta ON ta.doc_id = p.doc_a
         JOIN toks tb ON tb.doc_id = p.doc_b
+    """
+
+
+def _scrub_spans_sql_oracle(w: int, min_count: int) -> str:
+    """Replay of dedup.scrub_spans: the dup_spans window census, the
+    exploded covered-position set, the anti-join cut, and the ordered
+    string_agg rebuild with the same sha256 pin."""
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        hs AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(
+                     [array_to_string(t[i+1:i+{w}], ' ')
+                      for i in range(0, greatest(len(t) - {w - 1}, 0))],
+                     s -> md5(s)),
+                   m -> {_hex32_sql('m')}) AS hs
+          FROM tok
+        ),
+        wins AS (
+          SELECT doc_id,
+                 unnest([i for i in range(0, len(hs))]) AS pos,
+                 unnest(hs) AS h
+          FROM hs
+        ),
+        census AS (
+          SELECT h FROM wins GROUP BY h HAVING count(*) >= {min_count}
+        ),
+        dup AS (SELECT doc_id, pos FROM wins JOIN census USING (h)),
+        cov0 AS (
+          SELECT doc_id, unnest(range(pos, pos + {w})) AS tpos FROM dup
+        ),
+        cov AS (SELECT DISTINCT doc_id, CAST(tpos AS BIGINT) AS tpos FROM cov0),
+        tokrows AS (
+          SELECT doc_id, CAST(unnest(range(0, len(t))) AS BIGINT) AS tpos,
+                 unnest(t) AS tok
+          FROM tok
+        ),
+        surv AS (
+          SELECT tr.doc_id, tr.tpos, tr.tok
+          FROM tokrows tr
+          LEFT JOIN cov c ON c.doc_id = tr.doc_id AND c.tpos = tr.tpos
+          WHERE c.tpos IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                 string_agg(tok, ' ' ORDER BY tpos) AS text_scrubbed
+          FROM surv GROUP BY doc_id
+        )
+        SELECT tok.doc_id AS doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               COALESCE(text_scrubbed, '') AS text_scrubbed,
+               sha256(COALESCE(text_scrubbed, '')) AS scrub_sha
+        FROM tok LEFT JOIN agg USING (doc_id)
     """
 
 

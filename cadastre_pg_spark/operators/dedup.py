@@ -1648,3 +1648,70 @@ def sorted_neighborhood(
             ).alias("jaccard"),
         )
     )
+
+
+def scrub_spans(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup APPLY (the cut step of Lee et al.):
+    every token covered by ANY corpus-duplicated W-token window is
+    removed and the document is rebuilt from the survivors —
+    dup_span_stats reports what a scrub would cut; this op cuts it.
+    Returns (doc_id, n_tokens, kept_tokens, text_scrubbed, scrub_sha);
+    a fully-duplicated doc scrubs to the empty string (its sha is the
+    empty-string sha — a downstream exact_dedup collapses those).
+
+    Scale shape (100 TB): the rebuild necessarily touches every token,
+    but only as NARROW rows — (doc_id, tpos, tok) from posexplode; the
+    covered-position set explodes w rows per duplicated window (dup
+    windows are a small fraction of the corpus) and prunes via a
+    LEFT ANTI join on (doc_id, tpos). Reassembly is per-doc bounded:
+    sort_array over (tpos, tok) structs + array-level field extraction
+    + array_join — all codegen, no interpreted HOF lambda. The DuckDB
+    twin replays the identical cut with string_agg(... ORDER BY tpos).
+    """
+    dup = repeated_windows(docs, w, min_count, hash_fn, text_col)
+    cov = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "tpos", "tok"
+        ),
+    ).select(
+        "doc_id", F.col("tpos").cast("long").alias("tpos"), "tok"
+    )
+    surv = toks.join(cov, ["doc_id", "tpos"], "left_anti")
+    scrubbed = F.array_join(
+        F.sort_array(F.collect_list(F.struct("tpos", "tok"))).getField("tok"),
+        " ",
+    )
+    agg = surv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        scrubbed.alias("text_scrubbed"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.coalesce(F.col("text_scrubbed"), F.lit("")).alias("text_scrubbed"),
+        F.sha2(F.coalesce(F.col("text_scrubbed"), F.lit("")), 256).alias(
+            "scrub_sha"
+        ),
+    )

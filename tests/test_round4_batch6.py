@@ -462,3 +462,54 @@ def test_curriculum_order_deterministic_and_dense_positions(spark):
         by_part.setdefault((r.bucket, r.shard), []).append(r.pos)
     for poss in by_part.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+# ------------------------------------------------------- scrub_spans ----
+
+
+def test_scrub_spans_cuts_exactly_the_covered_tokens(spark):
+    from cadastre_pg_spark.operators.dedup import scrub_spans
+
+    # the repeated 4-token window "x1 x2 x3 x4" appears in docs 1 and
+    # 2; everything else is unique
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x1 x2 x3 x4 c d"),
+            (2, "e x1 x2 x3 x4 f"),
+            (3, "g h i j k l"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_spans(docs, w=4, min_count=2).collect()}
+    assert out[1].text_scrubbed == "a b c d"
+    assert out[1].kept_tokens == 4 and out[1].n_tokens == 8
+    assert out[2].text_scrubbed == "e f"
+    assert out[3].text_scrubbed == "g h i j k l"
+    import hashlib
+
+    assert out[2].scrub_sha == hashlib.sha256(b"e f").hexdigest()
+
+
+def test_scrub_spans_fully_duplicated_doc_empties(spark):
+    from cadastre_pg_spark.operators.dedup import scrub_spans
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in scrub_spans(docs, w=4, min_count=2).collect()}
+    for i in (1, 2):
+        assert out[i].kept_tokens == 0 and out[i].text_scrubbed == ""
+
+
+def test_scrub_spans_overlapping_windows_merge(spark):
+    from cadastre_pg_spark.operators.dedup import scrub_spans
+
+    # "x1..x5" shared: windows at pos 0 and 1 (w=4) overlap; the cut
+    # is the union, not double-counted
+    docs = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 x5 tail1"), (2, "x1 x2 x3 x4 x5 tail2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_spans(docs, w=4, min_count=2).collect()}
+    assert out[1].text_scrubbed == "tail1"
+    assert out[1].kept_tokens == 1
