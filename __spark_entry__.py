@@ -3179,6 +3179,18 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_docs(spark, sf_dir))
 
 
+HEAPS_BUCKETS = 20
+
+
+def q_heaps_law(spark, sf_dir):
+    """Vocabulary growth curve over 20 arrival-order buckets + the
+    Heaps exponent (OLS of micro-nat ln(vocab) on ln(tokens), the
+    zipf_fit quantization idiom) — the tokenizer-planning diagnostic."""
+    from cadastre_pg_spark.operators.textanalysis import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir), n_buckets=HEAPS_BUCKETS)
+
+
 def q_scrub_spans(spark, sf_dir):
     """Exact-substring dedup APPLY: rebuild every document with the
     corpus-duplicated 8-token windows cut (md5 census mode); survivors
@@ -3421,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "curriculum_order": q_curriculum_order,
         "scrub_spans": q_scrub_spans,
+        "heaps_law": q_heaps_law,
     }
 
 
@@ -5557,6 +5570,77 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "scrub_spans": _scrub_spans_sql_oracle(w=DUP_SPAN_W, min_count=2),
+        # Heaps' law: doc_id-range buckets, cumulative census windows
+        # (the engine runs the prefix on the driver — lossless), then
+        # the zipf_fit micro-nat OLS with ANSI-gated fit columns
+        "heaps_law": f"""
+            WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+            b AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+                     CAST(floor(CAST(doc_id * {HEAPS_BUCKETS} AS DOUBLE)
+                                / CAST(mx + 1 AS DOUBLE)) AS BIGINT)
+                       AS bucket
+              FROM documents, mx
+            ),
+            tb AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+                     CAST(sum(len(t)) AS BIGINT) AS toks
+              FROM b GROUP BY 1
+            ),
+            terms AS (SELECT bucket, unnest(t) AS term FROM b),
+            fv AS (SELECT term, min(bucket) AS fb FROM terms GROUP BY 1),
+            nv AS (
+              SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS nv
+              FROM fv GROUP BY 1
+            ),
+            curve AS (
+              SELECT tb.bucket,
+                     CAST(sum(docs) OVER w AS BIGINT) AS docs_cum,
+                     CAST(sum(toks) OVER w AS BIGINT) AS tokens_cum,
+                     CAST(sum(COALESCE(nv, 0)) OVER w AS BIGINT) AS vocab_cum
+              FROM tb LEFT JOIN nv USING (bucket)
+              WINDOW w AS (ORDER BY tb.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            q AS (
+              SELECT CAST(floor(ln(CAST(tokens_cum AS DOUBLE))
+                     * CAST('1e6' AS DOUBLE)) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(vocab_cum AS DOUBLE))
+                     * CAST('1e6' AS DOUBLE)) AS BIGINT) AS y
+              FROM curve WHERE tokens_cum > 0 AND vocab_cum > 0
+            ),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx,
+                     CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,
+                     CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy,
+                     CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS sxx
+              FROM q
+            )
+            SELECT bucket, docs_cum, tokens_cum, vocab_cum,
+                   CASE WHEN k >= 3 AND
+                     CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   THEN round(
+                     (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   END AS beta,
+                   CASE WHEN k >= 3 AND
+                     CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   THEN round(
+                     (CAST(sy AS DOUBLE)
+                      - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST('1e6' AS DOUBLE)), 6)
+                   END AS lnk
+            FROM curve CROSS JOIN a
+        """,
     }
 
 

@@ -1485,3 +1485,105 @@ def bpe_merges(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
         out = out.unionByName(mdf)
     out._cadastre_cached = cached
     return out
+
+
+def heaps_law(
+    docs: DataFrame, n_buckets: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary growth curve + Heaps' law exponent — the
+    tokenizer-planning diagnostic (how fast does the vocabulary grow
+    as the corpus grows; beta far from ~0.5 flags boilerplate or ID
+    spray). The corpus is cut into `n_buckets` doc_id-range buckets
+    (arrival order); per bucket the curve row is the CUMULATIVE
+    (docs, tokens, distinct vocabulary) up to that bucket, and the
+    fit is OLS of ln(vocab_cum) on ln(tokens_cum) over the curve
+    points: V = k * N^beta. Output (bucket, docs_cum, tokens_cum,
+    vocab_cum, beta, lnk) — fit columns repeated per row, NULL when
+    fewer than 3 usable points or a degenerate spread (stated, not
+    0/0: every division is gated for ANSI mode).
+
+    Numeric rule (the zipf_fit precedent): ln outputs on exact
+    integer inputs are floor-quantized to micro-nats (BIGINT), the
+    OLS sums are exact integer aggregates, and slope/intercept close
+    in fixed-order double arithmetic — bitwise-replayable in DuckDB.
+
+    Scale shape (100 TB): two corpus passes, both map-side-partial
+    groupBys (per-bucket token census; per-term min-bucket census —
+    the exchange carries vocabulary-sized partials). The cumulative
+    prefix runs on the DRIVER over n_buckets rows (scale-free, the
+    concurrency_profile pattern), and the fit aggregates <= n_buckets
+    points. No window ever touches corpus-sized data."""
+    spark = docs.sparkSession
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    bucket = F.floor(
+        (F.col("doc_id") * F.lit(n_buckets)).cast("double")
+        / (F.col("mx") + F.lit(1)).cast("double")
+    ).cast("long")
+    b = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id", toks.alias("t"), bucket.alias("bucket")
+    )
+    tb = {
+        r.bucket: (r.docs, r.toks)
+        for r in b.select(
+            "bucket", F.size("t").cast("long").alias("nt")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("nt").cast("long").alias("toks"),
+        )
+        .collect()
+    }
+    nv = {
+        r.fb: r.nv
+        for r in b.select("bucket", F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .collect()
+    }
+    dc = tc = vc = 0
+    rows = []
+    for bk in sorted(tb):
+        dc += tb[bk][0]
+        tc += tb[bk][1]
+        vc += nv.get(bk, 0)
+        rows.append((bk, dc, tc, vc))
+    curve = spark.createDataFrame(
+        rows, "bucket long, docs_cum long, tokens_cum long, vocab_cum long"
+    )
+    x = F.floor(
+        F.log(F.col("tokens_cum").cast("double")) * F.lit(1e6)
+    ).cast("long")
+    y = F.floor(
+        F.log(F.col("vocab_cum").cast("double")) * F.lit(1e6)
+    ).cast("long")
+    fit = (
+        curve.where((F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0))
+        .select(x.alias("x"), y.alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.coalesce(F.sum("x"), F.lit(0)).alias("sx"),
+            F.coalesce(F.sum("y"), F.lit(0)).alias("sy"),
+            F.coalesce(F.sum(F.col("x") * F.col("y")), F.lit(0)).alias("sxy"),
+            F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).alias("sxx"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = kd * sxxd - sxd * sxd
+    slope = (kd * sxyd - sxd * syd) / den
+    ok = (F.col("k") >= 3) & (den > 0)
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "bucket",
+        "docs_cum",
+        "tokens_cum",
+        "vocab_cum",
+        F.when(ok, F.round(slope, 6)).alias("beta"),
+        F.when(
+            ok, F.round((syd - slope * sxd) / (kd * F.lit(1e6)), 6)
+        ).alias("lnk"),
+    )

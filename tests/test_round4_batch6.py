@@ -513,3 +513,43 @@ def test_scrub_spans_overlapping_windows_merge(spark):
     out = {r.doc_id: r for r in scrub_spans(docs, w=4, min_count=2).collect()}
     assert out[1].text_scrubbed == "tail1"
     assert out[1].kept_tokens == 1
+
+
+# --------------------------------------------------------- heaps_law ----
+
+
+def test_heaps_law_curve_and_exponent(spark):
+    from cadastre_pg_spark.operators.textanalysis import heaps_law
+
+    # synthetic Heaps corpus: doc i contributes tokens 'w<j>' for j in
+    # [0, 10*(i+1)^0.5): vocab ~ i^0.5 while tokens ~ i^1.5, so
+    # V ~ N^(1/3) -> beta ~ 1/3
+    rows = []
+    for i in range(100):
+        hi = int(10 * ((i + 1) ** 0.5))
+        rows.append((i, " ".join(f"w{j}" for j in range(hi))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law(docs, n_buckets=10).orderBy("bucket").collect()
+    assert len(out) == 10
+    # cumulative columns are monotone, totals exact
+    assert [r.bucket for r in out] == list(range(10))
+    assert out[-1].docs_cum == 100
+    assert out[-1].tokens_cum == sum(int(10 * ((i + 1) ** 0.5)) for i in range(100))
+    assert out[-1].vocab_cum == int(10 * (100 ** 0.5))  # w0..w99 -> max hi
+    for a, b in zip(out, out[1:]):
+        assert b.tokens_cum >= a.tokens_cum and b.vocab_cum >= a.vocab_cum
+    # every row carries the same fit; beta ~ 0.5 by construction
+    betas = {r.beta for r in out}
+    assert len(betas) == 1
+    assert 0.25 < out[0].beta < 0.45
+
+
+def test_heaps_law_degenerate_fit_is_null(spark):
+    from cadastre_pg_spark.operators.textanalysis import heaps_law
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = heaps_law(docs, n_buckets=2).orderBy("bucket").collect()
+    assert len(out) == 2  # only 2 curve points -> k < 3 -> NULL fit
+    assert all(r.beta is None and r.lnk is None for r in out)
