@@ -273,3 +273,82 @@ def ahash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic fake pixel grid (h, w) in [0, 1): sha256 chain
+    over the payload hex, one uint8 per pixel. STAND-IN for a real
+    decoder (pillow/opencv absent)."""
+    need = w * h
+    out = bytearray()
+    seed = payload.hex().encode()
+    i = 0
+    while len(out) < need:
+        out += hashlib.sha256(seed + str(i).encode()).digest()
+        i += 1
+    return (
+        np.frombuffer(bytes(out[:need]), dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(h, w)
+        / 256.0
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    strict: bool = False,
+    decode_fn=None,
+) -> DataFrame:
+    """Image RESIZE plumbing: (media_id, payload, width, height) ->
+    (media_id, out_w, out_h, pixels array<double>) — nearest-neighbor
+    downsample to a fixed thumbnail grid, the normalization step ahead
+    of any visual feature extractor (aHash/pHash here consume exactly
+    this grid shape). Row-vectorized inside one mapInPandas batch;
+    `decode_fn(payload: bytes, w: int, h: int) -> 2D float array` is
+    the codec injection point (a pillow-equipped cluster drops its
+    real decoder into the tested batch shape); with decode_fn=None the
+    deterministic fake-pixel stub applies, or NotImplementedError in
+    strict mode.
+
+    Nearest-neighbor index math is integer-exact ((y_out * h) // out_h)
+    so the output is reproducible across any partitioning. Scale
+    shape: pure map stage, no shuffle; payload bytes never leave the
+    scan->Python hop, and the output row is out_w*out_h doubles
+    regardless of source resolution."""
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if decode_fn is None and strict:
+                raise NotImplementedError(
+                    "image decode requires pillow/opencv — not in this "
+                    "env; inject one via decode_fn"
+                )
+            fn = decode_fn if decode_fn is not None else _fake_pixels
+            grids = []
+            for p, w, h in zip(
+                pdf["payload"].values, pdf["width"].values, pdf["height"].values
+            ):
+                w, h = int(w), int(h)
+                img = np.asarray(fn(bytes(p), w, h), dtype=np.float64)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                grids.append(img[np.ix_(ys, xs)].ravel())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "out_w": np.full(len(pdf), out_w, dtype=np.int64),
+                    "out_h": np.full(len(pdf), out_h, dtype=np.int64),
+                    "pixels": grids,
+                }
+            )
+
+    imgs = media.filter(
+        F.col("kind") == "image"
+    ).select("media_id", "payload", "width", "height")
+    return imgs.mapInPandas(
+        gen, schema="media_id long, out_w long, out_h long, pixels array<double>"
+    )

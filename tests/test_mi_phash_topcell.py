@@ -146,3 +146,57 @@ def test_top_per_cell_rank_and_ties(spark):
         (r.cell, r.rank, r.doc_id) for r in top_per_cell(df, k=3).collect()
     )
     assert got == [(100, 1, 1), (100, 2, 2), (100, 3, 3), (200, 1, 5)]
+
+
+def test_resize_images_shape_determinism_and_injection(spark):
+    import numpy as np
+
+    from cadastre_pg_spark.operators.multimodal import (
+        generate_media,
+        resize_images,
+    )
+
+    media = generate_media(spark, 60)
+    out = resize_images(media, out_w=8, out_h=4).collect()
+    n_imgs = media.filter("kind = 'image'").count()
+    assert len(out) == n_imgs and n_imgs > 0
+    for r in out:
+        assert r.out_w == 8 and r.out_h == 4
+        assert len(r.pixels) == 32
+        assert all(0.0 <= p < 1.0 for p in r.pixels)
+    # deterministic across partitioning
+    again = resize_images(media.repartition(5), out_w=8, out_h=4).collect()
+    assert {r.media_id: tuple(r.pixels) for r in out} == {
+        r.media_id: tuple(r.pixels) for r in again
+    }
+    # codec injection point: a constant-gradient decoder resizes to
+    # the exact nearest-neighbor subsample of its grid
+    def fake(payload, w, h):
+        return np.arange(w * h, dtype=np.float64).reshape(h, w) / (w * h)
+
+    inj = resize_images(media, out_w=2, out_h=2, decode_fn=fake).collect()
+    r0 = inj[0]
+    meta = {
+        m.media_id: (m.width, m.height)
+        for m in media.filter("kind = 'image'").collect()
+    }
+    w, h = meta[r0.media_id]
+    grid = np.arange(w * h, dtype=np.float64).reshape(h, w) / (w * h)
+    ys, xs = (np.arange(2) * h) // 2, (np.arange(2) * w) // 2
+    assert list(grid[np.ix_(ys, xs)].ravel()) == list(r0.pixels)
+
+
+def test_resize_images_strict_mode_raises(spark):
+    import pytest as _pytest
+
+    from cadastre_pg_spark.operators.multimodal import (
+        generate_media,
+        resize_images,
+    )
+
+    media = generate_media(spark, 12)
+    with _pytest.raises(Exception) as ei:
+        resize_images(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
