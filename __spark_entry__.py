@@ -3232,6 +3232,369 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(_docs(spark, sf_dir), k=BPE_K)
 
 
+# ------------------------------------------------------------------ TPC-H
+# Adapted to the driver's trimmed schemas (no partsupp, no commit/
+# receipt dates, no shipmode/container):  q3 q5 q6 q7 q8 q10 q13 q14
+# q17 q18.  House rules: every money aggregate runs through
+# DECIMAL(18,2) (order-independent, engine-exact), ratios divide two
+# exact DOUBLEs (IEEE division is portable), top-k carries a full
+# tiebreak chain so the row SET is deterministic.  Tiny dims (nation,
+# region, supplier, filtered part) get an explicit broadcast; the
+# customer/orders/lineitem joins stay unhinted so AQE picks broadcast
+# at test SF and shuffle at cluster scale.
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rev_expr():
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return price * (F.lit(1).cast("decimal(18,2)") - disc)
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): top-10 undelivered orders by
+    decimal revenue for one market segment.  Filtered single-column
+    customer dim folds into the orders scan (AQE broadcasts it at any
+    realistic dim size); lineitem joins on l_orderkey; the top-k is a
+    TakeOrderedAndProject over exact decimal sums with (revenue,
+    o_orderdate, l_orderkey) as a total order."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1997-07-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-07-01")
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev_expr()).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    supplier and the customer share the nation, one region, one order
+    year.  nation+region+supplier are broadcast (tiny dims); the
+    fact-side joins shuffle on their keys."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): one tight scan-side
+    filter chain (all three predicates push to parquet) and a single
+    decimal sum — the canonical pushdown/codegen probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(F.sum(price * disc), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year.  Both nation sides resolve through broadcast
+    dims; the pair predicate keeps either direction."""
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev_expr()).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's revenue for one part type, by order year.  Share divides
+    two exact decimal sums AFTER casting each to double (IEEE double
+    division is engine-portable; decimal division scale is not), with
+    an ANSI-safe zero-denominator guard."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _rev_expr()
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    total_vol = F.sum(vol).cast("double")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(reg), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(nation_vol.alias("_nv"), total_vol.alias("_tv"))
+        .select(
+            "o_year",
+            F.when(F.col("_tv") != 0.0, F.col("_nv") / F.col("_tv")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): top-20 customers by
+    revenue lost to returns in one quarter.  Deterministic top-k:
+    exact decimal revenue desc, then c_custkey."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_expr()).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): left join so
+    zero-order customers count, then a second tiny aggregation over
+    the per-customer counts — two shuffles, both on shrinking data."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): promo share of one month's
+    revenue.  Both sums stay decimal to the end, the percentage is a
+    division of two exact doubles."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    vol = _rev_expr()
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    total = F.sum(vol).cast("double")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(promo.alias("_pv"), total.alias("_tv"))
+        .select(
+            F.when(F.col("_tv") != 0.0, F.lit(100.0) * F.col("_pv") / F.col("_tv"))
+            .alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one
+    brand below 20% of their part's average quantity.  The avg
+    comparison is integerized — quantities are exact integers, so
+    `qty < 0.2 * sum/cnt` becomes `5*qty*cnt < sum` in BIGINT (no
+    float division anywhere); per-part stats come from a self-agg
+    joined back on p_partkey."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty_i"),
+            "l_extendedprice",
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_key")).agg(
+        F.sum("qty_i").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp_key"))
+        .filter(F.lit(5) * F.col("qty_i") * F.col("cnt") < F.col("sq"))
+        .agg(
+            (
+                F.coalesce(F.sum(price), F.lit(0).cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds a threshold — a HAVING on an exact decimal sum, then two
+    enrichment joins and a deterministic top-100."""
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -3434,6 +3797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "scrub_spans": q_scrub_spans,
         "heaps_law": q_heaps_law,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
     }
 
 
@@ -5640,6 +6013,162 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(k AS DOUBLE) * CAST('1e6' AS DOUBLE)), 6)
                    END AS lnk
             FROM curve CROSS JOIN a
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))),
+                        CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem, orders, customer, supplier,
+                 nation n1, nation n2
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+        """,
+        "tpch_q8": """
+            WITH vols AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nv,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE) AS tv
+              FROM lineitem, part, orders, customer, supplier,
+                   nation n1, nation n2, region
+              WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY CAST(year(o_orderdate) AS BIGINT)
+            )
+            SELECT o_year,
+                   CASE WHEN tv <> 0.0 THEN nv / tv END AS mkt_share
+            FROM vols
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   c_acctbal, n_name
+            FROM lineitem, orders, customer, nation
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+                     c_custkey
+            LIMIT 20
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "tpch_q14": """
+            SELECT CASE WHEN tv <> 0.0 THEN 100.0 * pv / tv END AS promo_revenue
+            FROM (
+              SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS pv,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE) AS tv
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+            )
+        """,
+        "tpch_q17": """
+            WITH li AS (
+              SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty_i,
+                     l_extendedprice
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey AND p_brand = 'Brand#12'
+            ), stats AS (
+              SELECT l_partkey AS sp_key, sum(qty_i) AS sq,
+                     count(*) AS cnt
+              FROM li GROUP BY l_partkey
+            )
+            SELECT CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(18,2))),
+                        CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST('7.0' AS DOUBLE) AS avg_yearly
+            FROM li, stats
+            WHERE l_partkey = sp_key AND 5 * qty_i * cnt < sq
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+            FROM big, orders, customer
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
     }
 

@@ -224,6 +224,18 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "embedding_contamination",
     "spearman_corr",
+    # round-4 session-2 additions
+    "inverted_index",
+    "global_shuffle",
+    "cluster_split",
+    "hits",
+    "linear_score",
+    "classifier_eval",
+    "lang_confusion",
+    "bpe_merges",
+    "curriculum_order",
+    "scrub_spans",
+    "heaps_law",
 ]
 
 _CHILD = r"""
