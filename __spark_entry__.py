@@ -3595,6 +3595,186 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted: the reference's
+    lateness predicate l_commitdate < l_receiptdate has no commit/
+    receipt columns in the trimmed schema, so "late" becomes
+    l_shipdate > o_orderdate + 60 days.  EXISTS is a left-semi join
+    whose non-equi lateness predicate rides the orderkey equi join
+    (one shuffle on the key; the semi stops at the first match);
+    counts per priority class."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: no partsupp table, so
+    supply cost is proxied by p_retailprice — profit per lineitem is
+    extendedprice*(1-discount) - retailprice*quantity, every term
+    DECIMAL so the (nation, year) group sums are order-independent.
+    Name-filtered part, supplier and nation broadcast; the two fact
+    joins shuffle on their keys."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    profit = _rev_expr().cast("decimal(24,4)") - cost.cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): per-supplier quarter revenue, then
+    keep the max-revenue supplier(s).  The max is a one-row agg joined
+    back by a broadcast non-equi join (never a collect); equality is
+    on exact decimals, so spec-mandated ties all survive."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_expr()).alias("_rev"))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted: the container/shipmode
+    legs of the reference's three-way disjunction become p_size bands.
+    The OR of three (brand, size-band, quantity-band) predicate groups
+    stays one scan + one broadcast join — Catalyst pushes the common
+    p_partkey equi key and evaluates the disjunction post-join."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band1 | band2 | band3)
+        .agg(
+            F.coalesce(F.sum(_rev_expr()), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: no phone column,
+    so the country code IS c_nationkey.  The positive-balance average
+    over the candidate countries comes back as a one-row broadcast
+    cross join (ANSI-gated division — the filtered set could be
+    empty); customers above it with no URGENT orders drop through a
+    left-anti join that shuffles on custkey (orders is the big side —
+    broadcast would ship the fact table).  The reference predicate is
+    "no orders at all"; the synthetic order/customer ratio (~10:1)
+    makes that set empty, so the adaptation anti-joins the URGENT
+    slice — same plan shape, non-vacuous result."""
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(keys))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.when(
+                F.col("_n") > 0, F.col("_s") / F.col("_n").cast("double")
+            ).alias("_avg")
+        )
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -3807,6 +3987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
     }
 
 
@@ -6169,6 +6354,89 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   CAST(sum(
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(24,4))
+                     - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))
+                            AS DECIMAL(24,4))
+                   ) AS DOUBLE) AS sum_profit
+            FROM lineitem, part, supplier, orders, nation
+            WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+              AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM supplier, revenue
+            WHERE s_suppkey = supplier_no
+              AND total_rev = (SELECT max(total_rev) FROM revenue)
+        """,
+        "tpch_q19": """
+            SELECT CAST(COALESCE(sum(
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2))
+                        - CAST(l_discount AS DECIMAL(18,2)))),
+                   CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q22": """
+            WITH cust AS (
+              SELECT c_custkey, c_nationkey, c_acctbal
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ), avg_bal AS (
+              SELECT CASE WHEN count(*) > 0 THEN
+                       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) END AS a
+              FROM cust WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey AS cntrycode,
+                   count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS totacctbal
+            FROM cust, avg_bal
+            WHERE c_acctbal > a
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
     }
 
