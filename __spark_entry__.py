@@ -3595,6 +3595,25 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability per doc — quality-classifier
+    feature columns (see operators/textanalysis.py:readability)."""
+    from cadastre_pg_spark.operators.textanalysis import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def q_bq_topk(spark, sf_dir):
+    """Binary-quantized ANN: sign-bit masks (two 32-bit BIGINT halves),
+    xor/bit_count hamming prescreen, exact squared-L2 rerank over the
+    survivors (see operators/similarity.py:bq_topk). Queries = the
+    vec_id % 50 == 0 slice, matching the ann_topk/ivf_topk convention."""
+    from cadastre_pg_spark.operators.similarity import bq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return bq_topk(emb, k=5, qmod=50, radius=24, cand=32)
+
+
 def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 (order priority checking), adapted: the reference's
     lateness predicate l_commitdate < l_receiptdate has no commit/
@@ -3987,6 +4006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "readability": q_readability,
+        "bq_topk": q_bq_topk,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5378,6 +5399,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": TA.quality_score_sql("documents"),
         "lang_id": TA.lang_id_sql("documents"),
+        "readability": TA.readability_sql("documents"),
+        "bq_topk": _bq_topk_sql_oracle(),
         "repetition_scores": TA.repetition_scores_sql("documents"),
         "group_hull": _group_hull_sql_oracle(),
         "hull_area": f"""
@@ -6722,6 +6745,64 @@ def _ivf_topk_sql_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str
         SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _bq_topk_sql_oracle(
+    k: int = 5, qmod: int = 50, radius: int = 24, cand: int = 32
+) -> str:
+    """Full independent replay of similarity.bq_topk in DuckDB SQL.
+    Sign packing (bit i set iff component > 0; two 32-bit BIGINT
+    halves so no value needs long bit 63), xor/bit_count hamming, the
+    top-`cand` prescreen window on (hamming, vec_id), the exact
+    squared-L2 rerank rounded to 6 decimals (list_sum comprehension =
+    the proven ivf_topk float recipe), and the final (dist6, vec_id)
+    top-k window are all SQL-expressible."""
+
+    def half(base: int) -> str:
+        return "CAST(" + " + ".join(
+            f"(CASE WHEN v[{base + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        ) + " AS BIGINT)"
+
+    sq = (
+        "round(list_sum([ (qe.v[i+1]-ne.v[i+1])*(qe.v[i+1]-ne.v[i+1])"
+        " for i in range(0, len(qe.v)) ]), 6)"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        m AS (
+          SELECT vec_id, {half(0)} AS lo, {half(32)} AS hi FROM e
+        ),
+        q AS (
+          SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi
+          FROM m WHERE vec_id % {qmod} = 0
+        ),
+        pairs AS (
+          SELECT q.q_id, m.vec_id,
+                 CAST(bit_count(xor(m.lo, q.q_lo))
+                      + bit_count(xor(m.hi, q.q_hi)) AS BIGINT) AS hamming
+          FROM m CROSS JOIN q
+          WHERE m.vec_id <> q.q_id
+        ),
+        cands AS (
+          SELECT q_id, vec_id, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY hamming ASC, vec_id ASC) AS rn
+            FROM pairs WHERE hamming <= {radius}) WHERE rn <= {cand}
+        ),
+        scored AS (
+          SELECT c.q_id, c.vec_id, c.hamming, {sq} AS dist6
+          FROM cands c
+          JOIN e qe ON qe.vec_id = c.q_id
+          JOIN e ne ON ne.vec_id = c.vec_id
+        )
+        SELECT q_id, vec_id, hamming, dist6, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY dist6 ASC, vec_id ASC) AS rank FROM scored)
         WHERE rank <= {k}
     """
 

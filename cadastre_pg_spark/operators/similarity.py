@@ -1092,3 +1092,157 @@ def embedding_contamination(
             "contaminated", F.col("max_cosine") >= F.lit(float(threshold))
         )
     )
+
+
+def bq_sign_masks(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Binary (sign) quantization of a 64-dim embedding column into two
+    32-bit halves -> (vec_id, lo, hi): bit i of the packed code is set
+    iff component i > 0.  Split halves keep every value < 2^32 so the
+    BIGINT arithmetic is identical in Spark, NumPy and the DuckDB
+    oracle (a single 64-bit word would need bit 63 = a negative long).
+
+    One zero-copy mapInArrow pass (ListArray values/offsets straight
+    into a (n, d) float view — the playbook fast path; pandas would box
+    every element), no shuffle: 32 bytes/vector in, 24 bytes out, the
+    compression stage RaBitQ-style binary ANN indexes store at scale.
+    """
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            lst = batch.column(vec_col)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = lst.values.to_numpy(zero_copy_only=False)
+            n = len(ids)
+            if n == 0:
+                continue
+            d = int(offs[1] - offs[0])
+            if d != 64:
+                raise ValueError(f"bq_sign_masks expects 64 dims, got {d}")
+            bits = (vals.reshape(n, d) > 0).astype(np.int64)
+            w = 1 << np.arange(32, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.array(bits[:, :32] @ w, pa.int64()),
+                    pa.array(bits[:, 32:] @ w, pa.int64()),
+                ],
+                names=["vec_id", "lo", "hi"],
+            )
+
+    return embs.select("vec_id", vec_col).mapInArrow(
+        gen, schema="vec_id long, lo long, hi long"
+    )
+
+
+def bq_topk(
+    embs: DataFrame,
+    k: int = 5,
+    qmod: int = 50,
+    radius: int = 24,
+    cand: int = 32,
+) -> DataFrame:
+    """Binary-quantized top-k: hamming prescreen over sign masks, exact
+    rerank over the survivors — the modern bandwidth-first ANN shape
+    (RaBitQ / BQ in FAISS terms; sibling of ann_topk's hyperplane LSH
+    and ivf_topk's coarse quantizer).
+
+    Queries are the deterministic vec_id % qmod == 0 slice.  Stages:
+      1. sign masks (bq_sign_masks): one arrow pass, no shuffle;
+         persisted once — both the query slice and the corpus side
+         read it (multi-pass playbook rule).
+      2. hamming prescreen: corpus masks x broadcast query masks,
+         bit_count(xor) on two BIGINT halves — pure whole-stage
+         codegen over 3 longs/row; `hamming <= radius` prunes the
+         grid before anything wide moves.  At 100 TB this is the only
+         full-corpus stage and it streams 24 bytes/vector.
+      3. top-`cand` per query by (hamming, vec_id) — a window over the
+         radius survivors only, never the corpus.
+      4. exact rerank: float64 squared-L2, arrays attached AFTER the
+         candidate set is fixed (narrow-pair-grid rule: the hamming
+         grid never carries arrays), einsum-free arrow pass, rounded
+         to 6 dp; final top-k by (dist6, vec_id).
+
+    Returns (q_id, vec_id, hamming, dist6, rank) — all scalars; the
+    DuckDB oracle replays sign packing, xor/bit_count hamming, both
+    windows and the rounded rerank exactly.
+    """
+    masks = bq_sign_masks(embs)
+    masks.persist()
+    q = (
+        masks.filter(F.pmod(F.col("vec_id"), F.lit(qmod)) == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("lo").alias("q_lo"),
+            F.col("hi").alias("q_hi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("long")
+    pairs = (
+        masks.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+    )
+    w_ham = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    cands = (
+        pairs.withColumn("_rn", F.row_number().over(w_ham))
+        .filter(F.col("_rn") <= cand)
+        .drop("_rn")
+    )
+    arrs = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    qarrs = arrs.filter(F.pmod(F.col("vec_id"), F.lit(qmod)) == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("_v").alias("_qv")
+    )
+    wide = (
+        arrs.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qarrs), "q_id")
+        .select("q_id", "vec_id", "hamming", "_qv", "_v")
+    )
+
+    def rerank(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {}
+            for name in ("_qv", "_v"):
+                lst = batch.column(name)
+                if isinstance(lst, pa.ChunkedArray):
+                    lst = lst.combine_chunks()
+                cols[name] = (
+                    lst.values.to_numpy(zero_copy_only=False).reshape(n, -1)
+                )
+            diff = cols["_qv"] - cols["_v"]
+            dist6 = np.round((diff * diff).sum(axis=1), 6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("q_id"),
+                    batch.column("vec_id"),
+                    batch.column("hamming"),
+                    pa.array(dist6, pa.float64()),
+                ],
+                names=["q_id", "vec_id", "hamming", "dist6"],
+            )
+
+    rr = wide.mapInArrow(
+        rerank, schema="q_id long, vec_id long, hamming long, dist6 double"
+    )
+    w_fin = Window.partitionBy("q_id").orderBy("dist6", "vec_id")
+    out = (
+        rr.withColumn("rank", F.row_number().over(w_fin).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    out._cadastre_cached = [masks]
+    return out

@@ -1587,3 +1587,80 @@ def heaps_law(
             ok, F.round((syd - slope * sxd) / (kd * F.lit(1e6)), 6)
         ).alias("lnk"),
     )
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document.
+
+    Classic readability features for data-quality classifiers (the
+    FineWeb-Edu-style signal family).  Syllables are approximated by
+    vowel-group runs ([aeiouy]+, the standard regex proxy), sentences
+    by terminal-punctuation runs, and both are floored at 1 so
+    headline-style fragments read as one sentence instead of being a
+    division hazard (ANSI).  All three counts are JVM `regexp_count`
+    (whole-stage codegen — single narrow map stage, no shuffle, no
+    Python; scales linearly with the scan), and the two rates are
+    single IEEE divisions, so the DuckDB oracle replays them exactly
+    via len(regexp_extract_all(...)) over the identical patterns
+    (shared Java/RE2 regex subset: character classes + greedy runs).
+
+    Reference lineage: extends the reference's per-row derived scalar
+    family (cadastre-pg/src/cli.rs:842-910) with the standard text-
+    quality derivations a web corpus needs.
+    """
+    text = F.col(text_col)
+    one = F.lit(1).cast("long")
+    n_words = F.greatest(
+        one, F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    )
+    n_sent = F.greatest(
+        one, F.regexp_count(text, F.lit(r"[.!?]+")).cast("long")
+    )
+    n_syll = F.greatest(
+        one, F.regexp_count(F.lower(text), F.lit("[aeiouy]+")).cast("long")
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        F.round(fk, 6).alias("fk_grade"),
+    )
+
+
+def readability_sql(table: str = "documents") -> str:
+    """Exact DuckDB twin of readability(): identical patterns, the
+    same greatest(1, ...) floors, the same left-associated constant
+    arithmetic (constants enter as CAST('...' AS DOUBLE) per the
+    oracle-parity house rule)."""
+    nw = (
+        "greatest(CAST(1 AS BIGINT), "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))"
+    )
+    ns = (
+        "greatest(CAST(1 AS BIGINT), "
+        "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))"
+    )
+    sy = (
+        "greatest(CAST(1 AS BIGINT), "
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT))"
+    )
+    wps = f"(CAST({nw} AS DOUBLE) / CAST({ns} AS DOUBLE))"
+    spw = f"(CAST({sy} AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    c = lambda v: f"CAST('{v}' AS DOUBLE)"  # noqa: E731
+    return f"""
+SELECT doc_id,
+  {nw} AS n_words,
+  {ns} AS n_sentences,
+  {sy} AS n_syllables,
+  round({c('206.835')} - {c('1.015')} * {wps} - {c('84.6')} * {spw}, 6)
+    AS flesch,
+  round({c('0.39')} * {wps} + {c('11.8')} * {spw} - {c('15.59')}, 6)
+    AS fk_grade
+FROM {table}
+"""

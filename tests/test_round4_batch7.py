@@ -1,0 +1,152 @@
+"""Round-4 batch 7: readability features and binary-quantized ANN."""
+
+import math
+
+import numpy as np
+import pytest
+
+# ------------------------------------------------------- readability ----
+
+
+def _py_readability(text: str):
+    import re
+
+    nw = max(1, len(re.split(r"\s+", text.strip())))
+    ns = max(1, len(re.findall(r"[.!?]+", text)))
+    sy = max(1, len(re.findall(r"[aeiouy]+", text.lower())))
+    wps = nw / ns
+    spw = sy / nw
+    return (
+        nw,
+        ns,
+        sy,
+        round(206.835 - 1.015 * wps - 84.6 * spw, 6),
+        round(0.39 * wps + 11.8 * spw - 15.59, 6),
+    )
+
+
+def test_readability_matches_python_reference(spark):
+    from cadastre_pg_spark.operators.textanalysis import readability
+
+    texts = [
+        "The cat sat on the mat. It was happy!",
+        "Antidisestablishmentarianism notwithstanding, proceed.",
+        "one two three",  # no terminal punctuation -> 1 sentence floor
+        "???",  # no words beyond the token itself, no vowels -> floors
+        "A b? C d! E f.",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in readability(docs).collect()}
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        nw, ns, sy, fl, fk = _py_readability(t)
+        r = out[i]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (nw, ns, sy), t
+        assert r.flesch == pytest.approx(fl, abs=1e-9)
+        assert r.fk_grade == pytest.approx(fk, abs=1e-9)
+
+
+def test_readability_simple_beats_dense_prose(spark):
+    from cadastre_pg_spark.operators.textanalysis import readability
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The dog ran. The cat sat. We all saw it."),
+            (
+                1,
+                "Notwithstanding extraordinary administrative "
+                "considerations, implementation methodologies "
+                "necessitate comprehensive organizational evaluation "
+                "frameworks continuously.",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability(docs).collect()}
+    assert out[0].flesch > out[1].flesch  # simple prose reads easier
+    assert out[0].fk_grade < out[1].fk_grade
+
+
+# ----------------------------------------------------------- bq ANN ----
+
+
+def _toy_embeddings(spark, n=120, d=64, seed=7):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, mat
+
+
+def test_bq_sign_masks_pack_numpy_parity(spark):
+    from cadastre_pg_spark.operators.similarity import bq_sign_masks
+
+    df, mat = _toy_embeddings(spark)
+    got = {r.vec_id: (r.lo, r.hi) for r in bq_sign_masks(df).collect()}
+    bits = (mat > 0).astype(np.int64)
+    w = 1 << np.arange(32, dtype=np.int64)
+    for i in range(mat.shape[0]):
+        assert got[i] == (int(bits[i, :32] @ w), int(bits[i, 32:] @ w))
+    # every packed half fits in 32 bits (the BIGINT-parity invariant)
+    assert all(0 <= v < (1 << 32) for pair in got.values() for v in pair)
+
+
+def test_bq_sign_masks_rejects_wrong_dim(spark):
+    from cadastre_pg_spark.operators.similarity import bq_sign_masks
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="64 dims"):
+        bq_sign_masks(df).collect()
+
+
+def _brute_bq(mat, k, qmod, radius, cand):
+    """Single-process NumPy oracle of bq_topk (the kernel invariant:
+    distributed == kernel)."""
+    n, d = mat.shape
+    bits = (mat > 0).astype(np.int8)
+    exp = []
+    for q in range(0, n, qmod):
+        ham = (bits ^ bits[q]).sum(axis=1)
+        cands = [
+            (int(ham[j]), j) for j in range(n) if j != q and ham[j] <= radius
+        ]
+        cands.sort()
+        cands = cands[:cand]
+        rer = []
+        for h, j in cands:
+            diff = mat[q].astype(np.float64) - mat[j].astype(np.float64)
+            rer.append((round(float((diff * diff).sum()), 6), j, h))
+        rer.sort()
+        for rank, (d6, j, h) in enumerate(rer[:k], start=1):
+            exp.append((q, j, h, d6, rank))
+    return exp
+
+
+def test_bq_topk_matches_brute_force(spark):
+    from cadastre_pg_spark.operators.similarity import bq_topk
+
+    df, mat = _toy_embeddings(spark, n=120)
+    # radius 40 keeps the candidate sets non-trivial on iid gaussian
+    # vectors (hamming concentrates near 32)
+    out = bq_topk(df, k=3, qmod=30, radius=40, cand=16).collect()
+    got = sorted(
+        (r.q_id, r.vec_id, r.hamming, r.dist6, r.rank) for r in out
+    )
+    exp = sorted(_brute_bq(mat, k=3, qmod=30, radius=40, cand=16))
+    assert [g[:3] + (g[4],) for g in got] == [
+        e[:3] + (e[4],) for e in exp
+    ]
+    for g, e in zip(got, exp):
+        assert math.isclose(g[3], e[3], abs_tol=1e-9)
+
+
+def test_bq_topk_radius_prunes(spark):
+    from cadastre_pg_spark.operators.similarity import bq_topk
+
+    df, mat = _toy_embeddings(spark, n=80)
+    # radius 0 keeps only exact sign-mask twins; iid gaussians have none
+    assert bq_topk(df, k=3, qmod=20, radius=0).count() == 0
