@@ -3179,6 +3179,42 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_docs(spark, sf_dir))
 
 
+ECE_BINS = 10
+ECE_UNIT = 10**9
+
+
+def q_calibration_ece(spark, sf_dir):
+    """Reliability diagram + ECE of the composite quality score
+    against the (lang == 'en') gold — the SCORE-trust companion of
+    classifier_eval's AUC (see operators/stats.py:calibration_ece)."""
+    from cadastre_pg_spark.operators.stats import calibration_ece
+    from cadastre_pg_spark.operators.textanalysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        quality_score(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("gold", F.col("lang") == F.lit("en"))
+    )
+    return calibration_ece(
+        scored, "quality", "gold", n_bins=ECE_BINS, unit=ECE_UNIT
+    )
+
+
+def q_cohen_kappa(spark, sf_dir):
+    """Chance-corrected agreement of the lang-ID heuristic with the
+    gold lang column — the scalar summary of lang_confusion's matrix
+    (see operators/stats.py:cohen_kappa)."""
+    from cadastre_pg_spark.operators.stats import cohen_kappa
+    from cadastre_pg_spark.operators.textanalysis import lang_pred_col
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select(
+        F.col("lang").alias("gold"), lang_pred_col(F.col("text")).alias("pred")
+    )
+    return cohen_kappa(labeled, "gold", "pred")
+
+
 HEAPS_BUCKETS = 20
 
 
@@ -3992,6 +4028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_score": q_linear_score,
         "classifier_eval": q_classifier_eval,
         "lang_confusion": q_lang_confusion,
+        "calibration_ece": q_calibration_ece,
+        "cohen_kappa": q_cohen_kappa,
         "bpe_merges": q_bpe_merges,
         "curriculum_order": q_curriculum_order,
         "scrub_spans": q_scrub_spans,
@@ -6122,6 +6160,84 @@ def oracle_sql() -> dict[str, str]:
                            6)
                    END AS f1
             FROM bg LEFT JOIN bp ON bp.pred = bg.gold
+        """,
+        # reliability bins: portable floor quantizer (floor(score*unit)
+        # -> BIGINT), exact integer sums, one rounded division per figure
+        "calibration_ece": f"""
+            WITH q AS ( {TA.quality_score_sql("documents")} ),
+            s AS (
+              SELECT q.quality AS score, (d.lang = 'en') AS gold
+              FROM q JOIN documents d USING (doc_id)
+            ),
+            b AS (
+              SELECT CAST(least({ECE_BINS - 1}, greatest(0,
+                       floor(score * CAST('{float(ECE_BINS)!r}' AS DOUBLE))))
+                       AS INT) AS bin,
+                     CAST(floor(score * CAST('{float(ECE_UNIT)!r}' AS DOUBLE))
+                       AS BIGINT) AS s_u,
+                     gold
+              FROM s
+            ),
+            bins AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tp,
+                     CAST(sum(s_u) AS BIGINT) AS su
+              FROM b GROUP BY bin
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(abs(tp * {ECE_UNIT} - su)) AS BIGINT) AS ece_num
+              FROM bins
+            )
+            SELECT bin, n,
+                   round(CAST(su AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST('{float(ECE_UNIT)!r}'
+                        AS DOUBLE)), 6) AS mean_score,
+                   round(CAST(tp AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS frac_pos,
+                   round(CAST(tp * {ECE_UNIT} - su AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST('{float(ECE_UNIT)!r}'
+                        AS DOUBLE)), 6) AS gap,
+                   round(CAST(ece_num AS DOUBLE)
+                     / (CAST(nn AS DOUBLE) * CAST('{float(ECE_UNIT)!r}'
+                        AS DOUBLE)), 6) AS ece
+            FROM bins CROSS JOIN tot
+        """,
+        # kappa from exact integer census sums: (po_num*N - pe_num)
+        # / (N*N - pe_num), NULL on the degenerate pe = 1 table
+        "cohen_kappa": f"""
+            WITH cells AS MATERIALIZED (
+              SELECT lang AS gold, {TA.lang_pred_sql("text")} AS pred,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            r AS (SELECT gold, CAST(sum(n) AS BIGINT) AS rn
+                  FROM cells GROUP BY 1),
+            c AS (SELECT pred, CAST(sum(n) AS BIGINT) AS cn
+                  FROM cells GROUP BY 1),
+            pe AS (
+              SELECT CAST(COALESCE(sum(rn * cn), 0) AS BIGINT) AS pe_num
+              FROM r JOIN c ON r.gold = c.pred
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END)
+                          AS BIGINT) AS po_num
+              FROM cells
+            )
+            SELECT nn AS n,
+                   CASE WHEN nn > 0 THEN
+                     round(CAST(po_num AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                   END AS po,
+                   CASE WHEN nn > 0 THEN
+                     round(CAST(pe_num AS DOUBLE) / CAST(nn * nn AS DOUBLE), 6)
+                   END AS pe,
+                   CASE WHEN nn * nn - pe_num > 0 THEN
+                     round(CAST(po_num * nn - pe_num AS DOUBLE)
+                           / CAST(nn * nn - pe_num AS DOUBLE), 6)
+                   END AS kappa
+            FROM tot CROSS JOIN pe
         """,
         "bpe_merges": _bpe_merges_sql_oracle(k=BPE_K),
         # curriculum order: explicit-cut buckets, md5 within-bucket

@@ -1154,3 +1154,133 @@ def classifier_eval(
     )
     out._cadastre_cached = [census]
     return out
+
+
+def calibration_ece(
+    df: DataFrame,
+    score_col: str,
+    gold_col: str,
+    n_bins: int = 10,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probability-scored binary classifier — the companion of
+    classifier_eval (AUC says the RANKING is good; ECE says the
+    SCORES mean what they claim, which is what a quality-filter
+    threshold actually consumes). Scores must live in [0, 1].
+
+    One row per non-empty equal-width bin: (bin, n, mean_score,
+    frac_pos, gap, ece) — `gap` the bin's signed calibration error,
+    `ece` the corpus-level Sum n_b/N * |gap_b| repeated on every row
+    (the heaps_law convention for global fits).
+
+    Numeric rule: scores enter integer space ONCE via the portable
+    quantizer floor(score * unit) -> BIGINT (floor-on-the-same-double
+    replays bitwise cross-engine; quantization error <= 1/unit, far
+    below the 6 dp output grid), so every aggregate is an exact
+    integer sum in any order and each output figure is one rounded
+    IEEE division. Bin assignment floor(score * n_bins) is the same
+    double op on both engines. At extreme corpus sizes (> ~9e9 rows
+    per bin) drop `unit` so tp * unit stays inside BIGINT.
+
+    Scale shape (100 TB): one map-side-partial groupBy onto <= n_bins
+    keys, then a broadcast of the one-row total back onto the bins —
+    the corpus is read once, nothing wide ever shuffles."""
+    s = F.col(score_col).cast("double")
+    binned = df.select(
+        F.least(
+            F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(s * F.lit(float(n_bins))))
+        )
+        .cast("int")
+        .alias("bin"),
+        F.floor(s * F.lit(float(unit))).cast("long").alias("s_u"),
+        F.col(gold_col).cast("boolean").alias("gold"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("gold"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum("s_u").cast("long").alias("su"),
+    )
+    gap_num = F.col("tp") * F.lit(int(unit)) - F.col("su")
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.abs(gap_num)).cast("long").alias("ece_num"),
+    )
+    den = F.col("n").cast("double") * F.lit(float(unit))
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(F.col("su").cast("double") / den, 6).alias("mean_score"),
+        F.round(F.col("tp").cast("double") / F.col("n").cast("double"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(gap_num.cast("double") / den, 6).alias("gap"),
+        F.round(
+            F.col("ece_num").cast("double")
+            / (F.col("n_tot").cast("double") * F.lit(float(unit))),
+            6,
+        ).alias("ece"),
+    )
+
+
+def cohen_kappa(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
+    """Chance-corrected agreement between two labelers — the scalar
+    that tells you whether a cheap heuristic (or a second annotator)
+    actually AGREES with gold beyond what the class mix hands out for
+    free (lang_confusion shows WHERE they disagree; kappa says whether
+    the agreement is real). One row: (n, po, pe, kappa).
+
+    kappa = (po - pe) / (1 - pe) computed entirely in exact integers:
+    po_num = Sum diagonal counts, pe_num = Sum_c row_c * col_c, then
+    kappa = (po_num*N - pe_num) / (N*N - pe_num) — one rounded IEEE
+    division, NULL when pe = 1 (a single-class degenerate table, where
+    kappa is undefined). N*N needs BIGINT headroom: fine to ~3e9 rows,
+    beyond that lift into DECIMAL.
+
+    Scale shape (100 TB): the corpus collapses to the (gold, pred)
+    census in one map-side-partial groupBy (#classes^2 cells); the
+    marginal products and both aggregates run over that tiny table."""
+    cells = (
+        df.select(
+            F.col(gold_col).cast("string").alias("gold"),
+            F.col(pred_col).cast("string").alias("pred"),
+        )
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    rows = cells.groupBy("gold").agg(F.sum("n").cast("long").alias("rn"))
+    cols = cells.groupBy("pred").agg(F.sum("n").cast("long").alias("cn"))
+    pe = rows.join(cols, rows.gold == cols.pred).agg(
+        F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+        .cast("long")
+        .alias("pe_num")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("N"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("po_num"),
+    )
+    nn = F.col("N") * F.col("N")
+    out = tot.crossJoin(pe).select(
+        F.col("N").alias("n"),
+        F.when(
+            F.col("N") > 0,
+            F.round(F.col("po_num").cast("double") / F.col("N").cast("double"), 6),
+        ).alias("po"),
+        F.when(
+            F.col("N") > 0,
+            F.round(F.col("pe_num").cast("double") / nn.cast("double"), 6),
+        ).alias("pe"),
+        F.when(
+            nn - F.col("pe_num") > 0,
+            F.round(
+                (F.col("po_num") * F.col("N") - F.col("pe_num")).cast("double")
+                / (nn - F.col("pe_num")).cast("double"),
+                6,
+            ),
+        ).alias("kappa"),
+    )
+    out._cadastre_cached = [cells]
+    return out

@@ -150,3 +150,99 @@ def test_bq_topk_radius_prunes(spark):
     df, mat = _toy_embeddings(spark, n=80)
     # radius 0 keeps only exact sign-mask twins; iid gaussians have none
     assert bq_topk(df, k=3, qmod=20, radius=0).count() == 0
+
+
+# -------------------------------------------------- calibration_ece ----
+
+
+def test_calibration_ece_hand_computed(spark):
+    from cadastre_pg_spark.operators.stats import calibration_ece
+
+    # bin 0: scores ~0.05, 1/4 positive -> gap = 0.25 - 0.05 = 0.2
+    # bin 9: scores ~0.95, 3/4 positive -> gap = 0.75 - 0.95 = -0.2
+    rows = [(0.05, True)] + [(0.05, False)] * 3
+    rows += [(0.95, True)] * 3 + [(0.95, False)]
+    df = spark.createDataFrame(rows, "score double, gold boolean")
+    out = {r.bin: r for r in calibration_ece(df, "score", "gold").collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n == 4 and out[9].n == 4
+    assert out[0].frac_pos == pytest.approx(0.25)
+    assert out[0].mean_score == pytest.approx(0.05)
+    assert out[0].gap == pytest.approx(0.2)
+    assert out[9].gap == pytest.approx(-0.2)
+    # ece = (4/8)*0.2 + (4/8)*0.2 = 0.2, identical on every row
+    assert out[0].ece == pytest.approx(0.2)
+    assert out[9].ece == out[0].ece
+
+
+def test_calibration_ece_perfectly_calibrated(spark):
+    from cadastre_pg_spark.operators.stats import calibration_ece
+
+    # per bin, frac_pos == mean score -> ece ~ 0 (within quantization)
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        n_pos = round(p * 20)
+        rows += [(p, True)] * n_pos + [(p, False)] * (20 - n_pos)
+    df = spark.createDataFrame(rows, "score double, gold boolean")
+    out = calibration_ece(df, "score", "gold").collect()
+    assert len(out) == 10
+    assert all(abs(r.ece) <= 0.05 for r in out)
+
+
+def test_calibration_ece_clamps_out_of_range(spark):
+    from cadastre_pg_spark.operators.stats import calibration_ece
+
+    df = spark.createDataFrame(
+        [(1.0, True), (0.0, False)], "score double, gold boolean"
+    )
+    out = {r.bin: r for r in calibration_ece(df, "score", "gold").collect()}
+    assert set(out) == {0, 9}  # score 1.0 clamps into the top bin
+
+
+# ------------------------------------------------------ cohen_kappa ----
+
+
+def test_cohen_kappa_textbook_example(spark):
+    from cadastre_pg_spark.operators.stats import cohen_kappa
+
+    # classic 2x2: [[20, 5], [10, 15]] -> po = 0.7,
+    # pe = (30*25 + 20*25)/2500 = 0.5 -> kappa = 0.4
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5
+        + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "gold string, pred string")
+    r = cohen_kappa(df, "gold", "pred").collect()[0]
+    assert r.n == 50
+    assert r.po == pytest.approx(0.7)
+    assert r.pe == pytest.approx(0.5)
+    assert r.kappa == pytest.approx(0.4)
+
+
+def test_cohen_kappa_degenerate_single_class_is_null(spark):
+    from cadastre_pg_spark.operators.stats import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("a", "a")] * 7, "gold string, pred string"
+    )
+    r = cohen_kappa(df, "gold", "pred").collect()[0]
+    assert r.po == pytest.approx(1.0) and r.pe == pytest.approx(1.0)
+    assert r.kappa is None  # pe = 1 -> undefined, stated not silent
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    from cadastre_pg_spark.operators.stats import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 5 + [("b", "b")] * 5, "gold string, pred string"
+    )
+    assert cohen_kappa(perfect, "gold", "pred").collect()[0].kappa == 1.0
+    # independent labelers at 50/50 -> kappa ~ 0
+    chance = spark.createDataFrame(
+        [("a", "a")] * 5 + [("a", "b")] * 5
+        + [("b", "a")] * 5 + [("b", "b")] * 5,
+        "gold string, pred string",
+    )
+    assert chance.count() == 20
+    assert cohen_kappa(chance, "gold", "pred").collect()[0].kappa == 0.0
