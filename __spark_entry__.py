@@ -3639,6 +3639,20 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+MRL_TRUNC_DIM = 16
+
+
+def q_mrl_overlap(spark, sf_dir):
+    """Matryoshka truncation eval: full-dim vs first-16-dim exact
+    cosine top-5 per query, per-query ranking overlap (see
+    operators/similarity.py:mrl_overlap)."""
+    from cadastre_pg_spark.operators.similarity import mrl_overlap
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return mrl_overlap(emb, queries_df, k=5, trunc_dim=MRL_TRUNC_DIM)
+
+
 def q_bq_topk(spark, sf_dir):
     """Binary-quantized ANN: sign-bit masks (two 32-bit BIGINT halves),
     xor/bit_count hamming prescreen, exact squared-L2 rerank over the
@@ -4046,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "readability": q_readability,
         "bq_topk": q_bq_topk,
+        "mrl_overlap": q_mrl_overlap,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5439,6 +5454,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": TA.lang_id_sql("documents"),
         "readability": TA.readability_sql("documents"),
         "bq_topk": _bq_topk_sql_oracle(),
+        "mrl_overlap": _mrl_overlap_sql_oracle(
+            k=5, qmod=50, trunc_dim=MRL_TRUNC_DIM
+        ),
         "repetition_scores": TA.repetition_scores_sql("documents"),
         "group_hull": _group_hull_sql_oracle(),
         "hull_area": f"""
@@ -6862,6 +6880,75 @@ def _ivf_topk_sql_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _mrl_overlap_sql_oracle(
+    k: int = 5, qmod: int = 50, trunc_dim: int = 16
+) -> str:
+    """Independent replay of similarity.mrl_overlap: the proven
+    topk_similarity DECIMAL dot/norm recipe run TWICE (full width and
+    the pos <= trunc_dim prefix), identical 6 dp rounding + (cosine
+    DESC, neighbor_id ASC) rank windows, then a LEFT-join overlap
+    count per query."""
+
+    def rank_cte(dots: str, norms: str) -> str:
+        return f"""(
+          SELECT query_id, neighbor_id FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   row_number() OVER (PARTITION BY d.query_id
+                     ORDER BY round(d.dot / (nq.nrm * nn.nrm), 6) DESC,
+                              d.neighbor_id ASC) AS rk
+            FROM {dots} d
+            JOIN {norms} nq ON nq.vec_id = d.query_id
+            JOIN {norms} nn ON nn.vec_id = d.neighbor_id
+          ) WHERE rk <= {k}
+        )"""
+
+    dsum = (
+        "CAST(sum(CAST(CAST(q.v AS DOUBLE) * CAST(n.v AS DOUBLE)"
+        " AS DECIMAL(20,18))) AS DOUBLE)"
+    )
+    nsum = (
+        "sqrt(CAST(sum(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)"
+        " AS DECIMAL(20,18))) AS DOUBLE))"
+    )
+    return f"""
+        WITH el AS (
+          SELECT vec_id, unnest(embedding) AS v,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ),
+        norms_f AS (SELECT vec_id, {nsum} AS nrm FROM el GROUP BY 1),
+        norms_t AS (SELECT vec_id, {nsum} AS nrm FROM el
+                    WHERE pos <= {trunc_dim} GROUP BY 1),
+        dots_f AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {dsum} AS dot
+          FROM el q JOIN el n ON q.pos = n.pos
+          WHERE q.vec_id % {qmod} = 0 AND n.vec_id != q.vec_id
+          GROUP BY 1, 2
+        ),
+        dots_t AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {dsum} AS dot
+          FROM el q JOIN el n ON q.pos = n.pos
+          WHERE q.vec_id % {qmod} = 0 AND n.vec_id != q.vec_id
+            AND q.pos <= {trunc_dim}
+          GROUP BY 1, 2
+        ),
+        topf AS {rank_cte('dots_f', 'norms_f')},
+        topt AS {rank_cte('dots_t', 'norms_t')}
+        SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_full,
+               CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+               CASE WHEN count(*) > 0 THEN
+                 round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6)
+               END AS overlap
+        FROM topf f
+        LEFT JOIN topt t ON t.query_id = f.query_id
+                        AND t.neighbor_id = f.neighbor_id
+        GROUP BY 1
     """
 
 

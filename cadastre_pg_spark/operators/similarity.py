@@ -1246,3 +1246,64 @@ def bq_topk(
     )
     out._cadastre_cached = [masks]
     return out
+
+
+def mrl_overlap(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    trunc_dim: int = 16,
+) -> DataFrame:
+    """Matryoshka-style truncation quality: for each query, the exact
+    cosine top-k under the FULL embedding vs under the first
+    `trunc_dim` dimensions, reported as per-query ranking overlap —
+    the metric that decides whether a cheap prefix index (an MRL
+    embedding's short head, stored at 1/4 the bandwidth) can serve
+    first-stage retrieval while the full vector only reranks.
+
+    Returns (query_id, n_full, n_common, overlap): n_full the full-dim
+    top-k size actually available (k, or fewer on a tiny corpus),
+    n_common how many of those survive in the truncated top-k,
+    overlap = round(n_common / n_full, 6).
+
+    Composition: two topk_cosine passes (broadcast-query matmuls — the
+    documented O(|Q| x |E|) exact baseline; each pass reads the corpus
+    once and shuffles only (query_id, neighbor_id, cosine) triples)
+    joined on (query_id, neighbor_id). Both rankings round cosines to
+    6 dp and tie-break by neighbor_id, so the DuckDB twin replays them
+    exactly; truncation is a zero-copy prefix (F.slice / pos <=
+    trunc_dim), never a re-embedding."""
+    q_t = queries.select(
+        "vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding")
+    )
+    e_t = embeddings.select(
+        "vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding")
+    )
+    full = topk_cosine(embeddings, queries, k)
+    trunc = topk_cosine(e_t, q_t, k)
+    hits = trunc.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    agg = (
+        full.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_full"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_common"
+            ),
+        )
+    )
+    return agg.select(
+        "query_id",
+        "n_full",
+        "n_common",
+        F.when(
+            F.col("n_full") > 0,
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("n_full").cast("double"),
+                6,
+            ),
+        ).alias("overlap"),
+    )

@@ -246,3 +246,49 @@ def test_cohen_kappa_perfect_and_chance(spark):
     )
     assert chance.count() == 20
     assert cohen_kappa(chance, "gold", "pred").collect()[0].kappa == 0.0
+
+
+# ------------------------------------------------------ mrl_overlap ----
+
+
+def _brute_mrl(mat, k, qmod, trunc):
+    def topk(m, q):
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(mn @ mn[q], 6)
+        order = sorted(
+            (( -cos[j], j) for j in range(len(m)) if j != q)
+        )[:k]
+        return {j for _, j in order}
+
+    out = {}
+    for q in range(0, mat.shape[0], qmod):
+        full = topk(mat.astype(np.float64), q)
+        tr = topk(mat[:, :trunc].astype(np.float64), q)
+        out[q] = (len(full), len(full & tr))
+    return out
+
+
+def test_mrl_overlap_matches_brute_force(spark):
+    from cadastre_pg_spark.operators.similarity import mrl_overlap
+
+    df, mat = _toy_embeddings(spark, n=90)
+    q = df.filter("vec_id % 30 = 0")
+    got = {
+        r.query_id: (r.n_full, r.n_common, r.overlap)
+        for r in mrl_overlap(df, q, k=4, trunc_dim=16).collect()
+    }
+    exp = _brute_mrl(mat, k=4, qmod=30, trunc=16)
+    assert set(got) == set(exp)
+    for qid, (nf, nc) in exp.items():
+        assert got[qid][0] == nf and got[qid][1] == nc
+        assert got[qid][2] == pytest.approx(round(nc / nf, 6))
+
+
+def test_mrl_overlap_full_width_truncation_is_identity(spark):
+    from cadastre_pg_spark.operators.similarity import mrl_overlap
+
+    df, _ = _toy_embeddings(spark, n=40)
+    q = df.filter("vec_id % 10 = 0")
+    out = mrl_overlap(df, q, k=3, trunc_dim=64).collect()
+    assert len(out) == 4
+    assert all(r.overlap == 1.0 and r.n_common == r.n_full for r in out)
