@@ -3639,6 +3639,21 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+LSH_SWEEP_CONFIGS = ((16, 2), (8, 4), (4, 8))
+
+
+def q_lsh_threshold_sweep(spark, sf_dir):
+    """Dedup sensitivity curve: one signature pass, three LSH layouts
+    (md5 mode for the DuckDB twin) — per layout the candidate-pair
+    census and S-curve-midpoint stats (see
+    operators/dedup.py:lsh_threshold_sweep)."""
+    from cadastre_pg_spark.operators.dedup import lsh_threshold_sweep
+
+    return lsh_threshold_sweep(
+        _docs(spark, sf_dir), configs=LSH_SWEEP_CONFIGS, hash_fn="md5"
+    )
+
+
 MRL_TRUNC_DIM = 16
 
 
@@ -4061,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "bq_topk": q_bq_topk,
         "mrl_overlap": q_mrl_overlap,
+        "lsh_threshold_sweep": q_lsh_threshold_sweep,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5454,6 +5470,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": TA.lang_id_sql("documents"),
         "readability": TA.readability_sql("documents"),
         "bq_topk": _bq_topk_sql_oracle(),
+        "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
         "mrl_overlap": _mrl_overlap_sql_oracle(
             k=5, qmod=50, trunc_dim=MRL_TRUNC_DIM
         ),
@@ -6881,6 +6898,89 @@ def _ivf_topk_sql_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str
                   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
         WHERE rank <= {k}
     """
+
+
+def _lsh_sweep_sql_oracle(configs=LSH_SWEEP_CONFIGS, max_bucket: int = 4096) -> str:
+    """Independent replay of dedup.lsh_threshold_sweep: the md5-prefix
+    minhash signature base of _minhash_v_ctes, then per (bands, rows)
+    layout its own band keys, bucket cap, distinct-pair census and
+    match-count stats. The S-curve midpoint enters as the SAME Python
+    double literal the engine uses, so the n_above comparison can
+    never straddle a pow ulp."""
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {D._A[i]} + {D._B[i]}) % {D.MINHASH_PRIME}))"
+        for i in range(D.N_HASHES)
+    )
+    ctes = [
+        rf"""tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 [array_to_string(t[i+1:i+3], ' ')
+                  for i in range(0, greatest(len(t) - 2, 0))] AS sg
+          FROM tok
+        ),
+        ss AS MATERIALIZED (
+          SELECT doc_id, [{sig_exprs}] AS sig
+          FROM (
+            SELECT doc_id,
+                   list_transform(list_transform(sg, s -> md5(s)),
+                                  m -> {_hex32_sql('m')}) AS sh
+            FROM sh0 WHERE len(sg) > 0
+          )
+        )"""
+    ]
+    selects = []
+    for ci, (bands, rpb) in enumerate(configs):
+        t = (1.0 / bands) ** (1.0 / rpb)
+        band_selects = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {key} AS key FROM ss".format(
+                b=b,
+                key=" || ',' || ".join(
+                    f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)"
+                    for r in range(rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        ctes.append(
+            f"""b{ci} AS MATERIALIZED ({band_selects}),
+        s{ci} AS (SELECT band, key, count(*) AS n FROM b{ci} GROUP BY 1, 2),
+        k{ci} AS (
+          SELECT x.doc_id, x.band, x.key FROM b{ci} x
+          JOIN s{ci} s ON x.band = s.band AND x.key = s.key
+                      AND s.n <= {max_bucket}
+        ),
+        c{ci} AS (
+          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM k{ci} l JOIN k{ci} r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ),
+        e{ci} AS (
+          SELECT len(list_filter(range(1, {D.N_HASHES + 1}),
+                                 i -> x.sig[i] = y.sig[i])) AS est
+          FROM c{ci}
+          JOIN ss x ON x.doc_id = c{ci}.doc_a
+          JOIN ss y ON y.doc_id = c{ci}.doc_b
+        )"""
+        )
+        selects.append(
+            f"""SELECT {bands} AS bands, {rpb} AS rows_per_band,
+                   CAST('{round(t, 6)!r}' AS DOUBLE) AS threshold,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN CAST(est AS DOUBLE)
+                            >= CAST('{float(D.N_HASHES) * t!r}' AS DOUBLE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                   round(CAST(sum(est) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE)
+                            * CAST('{float(D.N_HASHES)!r}' AS DOUBLE)), 6)
+                     AS mean_est
+            FROM e{ci} GROUP BY 1, 2, 3"""
+        )
+    return "WITH " + ",\n        ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _mrl_overlap_sql_oracle(

@@ -1715,3 +1715,136 @@ def scrub_spans(
             "scrub_sha"
         ),
     )
+
+
+def lsh_threshold_sweep(
+    docs: DataFrame,
+    configs=((16, 2), (8, 4), (4, 8)),
+    n_shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Dedup sensitivity curve: ONE minhash signature pass, several
+    (bands, rows_per_band) LSH layouts over it — the tuning report a
+    pipeline runs BEFORE committing to a near-dup threshold (each
+    layout's S-curve midpoint is (1/bands)^(1/rows); sweeping layouts
+    shows how many candidate pairs each threshold would surface and
+    how similar they actually are, without re-hashing the corpus).
+
+    One row per config with >= 1 candidate pair: (bands, rows_per_band,
+    threshold, n_pairs, n_above, mean_est) — n_above the candidates
+    whose signature estimate clears the config's own S-curve midpoint,
+    mean_est the mean estimate over candidates (integer-exact:
+    sum(est) / (N_HASHES * n_pairs) behind one rounded division).
+
+    Parity: the midpoint (1/b)^(1/r) is computed ONCE in driver Python
+    and enters both engines as the same double literal (so pow's
+    cross-engine 1-ulp wobble never matters); estimates are integer
+    match counts. Scale shape (100 TB): signatures persist once and
+    every layout reads them (multi-pass playbook rule); per layout the
+    candidate join is the capped-bucket shape of minhash_lsh_pairs
+    with the same `_skipped_buckets` metric (pick rows_per_band >= 2 —
+    single-row bands bucket on ONE minhash value and degenerate
+    toward all-pairs); pairs carry only ids + two 32-long signature
+    arrays, never text."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    for bands, rpb in configs:
+        if bands * rpb > N_HASHES:
+            raise ValueError(f"config {(bands, rpb)} needs {bands * rpb} > {N_HASHES} hashes")
+
+    ss = minhash_signatures(docs, n_shingle, hash_fn).persist()
+    per_cfg = []
+    skipped_all = []
+    for bands, rpb in configs:
+        t = (1.0 / bands) ** (1.0 / rpb)
+        banded = ss.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rpb + r].cast("string")
+                                    for r in range(rpb)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.key")
+        w_bucket = Window.partitionBy("band", "key")
+        sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+        skipped_all.append(
+            sized.filter(F.col("n") > max_bucket)
+            .select(F.lit(bands).alias("bands"), "band", "key", "n")
+            .distinct()
+        )
+        ok = sized.filter(F.col("n") <= max_bucket).drop("n")
+        left, right = ok.alias("l"), ok.alias("r")
+        per_cfg.append(
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                F.lit(round(t, 6)).alias("threshold"),
+                F.lit(float(N_HASHES) * t).alias("est_min_f"),
+                "doc_a",
+                "doc_b",
+            )
+        )
+    pairs = reduce(lambda a, b: a.unionByName(b), per_cfg)
+    a_side = ss.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b_side = ss.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("long")
+    per = (
+        pairs.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .select("bands", "rows_per_band", "threshold", "est_min_f", est.alias("est"))
+    )
+    out = (
+        per.groupBy("bands", "rows_per_band", "threshold", "est_min_f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("est").cast("double") >= F.col("est_min_f"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above"),
+            F.sum("est").cast("long").alias("se"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "threshold",
+            "n_pairs",
+            "n_above",
+            F.round(
+                F.col("se").cast("double")
+                / (F.col("n_pairs").cast("double") * F.lit(float(N_HASHES))),
+                6,
+            ).alias("mean_est"),
+        )
+    )
+    out._skipped_buckets = reduce(lambda a, b: a.unionByName(b), skipped_all)
+    out._cadastre_cached = [ss]
+    return out

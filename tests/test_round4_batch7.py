@@ -292,3 +292,56 @@ def test_mrl_overlap_full_width_truncation_is_identity(spark):
     out = mrl_overlap(df, q, k=3, trunc_dim=64).collect()
     assert len(out) == 4
     assert all(r.overlap == 1.0 and r.n_common == r.n_full for r in out)
+
+
+# ----------------------------------------------- lsh_threshold_sweep ----
+
+
+def _sweep_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(0, base), (1, base)]  # exact dup pair -> est = 32 everywhere
+    rows += [
+        (2, base.replace("dog", "cat").replace("today", "now")),  # near dup
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "one two three four five six seven eight nine ten eleven"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_threshold_sweep_exact_dup_in_every_layout(spark):
+    from cadastre_pg_spark.operators.dedup import lsh_threshold_sweep
+
+    out = {
+        (r.bands, r.rows_per_band): r
+        for r in lsh_threshold_sweep(_sweep_docs(spark)).collect()
+    }
+    # the exact-dup pair collides in EVERY layout (identical signature)
+    assert set(out) >= {(16, 2), (8, 4), (4, 8)}
+    for r in out.values():
+        assert r.n_pairs >= 1
+        assert r.n_above >= 1  # est=32 clears every midpoint
+        assert 0.0 <= r.mean_est <= 1.0 * 32
+    # S-curve midpoints: (1/16)^(1/2)=0.25 < (1/8)^(1/4) < (1/4)^(1/8)
+    assert out[(16, 2)].threshold == pytest.approx(0.25)
+    assert out[(8, 4)].threshold == pytest.approx((1 / 8) ** 0.25, abs=1e-6)
+    assert out[(4, 8)].threshold == pytest.approx((1 / 4) ** 0.125, abs=1e-6)
+
+
+def test_lsh_threshold_sweep_pairs_monotone_in_selectivity(spark):
+    from cadastre_pg_spark.operators.dedup import lsh_threshold_sweep
+
+    # aligned layouts nest: a (4,8) band collision implies the two
+    # (8,4) half-bands collide, which implies four (16,2) bands do —
+    # so candidate sets shrink as rows_per_band grows
+    out = {
+        (r.bands, r.rows_per_band): r.n_pairs
+        for r in lsh_threshold_sweep(_sweep_docs(spark)).collect()
+    }
+    assert out[(16, 2)] >= out.get((8, 4), 0) >= out.get((4, 8), 0)
+
+
+def test_lsh_threshold_sweep_rejects_oversized_config(spark):
+    from cadastre_pg_spark.operators.dedup import lsh_threshold_sweep
+
+    with pytest.raises(ValueError):
+        lsh_threshold_sweep(_sweep_docs(spark), configs=((32, 2),))
