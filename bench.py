@@ -236,6 +236,28 @@ BENCH_QUERIES = [
     "curriculum_order",
     "scrub_spans",
     "heaps_law",
+    # round-4 session-3 additions (TPC-H batch + eval/ANN/dedup ops)
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "readability",
+    "bq_topk",
+    "mrl_overlap",
+    "calibration_ece",
+    "cohen_kappa",
+    "lsh_threshold_sweep",
 ]
 
 _CHILD = r"""
