@@ -3639,6 +3639,27 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def q_bpe_apply(spark, sf_dir):
+    """Tokenizer APPLY: the fixed English-ish merge list encoded as a
+    literal replace chain — pure codegen string pipeline (see
+    operators/textanalysis.py:bpe_apply)."""
+    from cadastre_pg_spark.operators.textanalysis import bpe_apply
+
+    return bpe_apply(_docs(spark, sf_dir))
+
+
+VOCAB_COVERAGE_KS = (100, 1000, 4000)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve at k in {100, 1000, 4000} — the
+    tokenizer/vocab-sizing figure (see
+    operators/textanalysis.py:vocab_coverage)."""
+    from cadastre_pg_spark.operators.textanalysis import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), ks=VOCAB_COVERAGE_KS)
+
+
 LSH_SWEEP_CONFIGS = ((16, 2), (8, 4), (4, 8))
 
 
@@ -4077,6 +4098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_topk": q_bq_topk,
         "mrl_overlap": q_mrl_overlap,
         "lsh_threshold_sweep": q_lsh_threshold_sweep,
+        "bpe_apply": q_bpe_apply,
+        "vocab_coverage": q_vocab_coverage,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5471,6 +5494,10 @@ def oracle_sql() -> dict[str, str]:
         "readability": TA.readability_sql("documents"),
         "bq_topk": _bq_topk_sql_oracle(),
         "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
+        "bpe_apply": TA.bpe_apply_sql("documents"),
+        "vocab_coverage": TA.vocab_coverage_sql(
+            "documents", ks=VOCAB_COVERAGE_KS
+        ),
         "mrl_overlap": _mrl_overlap_sql_oracle(
             k=5, qmod=50, trunc_dim=MRL_TRUNC_DIM
         ),

@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "calibration_ece",
     "cohen_kappa",
     "lsh_threshold_sweep",
+    "bpe_apply",
+    "vocab_coverage",
 ]
 
 _CHILD = r"""

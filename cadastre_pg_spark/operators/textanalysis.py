@@ -1664,3 +1664,179 @@ SELECT doc_id,
     AS fk_grade
 FROM {table}
 """
+
+
+# default merge ranks for bpe_apply's driver query: English-ish bigram
+# merges in learned-rank order (each may build on earlier results)
+BPE_APPLY_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("an", "d"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("o", "r"),
+    ("s", "t"),
+)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges=BPE_APPLY_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED BPE merge list to the corpus — the tokenizer-
+    APPLY stage that pairs with bpe_merges' tokenizer-TRAIN stage (a
+    pipeline trains merges once, then encodes 100 TB with them).
+    Returns (doc_id, n_words, n_chars, n_symbols, cpr): symbol count
+    after all merges and chars-per-symbol compression.
+
+    Encoding = the canonical BPE replace chain: the doc becomes its
+    word-boundary-marked spaced form ("c a t # d o g" — '#' interrupts
+    any cross-word adjacency), then each merge (a, b) in rank order is
+    one literal `replace(s, 'a b', 'ab')` — left-to-right non-
+    overlapping in Spark, DuckDB and Python alike, so the whole encode
+    is an exact cross-engine replay and a pure whole-stage-codegen
+    string pipeline: no UDF, no shuffle, linear in corpus bytes (the
+    ideal 100 TB map shape). Symbol counts are derived from the final
+    string: n_symbols = len(split(s, ' ')) - n_words + 1 (the '#'
+    markers are separators, not symbols).
+
+    Reference lineage: extends the reference's per-row derived-scalar
+    family (cadastre-pg/src/cli.rs:842-910) with the tokenizer-apply
+    derivation a MULTI-PASS trained pipeline needs."""
+    spaced = F.regexp_replace(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "#"),
+        "(.)",
+        "$1 ",
+    )
+    s = F.trim(spaced)
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+    n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    n_chars = F.length(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")
+    ).cast("long")
+    n_units = F.size(F.split(s, " ")).cast("long")
+    n_symbols = n_units - n_words + F.lit(1).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        F.when(
+            n_symbols > 0,
+            F.round(n_chars.cast("double") / n_symbols.cast("double"), 6),
+        ).alias("cpr"),
+    )
+
+
+def bpe_apply_sql(
+    table: str = "documents", merges=BPE_APPLY_MERGES
+) -> str:
+    """Exact DuckDB twin of bpe_apply: the same marker/spacing regexes
+    (DuckDB needs the 'g' flag and \\1 backrefs where Spark defaults
+    to global $1) and the identical literal replace chain."""
+    s = (
+        rf"trim(regexp_replace(regexp_replace(trim(text), '\s+', '#', 'g'),"
+        rf" '(.)', '\1 ', 'g'))"
+    )
+    for a, b in merges:
+        s = f"replace({s}, '{a} {b}', '{a}{b}')"
+    nw = rf"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"
+    nc = rf"CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT)"
+    nsym = f"(CAST(len(string_split({s}, ' ')) AS BIGINT) - {nw} + 1)"
+    return f"""
+SELECT doc_id,
+  {nw} AS n_words,
+  {nc} AS n_chars,
+  {nsym} AS n_symbols,
+  CASE WHEN {nsym} > 0 THEN
+    round(CAST({nc} AS DOUBLE) / CAST({nsym} AS DOUBLE), 6)
+  END AS cpr
+FROM {table}
+"""
+
+
+def vocab_coverage(
+    docs: DataFrame, ks=(100, 1000, 4000), text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer/vocab-sizing figure:
+    for each k, the share of TOKEN OCCURRENCES covered by the k most
+    frequent types (ties at the frequency boundary break by token
+    string). One row per k: (k, n_types, covered, coverage).
+
+    Scale shape (100 TB): the corpus collapses to the type census in
+    one map-side-partial groupBy; the global ranking touches ONLY the
+    top-max(k) survivors via orderBy().limit() (TakeOrderedAndProject
+    — never a corpus- or vocab-wide row_number, the eval-top-k
+    playbook rule), and the per-k sums run over those <= max(k) rows
+    joined to a literal k table. Integer counts; coverage is one
+    rounded division."""
+    from pyspark.sql import Window
+
+    max_k = max(ks)
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    census = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = census.agg(F.sum("n").cast("long").alias("total"))
+    top = census.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(max_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rnk", F.row_number().over(w).cast("long"))
+    ksdf = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k long"
+    )
+    per = (
+        ranked.crossJoin(F.broadcast(ksdf))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("n").cast("long").alias("covered"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "k",
+        "n_types",
+        "covered",
+        F.when(
+            F.col("total") > 0,
+            F.round(
+                F.col("covered").cast("double") / F.col("total").cast("double"),
+                6,
+            ),
+        ).alias("coverage"),
+    )
+
+
+def vocab_coverage_sql(table: str = "documents", ks=(100, 1000, 4000)) -> str:
+    """DuckDB twin of vocab_coverage: same census, same (n DESC, tok
+    ASC) ranking truncated at max(k), same per-k conditional sums."""
+    max_k = max(ks)
+    klist = ", ".join(f"CAST({int(k)} AS BIGINT)" for k in sorted(ks))
+    return rf"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM {table}
+        ),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        r AS (
+          SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok ASC)
+                 AS BIGINT) AS rnk
+          FROM c
+        ),
+        top AS (SELECT * FROM r WHERE rnk <= {max_k}),
+        ks AS (SELECT unnest([{klist}]) AS k)
+        SELECT ks.k, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(top.n) AS BIGINT) AS covered,
+               CASE WHEN max(tot.total) > 0 THEN
+                 round(CAST(sum(top.n) AS DOUBLE)
+                       / CAST(max(tot.total) AS DOUBLE), 6)
+               END AS coverage
+        FROM top JOIN ks ON top.rnk <= ks.k CROSS JOIN tot
+        GROUP BY 1
+    """

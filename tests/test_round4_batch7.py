@@ -345,3 +345,83 @@ def test_lsh_threshold_sweep_rejects_oversized_config(spark):
 
     with pytest.raises(ValueError):
         lsh_threshold_sweep(_sweep_docs(spark), configs=((32, 2),))
+
+
+# -------------------------------------------------------- bpe_apply ----
+
+
+def _py_bpe(text, merges):
+    import re
+
+    s = re.sub(r"\s+", "#", text.strip())
+    s = " ".join(s)  # space every char, '#' marks word boundaries
+    for a, b in merges:
+        s = s.replace(f"{a} {b}", a + b)
+    n_words = len(re.split(r"\s+", text.strip()))
+    n_chars = len(re.sub(r"\s+", "", text.strip()))
+    n_units = len(s.split(" "))
+    n_symbols = n_units - n_words + 1
+    return n_words, n_chars, n_symbols
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from cadastre_pg_spark.operators.textanalysis import (
+        BPE_APPLY_MERGES,
+        bpe_apply,
+    )
+
+    texts = [
+        "the then and in another era",
+        "sort order store stream rest",
+        "xyz qqq zz",  # no merge applies -> one symbol per char
+        "thethethe",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_apply(docs).collect()}
+    for i, t in enumerate(texts):
+        nw, nc, ns = _py_bpe(t, BPE_APPLY_MERGES)
+        r = out[i]
+        assert (r.n_words, r.n_chars, r.n_symbols) == (nw, nc, ns), t
+        assert r.cpr == pytest.approx(round(nc / ns, 6))
+
+
+def test_bpe_apply_known_encodings(spark):
+    from cadastre_pg_spark.operators.textanalysis import bpe_apply
+
+    # 'the' collapses via t+h then th+e into ONE symbol; merges never
+    # cross the '#' word boundary ('cat the' keeps c,a,t separate)
+    docs = spark.createDataFrame(
+        [(0, "the"), (1, "cat the"), (2, "thethethe")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_apply(docs).collect()}
+    assert out[0].n_symbols == 1
+    assert out[1].n_symbols == 4  # c a t + the
+    assert out[2].n_symbols == 3  # the the the, repeated merges
+
+
+# --------------------------------------------------- vocab_coverage ----
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from cadastre_pg_spark.operators.textanalysis import vocab_coverage
+
+    # frequencies: a=6, b=3, c=1 -> total 10
+    docs = spark.createDataFrame(
+        [(0, "a a a b b"), (1, "a a a b c")], "doc_id long, text string"
+    )
+    out = {r.k: r for r in vocab_coverage(docs, ks=(1, 2, 3)).collect()}
+    assert out[1].covered == 6 and out[1].coverage == pytest.approx(0.6)
+    assert out[2].covered == 9 and out[2].coverage == pytest.approx(0.9)
+    assert out[3].covered == 10 and out[3].coverage == pytest.approx(1.0)
+    assert out[3].n_types == 3
+
+
+def test_vocab_coverage_k_beyond_vocab(spark):
+    from cadastre_pg_spark.operators.textanalysis import vocab_coverage
+
+    docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    out = {r.k: r for r in vocab_coverage(docs, ks=(10,)).collect()}
+    assert out[10].n_types == 2 and out[10].coverage == pytest.approx(1.0)
