@@ -352,3 +352,95 @@ def resize_images(
     return imgs.mapInPandas(
         gen, schema="media_id long, out_w long, out_h long, pixels array<double>"
     )
+
+
+def _fake_samples(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic fake PCM waveform in [-1, 1): sha256 chain over
+    the payload hex, one signed byte per sample. STAND-IN for a real
+    audio codec (ffmpeg/librosa absent)."""
+    out = bytearray()
+    seed = payload.hex().encode()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(seed + b"a" + str(i).encode()).digest()
+        i += 1
+    raw = np.frombuffer(bytes(out[:n]), dtype=np.uint8).astype(np.float64)
+    return (raw - 128.0) / 128.0
+
+
+def audio_features(
+    media: DataFrame,
+    sample_rate: int = 8000,
+    frame: int = 256,
+    strict: bool = False,
+    decode_fn=None,
+) -> DataFrame:
+    """Audio FEATURE-EXTRACT plumbing — the third modality of the
+    multimodal family (image_features / resize_images / frame_sample
+    cover stills and video): (media_id, payload, duration_ms) ->
+    (media_id, n_samples, n_frames, rms, zcr, peak), frame-windowed
+    RMS energy, zero-crossing rate and absolute peak over the decoded
+    waveform. `decode_fn(payload: bytes, n_samples: int) -> 1D float
+    array` is the codec injection point (an ffmpeg-equipped cluster
+    drops its real decoder into the tested batch shape); with
+    decode_fn=None the deterministic fake-PCM stub applies, or
+    NotImplementedError in strict mode.
+
+    Row-vectorized NumPy inside one mapInPandas batch (trailing
+    partial frame dropped, frame math integer-exact, so results are
+    partitioning-invariant). Scale shape: pure map stage, no shuffle;
+    payload bytes never leave the scan->Python hop and each row
+    collapses to five scalars."""
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if decode_fn is None and strict:
+                raise NotImplementedError(
+                    "audio decode requires ffmpeg/librosa — not in this "
+                    "env; inject one via decode_fn"
+                )
+            fn = decode_fn if decode_fn is not None else _fake_samples
+            rows = []
+            for mid, p, dur in zip(
+                pdf["media_id"].values,
+                pdf["payload"].values,
+                pdf["duration_ms"].values,
+            ):
+                n = (int(dur) * sample_rate) // 1000
+                w = np.asarray(fn(bytes(p), n), dtype=np.float64)[:n]
+                nf = len(w) // frame
+                if nf == 0:
+                    rows.append((int(mid), len(w), 0, None, None, None))
+                    continue
+                fr = w[: nf * frame].reshape(nf, frame)
+                rms = float(np.sqrt((fr * fr).mean(axis=1)).mean())
+                zc = (np.signbit(fr[:, 1:]) != np.signbit(fr[:, :-1])).mean()
+                rows.append(
+                    (
+                        int(mid),
+                        len(w),
+                        nf,
+                        round(rms, 6),
+                        round(float(zc), 6),
+                        round(float(np.abs(fr).max()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_frames", "rms", "zcr", "peak",
+                ],
+            )
+
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "duration_ms"
+    )
+    return auds.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, n_samples long, n_frames long,"
+            " rms double, zcr double, peak double"
+        ),
+    )

@@ -425,3 +425,47 @@ def test_vocab_coverage_k_beyond_vocab(spark):
     docs = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
     out = {r.k: r for r in vocab_coverage(docs, ks=(10,)).collect()}
     assert out[10].n_types == 2 and out[10].coverage == pytest.approx(1.0)
+
+
+# ---------------------------------------------------- audio_features ----
+
+
+def test_audio_features_shape_determinism_and_injection(spark):
+    from cadastre_pg_spark.operators.multimodal import (
+        audio_features,
+        generate_media,
+    )
+
+    media = generate_media(spark, 30)
+    out = audio_features(media, sample_rate=8000, frame=256).collect()
+    n_audio = media.filter("kind = 'audio'").count()
+    assert len(out) == n_audio and n_audio > 0
+    for r in out:
+        assert r.n_samples == r.n_frames * 256 + r.n_samples % 256
+        assert 0.0 <= r.rms <= 1.0 and 0.0 <= r.zcr <= 1.0
+        assert r.peak <= 1.0
+    # partitioning-invariant: same rows from a different layout
+    again = audio_features(
+        media.repartition(7), sample_rate=8000, frame=256
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # codec injection point: a constant waveform has rms == peak and
+    # zero crossings == 0
+    const = audio_features(
+        media, decode_fn=lambda p, n: np.full(n, 0.5)
+    ).collect()
+    assert all(
+        r.rms == pytest.approx(0.5) and r.zcr == 0.0 and r.peak == 0.5
+        for r in const
+    )
+
+
+def test_audio_features_strict_mode_raises(spark):
+    from cadastre_pg_spark.operators.multimodal import (
+        audio_features,
+        generate_media,
+    )
+
+    media = generate_media(spark, 6)
+    with pytest.raises(Exception, match="ffmpeg|librosa"):
+        audio_features(media, strict=True).collect()
