@@ -3830,6 +3830,124 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes & order priority), adapted: no
+    l_shipmode/commit/receipt columns in the trimmed schema, so the
+    mode class is l_returnflag and "late" is the q4 proxy
+    (l_shipdate > o_orderdate + 60 days).  Counts high- vs low-
+    priority orders among late 1996 lineitems — one equi join on the
+    orderkey with the lateness predicate riding it, map-side
+    conditional sums per class."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: no partsupp
+    table in the trimmed schema, so the part-supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem (and
+    the comment-based complaint filter drops with its column).
+    Distinct-supplier counts per (brand, type, size) over the filtered
+    part dim — part is broadcast, the distinct pair census partial-
+    aggregates map-side."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#12")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted with the
+    q4 lateness proxy (l_shipdate > o_orderdate + 60 days): for 'F'
+    orders with >= 2 distinct suppliers where EXACTLY ONE supplier was
+    late, count waits per that supplier.  The double EXISTS/NOT EXISTS
+    of the reference collapses into one per-order census (distinct
+    suppliers, distinct late suppliers, and — valid because n_late = 1
+    — max(late supplier) as the culprit), so the orderkey shuffles
+    once; the supplier name attach is a broadcast; final top-100 by
+    (numwait DESC, s_name) is a TakeOrderedAndProject."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+        )
+    )
+    waits = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(supp), "s_suppkey")
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 def q_tpch_q22(spark, sf_dir):
     """TPC-H Q22 (global sales opportunity), adapted: no phone column,
     so the country code IS c_nationkey.  The positive-balance average
@@ -4105,6 +4223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q21": q_tpch_q21,
     }
 
 
@@ -6616,6 +6737,54 @@ def oracle_sql() -> dict[str, str]:
                     AND l_quantity BETWEEN 10 AND 20)
                 OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                     AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                     AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q21": """
+            WITH j AS (
+              SELECT l_orderkey, l_suppkey,
+                     (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+            ),
+            per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late,
+                     max(CASE WHEN late THEN l_suppkey END) AS late_supp
+              FROM j GROUP BY 1
+            ),
+            c AS (
+              SELECT late_supp AS s_suppkey,
+                     CAST(count(*) AS BIGINT) AS numwait
+              FROM per_order WHERE n_supp >= 2 AND n_late = 1
+              GROUP BY 1
+            )
+            SELECT s_name, numwait FROM c JOIN supplier USING (s_suppkey)
+            ORDER BY numwait DESC, s_name ASC LIMIT 100
         """,
         "tpch_q22": """
             WITH cust AS (

@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     "lsh_threshold_sweep",
     "bpe_apply",
     "vocab_coverage",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q21",
 ]
 
 _CHILD = r"""
