@@ -568,3 +568,52 @@ def test_linear_score_broadcast_model_single_shuffle(spark):
     s = explain_string(df)
     assert "BroadcastHashJoin" in s, s[:3000]
     assert s.count("Exchange") <= 4, s[:3000]
+
+
+def test_bq_topk_hamming_grid_is_broadcast_and_narrow(spark):
+    """The hamming prescreen must broadcast the query masks (never
+    shuffle the corpus for the pair grid) and the rerank joins must be
+    broadcasts too — the corpus-side exchange count stays at the two
+    window partitionings, not pair-grid keys."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["bq_topk"](spark, SF_UNIT)
+    a = audit(df)
+    assert a["broadcast_join"], "query masks must broadcast"
+    s = explain_string(df, "formatted")
+    # both windows partition by q_id; no other hash exchange keys
+    assert s.count("Arguments: hashpartitioning(q_id") == s.count(
+        "Arguments: hashpartitioning("
+    ), s
+
+
+def test_vocab_coverage_ranks_survivors_only(spark):
+    """The global ranking must be TakeOrderedAndProject over the
+    census (top-max(k) survivors), never a vocab-wide row_number."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["vocab_coverage"](spark, SF_UNIT)
+    s = explain_string(df, "formatted")
+    assert "TakeOrderedAndProject" in s, s
+
+
+def test_bpe_apply_is_pure_codegen_map(spark):
+    """The merge-chain encode is a single codegen map stage: no
+    shuffle, no Python, scan -> project."""
+    df = E.queries()["bpe_apply"](spark, SF_UNIT)
+    a = audit(df)
+    assert not a["shuffle_exchange"], "bpe_apply must not shuffle"
+    assert not a["arrow_eval"], "bpe_apply must stay JVM-side"
+    assert a["codegen"] and a["columnar_scan"]
+
+
+def test_calibration_ece_bins_single_corpus_exchange(spark):
+    """The corpus collapses onto <= n_bins keys in one exchange; the
+    total comes back as a broadcast, not a second corpus pass."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    df = E.queries()["calibration_ece"](spark, SF_UNIT)
+    a = audit(df)
+    assert a["broadcast_join"], "one-row total must broadcast back"
+    s = explain_string(df, "formatted")
+    assert s.count("Arguments: hashpartitioning(bin") >= 1, s
