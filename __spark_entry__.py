@@ -3648,6 +3648,15 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(_docs(spark, sf_dir))
 
 
+def q_heldout_perplexity(spark, sf_dir):
+    """Held-out add-one bigram LM surprisal (md5 mode for the DuckDB
+    twin): model trained on doc_id % 5 != 0, scored on the % 5 == 0
+    split (see operators/textanalysis.py:heldout_perplexity)."""
+    from cadastre_pg_spark.operators.textanalysis import heldout_perplexity
+
+    return heldout_perplexity(_docs(spark, sf_dir), qmod=5, hash_fn="md5")
+
+
 VOCAB_COVERAGE_KS = (100, 1000, 4000)
 
 
@@ -4218,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_threshold_sweep": q_lsh_threshold_sweep,
         "bpe_apply": q_bpe_apply,
         "vocab_coverage": q_vocab_coverage,
+        "heldout_perplexity": q_heldout_perplexity,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5615,6 +5625,58 @@ def oracle_sql() -> dict[str, str]:
         "readability": TA.readability_sql("documents"),
         "bq_topk": _bq_topk_sql_oracle(),
         "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
+        # held-out bigram LM: the bigram_surprisal CTE chain + the
+        # mod-5 split, add-one smoothing via the same micro-nat
+        # quantizer, V as a scalar cross join
+        "heldout_perplexity": rf"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+                     unnest(t) AS tok
+              FROM tok
+            ),
+            mx AS (SELECT doc_id, pos, md5(tok) AS m FROM ex),
+            hx AS (SELECT doc_id, pos, {_hex32_sql('m')} AS h FROM mx),
+            pairs AS (
+              SELECT doc_id, hp, h FROM (
+                SELECT doc_id,
+                       lag(h) OVER (PARTITION BY doc_id ORDER BY pos) AS hp,
+                       h
+                FROM hx)
+              WHERE hp IS NOT NULL
+            ),
+            tr AS (SELECT * FROM pairs WHERE doc_id % 5 <> 0),
+            va AS (SELECT * FROM pairs WHERE doc_id % 5 = 0),
+            voc AS (
+              SELECT CAST(count(DISTINCT h) + 1 AS BIGINT) AS V
+              FROM hx WHERE doc_id % 5 <> 0
+            ),
+            nb AS (SELECT hp, h, CAST(count(*) AS BIGINT) AS nb
+                   FROM tr GROUP BY 1, 2),
+            nu AS (SELECT hp, CAST(count(*) AS BIGINT) AS nu
+                   FROM tr GROUP BY 1),
+            per AS (
+              SELECT va.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(
+                       CAST(round(ln(CAST(COALESCE(nu.nu, 0) + voc.V
+                              AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                       - CAST(round(ln(CAST(COALESCE(nb.nb, 0) + 1
+                              AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                     ) AS BIGINT) AS su
+              FROM va
+              LEFT JOIN nb ON nb.hp = va.hp AND nb.h = va.h
+              LEFT JOIN nu ON nu.hp = va.hp
+              CROSS JOIN voc
+              GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   round(CAST(su AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                         / 1e6, 6) AS surprisal_ho
+            FROM per
+        """,
         "bpe_apply": TA.bpe_apply_sql("documents"),
         "vocab_coverage": TA.vocab_coverage_sql(
             "documents", ks=VOCAB_COVERAGE_KS

@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "tpch_q12",
     "tpch_q16",
     "tpch_q21",
+    "heldout_perplexity",
 ]
 
 _CHILD = r"""

@@ -1840,3 +1840,83 @@ def vocab_coverage_sql(table: str = "documents", ks=(100, 1000, 4000)) -> str:
         FROM top JOIN ks ON top.rnk <= ks.k CROSS JOIN tot
         GROUP BY 1
     """
+
+
+def heldout_perplexity(
+    docs: DataFrame, qmod: int = 5, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """HELD-OUT bigram LM surprisal — the cross-split sibling of
+    bigram_surprisal (which scores the corpus under its own census):
+    an add-one-smoothed bigram model is trained on the doc_id % qmod
+    != 0 split and scores the held-out % qmod == 0 docs, so unseen
+    contexts and unseen continuations are actually exercised (the
+    shape of a perplexity-based quality filter scored by a model that
+    never saw the doc). One row per held-out doc with >= 1 bigram:
+    (doc_id, n_bigrams, surprisal_ho) — mean -ln p(tok|prev) with
+    p = (n(prev,tok) + 1) / (n(prev) + V), V = train vocab + 1.
+
+    Numeric rule (the surprisal policy): ln is quantized to integer
+    micro-nats per distinct integer argument (round(ln(m)*1e6) ->
+    BIGINT), every per-bigram term is the exact integer
+    u(n(prev)+V) - u(n(prev,tok)+1), sums are order-independent
+    BIGINTs, the final mean one rounded division. Scale shape
+    (100 TB): the (doc_id, pos, h) token table persists ONCE and
+    feeds the lag window, both train censuses and the vocab count
+    (multi-pass playbook rule); the two scoring joins are Zipf-skewed
+    probe-vs-small-build left joins; V broadcasts as a one-row cross
+    join. No Python anywhere."""
+    from pyspark.sql import Window
+
+    from cadastre_pg_spark.operators.dedup import shingle_hash32
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ex = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select(
+            "doc_id", "pos", shingle_hash32(F.col("tok"), hash_fn).alias("h")
+        )
+        .persist()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        ex.withColumn("hp", F.lag("h").over(w))
+        .filter(F.col("hp").isNotNull())
+        .select("doc_id", "hp", "h")
+    )
+    is_val = F.pmod(F.col("doc_id"), F.lit(qmod)) == 0
+    tr = pairs.filter(~is_val)
+    va = pairs.filter(is_val)
+    vocab = ex.filter(F.pmod(F.col("doc_id"), F.lit(qmod)) != 0).agg(
+        (F.countDistinct("h") + F.lit(1)).cast("long").alias("V")
+    )
+    nb = tr.groupBy("hp", "h").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    nu = tr.groupBy("hp").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+
+    def _u(col):
+        return F.round(F.log(col.cast("double")) * F.lit(1e6)).cast("long")
+
+    term = _u(F.coalesce(F.col("nu"), F.lit(0)) + F.col("V")) - _u(
+        F.coalesce(F.col("nb"), F.lit(0)) + F.lit(1)
+    )
+    per = (
+        va.join(nb, ["hp", "h"], "left")
+        .join(nu, "hp", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(term).cast("long").alias("su"),
+        )
+    )
+    out = per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("su").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("surprisal_ho"),
+    )
+    out._cadastre_cached = [ex]
+    return out

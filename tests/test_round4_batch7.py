@@ -469,3 +469,66 @@ def test_audio_features_strict_mode_raises(spark):
     media = generate_media(spark, 6)
     with pytest.raises(Exception, match="ffmpeg|librosa"):
         audio_features(media, strict=True).collect()
+
+
+# ------------------------------------------------ heldout_perplexity ----
+
+
+def test_heldout_perplexity_matches_python_reference(spark):
+    import math
+
+    from cadastre_pg_spark.operators.textanalysis import heldout_perplexity
+
+    texts = {
+        0: "a b a b c",        # val (0 % 5 == 0)
+        1: "a b a b a b",      # train
+        2: "b c b c d",        # train
+        3: "x y z",            # train
+        5: "a b x q",          # val: seen, unseen-cont, unseen-ctx
+        4: "q",                # train single token -> no bigrams
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in heldout_perplexity(docs, qmod=5).collect()
+    }
+    # python reference: add-one bigram LM on train docs
+    train = [t.split() for d, t in texts.items() if d % 5 != 0]
+    nb, nu, vocab = {}, {}, set()
+    for ws in train:
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            nb[(a, b)] = nb.get((a, b), 0) + 1
+            nu[a] = nu.get(a, 0) + 1
+    V = len(vocab) + 1
+
+    def u(m):
+        return round(math.log(m) * 1e6)
+
+    for d in (0, 5):
+        ws = texts[d].split()
+        terms = [
+            u(nu.get(a, 0) + V) - u(nb.get((a, b), 0) + 1)
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert out[d].n_bigrams == len(terms)
+        assert out[d].surprisal_ho == pytest.approx(
+            round(sum(terms) / len(terms) / 1e6, 6), abs=1e-9
+        )
+    assert set(out) == {0, 5}  # train docs never scored
+
+
+def test_heldout_perplexity_unseen_scores_higher(spark):
+    from cadastre_pg_spark.operators.textanalysis import heldout_perplexity
+
+    # doc 0 repeats the training distribution; doc 5 is all-unseen
+    rows = [(i, "a b a b a b a b") for i in range(1, 5)]
+    rows += [(0, "a b a b"), (5, "zz qq ww rr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.surprisal_ho
+        for r in heldout_perplexity(docs, qmod=5).collect()
+    }
+    assert out[5] > out[0]
