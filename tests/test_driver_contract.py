@@ -39,6 +39,9 @@ def test_query_matches_oracle(spark, name):
             "sssp",
             "label_prop",  # oracle unrolls the sf0.01-sized graph
             "ppr",
+            "hits",  # integer-unit recurrence unrolled at sf0.01 size
+            "url_dedup",  # generated url table sized at sf0.01
+            "url_filter",
             # pins the measured sf0.01 k-means recall literal
             "ivf_recall",
         )
