@@ -3648,6 +3648,21 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(_docs(spark, sf_dir))
 
 
+PSI_CUTS = (10.0, 25.0, 50.0, 100.0, 200.0)
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI between even- and odd-user event-value distributions over
+    fixed explicit cuts — the binned drift monitor (see
+    operators/stats.py:psi_drift)."""
+    from cadastre_pg_spark.operators.stats import psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "is_a", F.pmod(F.col("user_id"), F.lit(2)) == 0
+    )
+    return psi_drift(ev, "value", "is_a", cuts=PSI_CUTS)
+
+
 def q_heldout_perplexity(spark, sf_dir):
     """Held-out add-one bigram LM surprisal (md5 mode for the DuckDB
     twin): model trained on doc_id % 5 != 0, scored on the % 5 == 0
@@ -4228,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "vocab_coverage": q_vocab_coverage,
         "heldout_perplexity": q_heldout_perplexity,
+        "psi_drift": q_psi_drift,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5625,6 +5641,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": TA.readability_sql("documents"),
         "bq_topk": _bq_topk_sql_oracle(),
         "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
+        "psi_drift": _psi_drift_sql_oracle(),
         # held-out bigram LM: the bigram_surprisal CTE chain + the
         # mod-5 split, add-one smoothing via the same micro-nat
         # quantizer, V as a scalar cross join
@@ -7155,6 +7172,66 @@ def _ivf_topk_sql_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _psi_drift_sql_oracle(cuts=PSI_CUTS, unit: int = 10**9) -> str:
+    """Independent replay of stats.psi_drift over the even/odd-user
+    event-value split: identical explicit-cut bins, add-one smoothed
+    shares, the micro-nat integer log-ratio, the same-order double
+    term quantized by the portable floor(term * unit), exact BIGINT
+    cross-bin sum."""
+    n_bins = len(cuts) + 1
+    bin_expr = " + ".join(
+        f"(CASE WHEN value >= CAST('{float(c)!r}' AS DOUBLE)"
+        f" THEN 1 ELSE 0 END)"
+        for c in cuts
+    )
+
+    def u(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6, 0) AS BIGINT)"
+
+    pa = f"(CAST(n_a + 1 AS DOUBLE) / CAST(ta + {n_bins} AS DOUBLE))"
+    pb = f"(CAST(n_b + 1 AS DOUBLE) / CAST(tb + {n_bins} AS DOUBLE))"
+    lnr = (
+        f"({u('n_a + 1')} + {u(f'tb + {n_bins}')}"
+        f" - {u(f'ta + {n_bins}')} - {u('n_b + 1')})"
+    )
+    term = f"(({pa} - {pb}) * (CAST({lnr} AS DOUBLE) / 1e6))"
+    return f"""
+        WITH c AS (
+          SELECT ({bin_expr}) AS bin, (user_id % 2 = 0) AS s FROM events
+        ),
+        census AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+          FROM c GROUP BY 1
+        ),
+        bins AS (
+          SELECT CAST(unnest(generate_series(0, {n_bins - 1})) AS INT) AS bin
+        ),
+        f AS (
+          SELECT bins.bin,
+                 CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+          FROM bins LEFT JOIN census USING (bin)
+        ),
+        tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                       CAST(sum(n_b) AS BIGINT) AS tb FROM f),
+        binned AS (
+          SELECT bin, n_a, n_b,
+                 round({pa}, 6) AS p_a,
+                 round({pb}, 6) AS p_b,
+                 CAST(floor({term} * CAST('{float(unit)!r}' AS DOUBLE))
+                      AS BIGINT) AS term_u
+          FROM f CROSS JOIN tot
+        ),
+        psi AS (SELECT CAST(sum(term_u) AS BIGINT) AS su FROM binned)
+        SELECT bin, n_a, n_b, p_a, p_b,
+               round(CAST(su AS DOUBLE)
+                     / CAST('{float(unit)!r}' AS DOUBLE), 6) AS psi
+        FROM binned CROSS JOIN psi
     """
 
 

@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "tpch_q16",
     "tpch_q21",
     "heldout_perplexity",
+    "psi_drift",
 ]
 
 _CHILD = r"""

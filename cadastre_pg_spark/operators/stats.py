@@ -1284,3 +1284,97 @@ def cohen_kappa(df: DataFrame, gold_col: str, pred_col: str) -> DataFrame:
     )
     out._cadastre_cached = [cells]
     return out
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    cuts,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Population Stability Index between the split_col=True baseline
+    and the False comparison population — the BINNED drift metric that
+    pairs with ks_two_sample's continuous statistic (PSI is what a
+    monitoring pipeline alerts on: < 0.1 stable, > 0.25 shifted). One
+    row per fixed explicit-cut bin (the curriculum_order pattern — no
+    percentile barrier): (bin, n_a, n_b, p_a, p_b, psi), the global
+    PSI repeated on every row (the heaps_law convention).
+
+    PSI = Sum_b (p_a - p_b) * ln(p_a / p_b) with add-one smoothing
+    p = (n + 1) / (N + n_bins), so empty bins are defined and every
+    count is a positive integer. Numeric rule: the log-ratio is exact
+    integer micro-nats (u(na+1) + u(NB+B) - u(NA+B) - u(nb+1), the
+    surprisal quantizer — ln only ever sees integers), each bin's term
+    is one identical-order double product quantized by the portable
+    floor(term * unit), and the cross-bin sum is an exact BIGINT.
+
+    Scale shape (100 TB): the corpus collapses onto n_bins keys in one
+    map-side-partial groupBy; the literal bin table, the one-row
+    totals and the one-row PSI all broadcast — nothing wide moves."""
+    from functools import reduce
+
+    n_bins = len(cuts) + 1
+    spark = df.sparkSession
+    b = reduce(
+        lambda acc, c: acc
+        + F.when(F.col(value_col) >= F.lit(float(c)), 1).otherwise(0),
+        cuts,
+        F.lit(0),
+    )
+    census = (
+        df.select(b.cast("int").alias("bin"), F.col(split_col).alias("s"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("s"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("s"), 0).otherwise(1)).cast("long").alias("n_b"),
+        )
+    )
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        bins.join(census, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    tot = full.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+
+    def _u(col):
+        return F.round(F.log(col.cast("double")) * F.lit(1e6)).cast("long")
+
+    wb = full.crossJoin(F.broadcast(tot))
+    da = (F.col("ta") + F.lit(n_bins)).cast("long")
+    db = (F.col("tb") + F.lit(n_bins)).cast("long")
+    pa = (F.col("n_a") + F.lit(1)).cast("double") / da.cast("double")
+    pb = (F.col("n_b") + F.lit(1)).cast("double") / db.cast("double")
+    lnr_u = (
+        _u(F.col("n_a") + F.lit(1))
+        + _u(db)
+        - _u(da)
+        - _u(F.col("n_b") + F.lit(1))
+    )
+    term = (pa - pb) * (lnr_u.cast("double") / F.lit(1e6))
+    binned = wb.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.floor(term * F.lit(float(unit))).cast("long").alias("term_u"),
+    )
+    psi = binned.agg(F.sum("term_u").cast("long").alias("su"))
+    return binned.crossJoin(F.broadcast(psi)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        "p_a",
+        "p_b",
+        F.round(F.col("su").cast("double") / F.lit(float(unit)), 6).alias(
+            "psi"
+        ),
+    )

@@ -532,3 +532,63 @@ def test_heldout_perplexity_unseen_scores_higher(spark):
         for r in heldout_perplexity(docs, qmod=5).collect()
     }
     assert out[5] > out[0]
+
+
+# -------------------------------------------------------- psi_drift ----
+
+
+def _py_psi(vals_a, vals_b, cuts):
+    import math
+
+    nb = len(cuts) + 1
+
+    def binof(v):
+        return sum(1 for c in cuts if v >= c)
+
+    na = [0] * nb
+    nbb = [0] * nb
+    for v in vals_a:
+        na[binof(v)] += 1
+    for v in vals_b:
+        nbb[binof(v)] += 1
+    ta, tb = sum(na), sum(nbb)
+    psi_u = 0
+    for i in range(nb):
+        pa = (na[i] + 1) / (ta + nb)
+        pb = (nbb[i] + 1) / (tb + nb)
+        lnr = (
+            round(math.log(na[i] + 1) * 1e6)
+            + round(math.log(tb + nb) * 1e6)
+            - round(math.log(ta + nb) * 1e6)
+            - round(math.log(nbb[i] + 1) * 1e6)
+        )
+        psi_u += math.floor((pa - pb) * (lnr / 1e6) * 1e9)
+    return round(psi_u / 1e9, 6)
+
+
+def test_psi_drift_matches_python_reference(spark):
+    from cadastre_pg_spark.operators.stats import psi_drift
+
+    cuts = (10.0, 20.0)
+    rows = [(float(v), True) for v in (1, 5, 12, 15, 25, 30, 8, 11)]
+    rows += [(float(v), False) for v in (22, 25, 28, 30, 12, 3)]
+    df = spark.createDataFrame(rows, "value double, s boolean")
+    out = psi_drift(df, "value", "s", cuts=cuts).collect()
+    assert len(out) == 3  # every bin present even when empty one side
+    exp = _py_psi(
+        [r[0] for r in rows if r[1]], [r[0] for r in rows if not r[1]], cuts
+    )
+    assert all(r.psi == pytest.approx(exp, abs=1e-9) for r in out)
+    assert out[0].psi > 0.1  # these two samples genuinely differ
+
+
+def test_psi_drift_identical_populations_near_zero(spark):
+    from cadastre_pg_spark.operators.stats import psi_drift
+
+    rows = [(float(v % 40), v % 2 == 0) for v in range(400)]
+    df = spark.createDataFrame(rows, "value double, s boolean")
+    out = psi_drift(df, "value", "s", cuts=(10.0, 20.0, 30.0)).collect()
+    assert all(abs(r.psi) < 0.01 for r in out)
+    # marginals add up
+    assert sum(r.n_a for r in out) == 200
+    assert sum(r.n_b for r in out) == 200
