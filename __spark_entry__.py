@@ -3648,6 +3648,18 @@ def q_bpe_apply(spark, sf_dir):
     return bpe_apply(_docs(spark, sf_dir))
 
 
+def q_gini_tokens(spark, sf_dir):
+    """Gini inequality of the corpus token-frequency distribution —
+    the concentration audit beside skew_report's HHI (see
+    operators/stats.py:gini_concentration)."""
+    from cadastre_pg_spark.operators.stats import gini_concentration
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return gini_concentration(tok, "token")
+
+
 PSI_CUTS = (10.0, 25.0, 50.0, 100.0, 200.0)
 
 
@@ -4244,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "heldout_perplexity": q_heldout_perplexity,
         "psi_drift": q_psi_drift,
+        "gini_tokens": q_gini_tokens,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5642,6 +5655,34 @@ def oracle_sql() -> dict[str, str]:
         "bq_topk": _bq_topk_sql_oracle(),
         "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
         "psi_drift": _psi_drift_sql_oracle(),
+        # Gini over the token census: exact integer Lorenz sums, the
+        # ascending (count, token) ranking, one rounded division
+        "gini_tokens": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS k
+              FROM documents
+            ),
+            census AS (
+              SELECT k, CAST(count(*) AS BIGINT) AS x FROM tok GROUP BY 1
+            ),
+            ranked AS (
+              SELECT CAST(row_number() OVER (ORDER BY x ASC, k ASC)
+                     AS BIGINT) AS r, x
+              FROM census
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(x) AS BIGINT) AS total,
+                     CAST(sum(r * x) AS BIGINT) AS s1
+              FROM ranked
+            )
+            SELECT n_keys, total,
+                   CASE WHEN n_keys > 1 AND total > 0 THEN
+                     round(CAST(2 * s1 - (n_keys + 1) * total AS DOUBLE)
+                           / CAST(n_keys * total AS DOUBLE), 6)
+                   END AS gini
+            FROM agg
+        """,
         # held-out bigram LM: the bigram_surprisal CTE chain + the
         # mod-5 split, add-one smoothing via the same micro-nat
         # quantizer, V as a scalar cross join

@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "tpch_q21",
     "heldout_perplexity",
     "psi_drift",
+    "gini_tokens",
 ]
 
 _CHILD = r"""

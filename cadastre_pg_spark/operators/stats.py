@@ -1378,3 +1378,51 @@ def psi_drift(
             "psi"
         ),
     )
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row Lorenz/Gini inequality of the per-key contribution —
+    the concentration scalar that pairs with skew_report's HHI (HHI
+    answers "is ONE key hot?", Gini answers "how unequal is the whole
+    distribution?" — the figure a corpus audit quotes for host/token
+    concentration). Returns (n_keys, total, gini).
+
+    Exact integer formulation on the ascending-sorted census
+    (ties by key string — order-insensitive for the sum anyway):
+    G = (2 * Sum r_i * x_i - (n + 1) * Sum x_i) / (n * Sum x_i),
+    one rounded IEEE division over BIGINT-exact numerator/denominator.
+    NULL when the census is empty or a single key (undefined).
+
+    Scale shape (100 TB): the corpus collapses to the key census in
+    one map-side-partial groupBy; the ranking window runs over the
+    CENSUS (vocab-sized, like zipf_fit — never corpus rows). The
+    BIGINT headroom bound is r_i * x_i <= n * N (~1e9 keys x 1e9 rows
+    overflows; past that quantize counts first)."""
+    from pyspark.sql import Window
+
+    census = (
+        df.select(F.col(key_col).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = census.select(
+        F.row_number().over(w).cast("long").alias("r"), "x"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("r") * F.col("x")).cast("long").alias("s1"),
+    )
+    num = F.lit(2) * F.col("s1") - (F.col("n_keys") + F.lit(1)) * F.col(
+        "total"
+    )
+    den = F.col("n_keys") * F.col("total")
+    return agg.select(
+        "n_keys",
+        "total",
+        F.when(
+            (F.col("n_keys") > 1) & (F.col("total") > 0),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
+    )

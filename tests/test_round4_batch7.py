@@ -592,3 +592,43 @@ def test_psi_drift_identical_populations_near_zero(spark):
     # marginals add up
     assert sum(r.n_a for r in out) == 200
     assert sum(r.n_b for r in out) == 200
+
+
+# ------------------------------------------------- gini_concentration ----
+
+
+def test_gini_uniform_is_zero_and_skewed_is_high(spark):
+    from cadastre_pg_spark.operators.stats import gini_concentration
+
+    uniform = spark.createDataFrame(
+        [(f"k{i % 10}",) for i in range(100)], "k string"
+    )
+    g0 = gini_concentration(uniform, "k").collect()[0]
+    assert g0.n_keys == 10 and g0.total == 100
+    assert g0.gini == pytest.approx(0.0)
+    # one key holds 91 of 100 rows -> strong inequality
+    skewed = spark.createDataFrame(
+        [("hot",)] * 91 + [(f"k{i}",) for i in range(9)], "k string"
+    )
+    g1 = gini_concentration(skewed, "k").collect()[0]
+    assert g1.gini > 0.8
+
+
+def test_gini_matches_closed_form(spark):
+    from cadastre_pg_spark.operators.stats import gini_concentration
+
+    # counts 1,2,3,4 -> sorted r*x = 1+4+9+16 = 30, n=4, total=10
+    # G = (2*30 - 5*10) / (4*10) = 0.25
+    rows = (
+        [("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 4
+    )
+    df = spark.createDataFrame(rows, "k string")
+    g = gini_concentration(df, "k").collect()[0]
+    assert g.gini == pytest.approx(0.25)
+
+
+def test_gini_single_key_is_null(spark):
+    from cadastre_pg_spark.operators.stats import gini_concentration
+
+    df = spark.createDataFrame([("only",)] * 5, "k string")
+    assert gini_concentration(df, "k").collect()[0].gini is None
