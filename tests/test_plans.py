@@ -535,6 +535,10 @@ def test_inverted_index_shares_census_and_salts_the_rank(spark):
     threshold is 2x the physical count."""
     from cadastre_pg_spark.plans.audit import explain_string
 
+    # order-independence: a cached lineage left by another test file
+    # can substitute into this plan and add exchanges around the
+    # foreign InMemoryRelation's partitioning — audit OUR plan only
+    spark.catalog.clearCache()
     df = E.queries()["inverted_index"](spark, SF_UNIT)
     s = explain_string(df)
     assert "InMemoryTableScan" in s, s[:3000]
