@@ -35,19 +35,18 @@ def geohash_col(lon: Column, lat: Column, precision: int = PRECISION) -> Column:
     # lon occupies the even interleave positions counted from the MSB
     # == the odd LSB positions of the 5p-bit code
     code = F.shiftleft(_part1by1_col(ilon), 1).bitwiseOR(_part1by1_col(ilat))
-    chars = [
-        F.substring(
-            F.lit(ALPHABET),
-            (
-                F.shiftrightunsigned(code, 5 * (precision - 1 - g))
-                .bitwiseAND(F.lit(31))
-                + F.lit(1)
-            ).cast("int"),
-            F.lit(1),
-        )
-        for g in range(precision)
-    ]
-    return F.concat(*chars)
+    # base32 digits via ONE conv + lpad + alphabet translate. The
+    # obvious per-character substring(ALPHABET, shiftright(code, 5g))
+    # chain binds `code` once PER CHARACTER, and the inlined
+    # interleave+derivation tree made driver-side analysis the
+    # dominant cost (10.3 s recorded at sf0.1 vs 1.5 s for this shape,
+    # byte-identical output; the playbook expression-duplication trap)
+    b32 = F.lower(F.conv(code.cast("string"), 10, 32))
+    return F.translate(
+        F.lpad(b32, precision, "0"),
+        "abcdefghijklmnopqrstuv",
+        ALPHABET[10:],
+    )
 
 
 def geohash_sql(lon_expr: str, lat_expr: str, precision: int = PRECISION) -> str:
