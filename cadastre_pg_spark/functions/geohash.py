@@ -14,7 +14,7 @@ base32 alphabet (i/l/o and a excluded). p=8 (40 bits, 20+20) gives
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .zorder import _part1by1_col, _part1by1_sql
+from .zorder import _part1by1_lut_col, _part1by1_sql
 
 ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 PRECISION = 8  # chars; must be even so lon/lat split 20/20 bits
@@ -34,7 +34,9 @@ def geohash_col(lon: Column, lat: Column, precision: int = PRECISION) -> Column:
     ).cast("long")
     # lon occupies the even interleave positions counted from the MSB
     # == the odd LSB positions of the 5p-bit code
-    code = F.shiftleft(_part1by1_col(ilon), 1).bitwiseOR(_part1by1_col(ilat))
+    code = F.shiftleft(_part1by1_lut_col(ilon, half), 1).bitwiseOR(
+        _part1by1_lut_col(ilat, half)
+    )
     # base32 digits via ONE conv + lpad + alphabet translate. The
     # obvious per-character substring(ALPHABET, shiftright(code, 5g))
     # chain binds `code` once PER CHARACTER, and the inlined

@@ -31,16 +31,48 @@ def _part1by1_col(v: Column) -> Column:
     return v
 
 
+def _spread8(b: int) -> int:
+    out = 0
+    for i in range(8):
+        out |= ((b >> i) & 1) << (2 * i)
+    return out
+
+
+# 256-entry byte -> 16-bit spread table, built once at import
+_SPREAD8 = [_spread8(b) for b in range(256)]
+
+
+def _part1by1_lut_col(v: Column, width: int) -> Column:
+    """Bit spread via per-byte lookups in a 256-entry literal table —
+    binds `v` ONCE per byte, keeping the Catalyst tree LINEAR where
+    the or-shift form doubles it per mask round (2^5 inlined copies of
+    the whole index derivation made driver-side ANALYSIS the dominant
+    cost of the codec queries — the expression-duplication trap;
+    geohash read 10.3 s at sf0.1 for 5000 rows of pure codegen).
+    element_at on an array literal is whole-stage-codegen'd; output is
+    bit-identical to _part1by1_col (pytest-asserted across widths)."""
+    assert 1 <= width <= 32, width
+    table = F.array(*[F.lit(x) for x in _SPREAD8])
+    nbytes = (width + 7) // 8
+    out = None
+    for i in range(nbytes):
+        byte = F.shiftrightunsigned(v, 8 * i).bitwiseAND(F.lit(255))
+        term = F.element_at(table, (byte + F.lit(1)).cast("int")).cast("long")
+        term = F.shiftleft(term, 16 * i) if i else term
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
 def morton_col(lon: Column, lat: Column, level: int = C.DEFAULT_LEVEL) -> Column:
     """Z-order code of the grid cell — same (ix, iy) mapping as
-    grid_cell_col, bits interleaved."""
+    grid_cell_col, bits interleaved (linear-tree byte-LUT spread)."""
     n = 1 << level
     ix = F.floor((lon - F.lit(C.GRID_LON0)) / F.lit(C.GRID_LON1 - C.GRID_LON0) * F.lit(float(n)))
     iy = F.floor((lat - F.lit(C.GRID_LAT0)) / F.lit(C.GRID_LAT1 - C.GRID_LAT0) * F.lit(float(n)))
     ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
     iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
-    return _part1by1_col(ix).bitwiseOR(
-        F.shiftleft(_part1by1_col(iy), 1)
+    return _part1by1_lut_col(ix, level).bitwiseOR(
+        F.shiftleft(_part1by1_lut_col(iy, level), 1)
     ).cast("long")
 
 
