@@ -154,3 +154,31 @@ def test_hex_cover_exactness():
             else:
                 assert not truth[i], "inside point in uncovered hex cell"
         np.testing.assert_array_equal(joined, truth)
+
+
+def test_part1by1_lut_equals_orshift_all_widths(spark):
+    """The byte-LUT spread must stay bit-identical to the canonical
+    or-shift chain for every caller width (morton level, geohash
+    half-width, full 32-bit)."""
+    import pyspark.sql.functions as F
+
+    from cadastre_pg_spark.functions.zorder import (
+        _part1by1_col,
+        _part1by1_lut_col,
+    )
+
+    for width in (1, 2, 10, 16, 20, 30, 32):
+        hi = (1 << width) - 1
+        edge = [0, 1, hi, max(hi - 1, 0), hi >> 1, 0x55555555 & hi]
+        df = spark.range(0, 50000).select(
+            (F.col("id") * 2654435761 % (hi + 1)).alias("v")
+        ).union(spark.createDataFrame([(v,) for v in edge], "v long"))
+        bad = (
+            df.select(
+                _part1by1_col(F.col("v")).alias("a"),
+                _part1by1_lut_col(F.col("v"), width).alias("b"),
+            )
+            .filter("a != b")
+            .count()
+        )
+        assert bad == 0, f"width {width}: {bad} diffs"
