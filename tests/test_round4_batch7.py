@@ -632,3 +632,32 @@ def test_gini_single_key_is_null(spark):
 
     df = spark.createDataFrame([("only",)] * 5, "k string")
     assert gini_concentration(df, "k").collect()[0].gini is None
+
+
+# ---------------------------------------------------------- edges ----
+
+
+def test_heldout_perplexity_empty_train_split(spark):
+    from cadastre_pg_spark.operators.textanalysis import heldout_perplexity
+
+    # every doc_id % 5 == 0 -> no train docs: V = 1, every smoothed
+    # term is u(0+1) - u(0+1) = 0 — defined, not a crash (ANSI)
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (5, "d e f")], "doc_id long, text string"
+    )
+    out = heldout_perplexity(docs, qmod=5).collect()
+    assert {r.doc_id for r in out} == {0, 5}
+    assert all(r.surprisal_ho == 0.0 for r in out)
+
+
+def test_lsh_threshold_sweep_bucket_cap_skips_loudly(spark):
+    from cadastre_pg_spark.operators.dedup import lsh_threshold_sweep
+
+    docs = _sweep_docs(spark)
+    out = lsh_threshold_sweep(docs, max_bucket=1)
+    rows = out.collect()
+    # cap 1 kills every multi-doc bucket -> no candidate pairs at all
+    assert rows == []
+    skipped = out._skipped_buckets.collect()
+    assert len(skipped) > 0  # the dropped work is metered, not silent
+    assert all(r.n > 1 for r in skipped)
