@@ -3660,6 +3660,25 @@ def q_gini_tokens(spark, sf_dir):
     return gini_concentration(tok, "token")
 
 
+PR_THRESHOLDS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_pr_thresholds(spark, sf_dir):
+    """Operating-point table of the quality-vs-(lang=='en') classifier
+    at five candidate cuts — threshold selection for the quality
+    filter (see operators/stats.py:pr_thresholds)."""
+    from cadastre_pg_spark.operators.stats import pr_thresholds
+    from cadastre_pg_spark.operators.textanalysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        quality_score(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("gold", F.col("lang") == F.lit("en"))
+    )
+    return pr_thresholds(scored, "quality", "gold", PR_THRESHOLDS)
+
+
 PSI_CUTS = (10.0, 25.0, 50.0, 100.0, 200.0)
 
 
@@ -4257,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heldout_perplexity": q_heldout_perplexity,
         "psi_drift": q_psi_drift,
         "gini_tokens": q_gini_tokens,
+        "pr_thresholds": q_pr_thresholds,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5655,6 +5675,7 @@ def oracle_sql() -> dict[str, str]:
         "bq_topk": _bq_topk_sql_oracle(),
         "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
         "psi_drift": _psi_drift_sql_oracle(),
+        "pr_thresholds": _pr_thresholds_sql_oracle(),
         # Gini over the token census: exact integer Lorenz sums, the
         # ascending (count, token) ranking, one rounded division
         "gini_tokens": r"""
@@ -7213,6 +7234,53 @@ def _ivf_topk_sql_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _pr_thresholds_sql_oracle(thresholds=PR_THRESHOLDS) -> str:
+    """Independent replay of stats.pr_thresholds over the quality /
+    (lang='en') scored corpus: one aggregate pass with 2|T|+2
+    conditional sums, a UNION ALL per threshold row, the identical
+    ANSI-guarded single divisions. Threshold doubles are the same
+    Python literals the engine binds."""
+    ths = [float(t) for t in thresholds]
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN score > CAST('{t!r}' AS DOUBLE) AND gold"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS tp{i}, "
+        f"CAST(sum(CASE WHEN score > CAST('{t!r}' AS DOUBLE) AND NOT gold"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS fp{i}"
+        for i, t in enumerate(ths)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST('{t!r}' AS DOUBLE) AS thr, tp{i} AS tp, fp{i} AS fp,
+                   pp - tp{i} AS fn, nn - pp - fp{i} AS tn,
+                   CASE WHEN tp{i} + fp{i} > 0 THEN
+                     round(CAST(tp{i} AS DOUBLE)
+                           / CAST(tp{i} + fp{i} AS DOUBLE), 6)
+                   END AS prec,
+                   CASE WHEN pp > 0 THEN
+                     round(CAST(tp{i} AS DOUBLE) / CAST(pp AS DOUBLE), 6)
+                   END AS recall,
+                   CASE WHEN tp{i} + fp{i} + pp > 0 THEN
+                     round(CAST(2 * tp{i} AS DOUBLE)
+                           / CAST(tp{i} + fp{i} + pp AS DOUBLE), 6)
+                   END AS f1
+            FROM tot"""
+        for i, t in enumerate(ths)
+    )
+    return f"""
+        WITH q AS ( {TA.quality_score_sql("documents")} ),
+        s AS (
+          SELECT q.quality AS score, (d.lang = 'en') AS gold
+          FROM q JOIN documents d USING (doc_id)
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS nn,
+                 CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+                 {sums}
+          FROM s
+        )
+        {selects}
     """
 
 

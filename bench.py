@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "heldout_perplexity",
     "psi_drift",
     "gini_tokens",
+    "pr_thresholds",
 ]
 
 _CHILD = r"""

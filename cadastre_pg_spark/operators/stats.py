@@ -1426,3 +1426,93 @@ def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("gini"),
     )
+
+
+def pr_thresholds(
+    df: DataFrame,
+    score_col: str,
+    gold_col: str,
+    thresholds,
+) -> DataFrame:
+    """Operating-point table for a scored binary classifier — the
+    threshold-SELECTION companion of classifier_eval (one row per
+    candidate cut): (thr, tp, fp, fn, tn, prec, recall, f1). AUC says
+    the ranking works, ECE says the scores are honest, THIS says what
+    you actually get at each cut a filter might deploy.
+
+    Exact integers end-to-end: every threshold's (tp, fp) is one
+    conditional sum in a SINGLE corpus pass (2|T|+2 agg columns — the
+    Poisson-bootstrap one-pass idiom, never |T| scans), fn/tn derive
+    from the (N, P) totals, each metric is one ANSI-guarded rounded
+    division. Thresholds enter both engines as the same Python double
+    literals, so `score > t` can never straddle an ulp.
+
+    Scale shape (100 TB): one map-side-partial aggregate to a single
+    row, then a literal explode to |T| rows — the corpus is read once
+    and nothing shuffles but partials."""
+    ths = [float(t) for t in thresholds]
+    base = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(gold_col).cast("boolean").alias("g"),
+    )
+    s, g = F.col("s"), F.col("g")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.when(g, 1).otherwise(0)).cast("long").alias("pp"),
+    ]
+    for i, t in enumerate(ths):
+        hit = s > F.lit(t)
+        aggs.append(
+            F.sum(F.when(hit & g, 1).otherwise(0)).cast("long").alias(f"tp{i}")
+        )
+        aggs.append(
+            F.sum(F.when(hit & ~g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"fp{i}")
+        )
+    one = base.agg(*aggs)
+    rows = one.select(
+        "nn",
+        "pp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("thr"),
+                        F.col(f"tp{i}").alias("tp"),
+                        F.col(f"fp{i}").alias("fp"),
+                    )
+                    for i, t in enumerate(ths)
+                ]
+            )
+        ).alias("r"),
+    ).select("nn", "pp", "r.thr", "r.tp", "r.fp")
+    fn = F.col("pp") - F.col("tp")
+    tn = F.col("nn") - F.col("pp") - F.col("fp")
+    return rows.select(
+        "thr",
+        "tp",
+        "fp",
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+                6,
+            ),
+        ).alias("prec"),
+        F.when(
+            F.col("pp") > 0,
+            F.round(F.col("tp").cast("double") / F.col("pp").cast("double"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("tp") + F.col("fp") + F.col("pp") > 0,
+            F.round(
+                (F.lit(2) * F.col("tp")).cast("double")
+                / (F.col("tp") + F.col("fp") + F.col("pp")).cast("double"),
+                6,
+            ),
+        ).alias("f1"),
+    )

@@ -661,3 +661,36 @@ def test_lsh_threshold_sweep_bucket_cap_skips_loudly(spark):
     skipped = out._skipped_buckets.collect()
     assert len(skipped) > 0  # the dropped work is metered, not silent
     assert all(r.n > 1 for r in skipped)
+
+
+# ---------------------------------------------------- pr_thresholds ----
+
+
+def test_pr_thresholds_hand_computed(spark):
+    from cadastre_pg_spark.operators.stats import pr_thresholds
+
+    # 4 positives at scores .9 .8 .4 .2; 4 negatives at .7 .3 .2 .1
+    rows = [(0.9, True), (0.8, True), (0.4, True), (0.2, True),
+            (0.7, False), (0.3, False), (0.2, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, gold boolean")
+    out = {r.thr: r for r in pr_thresholds(df, "score", "gold", (0.5, 0.75)).collect()}
+    r5 = out[0.5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (2, 1, 2, 3)
+    assert r5.prec == pytest.approx(round(2 / 3, 6))
+    assert r5.recall == pytest.approx(0.5)
+    assert r5.f1 == pytest.approx(round(4 / 7, 6))
+    r75 = out[0.75]
+    assert (r75.tp, r75.fp) == (2, 0) and r75.prec == 1.0
+
+
+def test_pr_thresholds_degenerate_guards(spark):
+    from cadastre_pg_spark.operators.stats import pr_thresholds
+
+    # no positives at all -> recall/f1 guarded NULL above the top cut
+    df = spark.createDataFrame(
+        [(0.2, False), (0.4, False)], "score double, gold boolean"
+    )
+    out = {r.thr: r for r in pr_thresholds(df, "score", "gold", (0.9,)).collect()}
+    r = out[0.9]
+    assert (r.tp, r.fp) == (0, 0)
+    assert r.prec is None and r.recall is None and r.f1 is None
