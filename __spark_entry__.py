@@ -3660,6 +3660,15 @@ def q_gini_tokens(spark, sf_dir):
     return gini_concentration(tok, "token")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Simhash near-dup pairs via pigeonhole banding (md5 mode for the
+    DuckDB twin): hamming <= 3 over 32-bit fingerprints (see
+    operators/dedup.py:simhash_pairs)."""
+    from cadastre_pg_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), radius=3, hash_fn="md5")
+
+
 PR_THRESHOLDS = (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
@@ -4277,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "gini_tokens": q_gini_tokens,
         "pr_thresholds": q_pr_thresholds,
+        "simhash_pairs": q_simhash_pairs,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
         "tpch_q15": q_tpch_q15,
@@ -5676,6 +5686,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_threshold_sweep": _lsh_sweep_sql_oracle(),
         "psi_drift": _psi_drift_sql_oracle(),
         "pr_thresholds": _pr_thresholds_sql_oracle(),
+        "simhash_pairs": _simhash_pairs_sql_oracle(),
         # Gini over the token census: exact integer Lorenz sums, the
         # ascending (count, token) ranking, one rounded division
         "gini_tokens": r"""
@@ -8688,6 +8699,39 @@ def _simhash_sql_oracle(bits: int = 32) -> str:
         ),
         bitsum AS (SELECT doc_id, {bitsums} FROM h GROUP BY doc_id)
         SELECT doc_id, CAST({repack} AS BIGINT) AS simhash FROM bitsum
+    """
+
+
+def _simhash_pairs_sql_oracle(
+    radius: int = 3, bits: int = 32, max_bucket: int = 4096
+) -> str:
+    """Independent replay of dedup.simhash_pairs: the md5 simhash
+    fingerprint CTE, radius+1 disjoint band keys (shift/mask), the
+    bucket cap, the banded self-join, and the xor/bit_count hamming
+    filter over distinct pairs."""
+    n_bands = radius + 1
+    band_w = bits // n_bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * band_w}) & {(1 << band_w) - 1} AS key FROM fp"
+        for b in range(n_bands)
+    )
+    return rf"""
+        WITH base AS MATERIALIZED ( {_simhash_sql_oracle(bits)} ),
+        fp AS (SELECT doc_id, simhash FROM base),
+        banded AS MATERIALIZED ({band_selects}),
+        sizes AS (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2),
+        bok AS (
+          SELECT b.doc_id, b.simhash, b.band, b.key FROM banded b
+          JOIN sizes s ON b.band = s.band AND b.key = s.key
+                      AND s.n <= {max_bucket}
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT)
+                 AS hamming
+        FROM bok l JOIN bok r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {radius}
     """
 
 

@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "gini_tokens",
     "pr_thresholds",
+    "simhash_pairs",
 ]
 
 _CHILD = r"""

@@ -1848,3 +1848,81 @@ def lsh_threshold_sweep(
     out._skipped_buckets = reduce(lambda a, b: a.unionByName(b), skipped_all)
     out._cadastre_cached = [ss]
     return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    radius: int = 3,
+    bits: int = 32,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Near-dup pairs from SIMHASH fingerprints — the Google-crawl
+    dedup shape (Manku et al.): any two fingerprints within hamming
+    `radius` share at least one of `radius + 1` disjoint bit bands
+    (pigeonhole), so candidates come from exact band-key buckets and
+    only candidates pay the hamming check. Completes the simhash
+    family the way minhash_lsh_pairs completes minhash: fingerprint
+    op -> pair generator. Returns (doc_a, doc_b, hamming).
+
+    Scale shape (100 TB): the corpus collapses to 8-byte fingerprints
+    first; banding explodes to radius+1 narrow (band, key, doc_id,
+    simhash) rows; the self-join shuffles on (band, key) with the
+    house bucket cap + `_skipped_buckets` metric (a degenerate band —
+    e.g. all-empty docs sharing fingerprint 0 — caps loudly instead
+    of going quadratic); the hamming check is two longs through
+    xor/bit_count codegen. Exactly SQL-replayable in md5 mode."""
+    n_bands = radius + 1
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must split into {n_bands} bands")
+    band_w = bits // n_bands
+    from pyspark.sql import Window
+
+    sigs = simhash(docs, bits=bits, hash_fn=hash_fn).persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    w_bucket = Window.partitionBy("band", "key")
+    sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+    skipped = (
+        sized.filter(F.col("n") > max_bucket)
+        .select("band", "key", "n")
+        .distinct()
+    )
+    ok = sized.filter(F.col("n") <= max_bucket).drop("n")
+    left, right = ok.alias("l"), ok.alias("r")
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    ).cast("long")
+    out = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(ham <= radius)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+    out._skipped_buckets = skipped
+    out._cadastre_cached = [sigs]
+    return out

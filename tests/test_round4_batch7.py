@@ -694,3 +694,41 @@ def test_pr_thresholds_degenerate_guards(spark):
     r = out[0.9]
     assert (r.tp, r.fp) == (0, 0)
     assert r.prec is None and r.recall is None and r.f1 is None
+
+
+# ---------------------------------------------------- simhash_pairs ----
+
+
+def test_simhash_pairs_pigeonhole_complete(spark):
+    from cadastre_pg_spark.operators.dedup import simhash, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [(0, base), (1, base)]  # identical -> hamming 0
+    rows += [(2, base.replace("dog", "cat"))]  # near dup
+    rows += [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+             for i in range(3, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, radius=3).collect()
+    }
+    # brute-force ground truth over the SAME fingerprints: banding is
+    # lossless for hamming <= radius (pigeonhole), so sets must match
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                exp[(a, b)] = h
+    assert got == exp
+    assert got[(0, 1)] == 0  # the planted identical pair
+
+
+def test_simhash_pairs_rejects_unsplittable_bits(spark):
+    from cadastre_pg_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, radius=2, bits=32)  # 32 % 3 != 0
