@@ -5381,7 +5381,9 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             ),
             s AS (
-              SELECT user_id * 1000000 + sidx AS iid,
+              -- CAST: sidx is a sum() OVER window => HUGEINT in DuckDB,
+              -- which fetch_df returns as float64; Spark emits int64.
+              SELECT CAST(user_id * 1000000 + sidx AS BIGINT) AS iid,
                      min(ts) AS t0, max(ts) AS t1
               FROM sx GROUP BY user_id, sidx
             )
@@ -7600,8 +7602,10 @@ def _pack_tokens_sql_oracle(
           FROM t
         )
         SELECT doc_id, writer,
-               strt // {cap} AS shard,
-               strt - (strt // {cap}) * {cap} AS "offset",
+               -- CAST: strt is sum() OVER => HUGEINT, which fetch_df
+               -- returns as float64; Spark emits int64
+               CAST(strt // {cap} AS BIGINT) AS shard,
+               CAST(strt - (strt // {cap}) * {cap} AS BIGINT) AS "offset",
                n_tokens,
                CAST(strt + n_tokens - 1 >= (strt // {cap} + 1) * {cap} AS INTEGER)
                  AS spans_boundary
@@ -7915,12 +7919,30 @@ def _seg_intersect_sql_oracle() -> str:
                     least(ay, by) AS y0, greatest(ay, by) AS y1
           FROM s0
         ),
+        -- cell-bucketed overlap prefilter (lossless: two intersecting
+        -- bboxes both cover the cell of any point in their
+        -- intersection) replaces the 100k x 100k IEJoin range
+        -- self-join (173 s at sf0.1); DISTINCT dedups pairs sharing
+        -- several cells before the orientation math
+        sx AS MATERIALIZED (
+          SELECT *, unnest(generate_series(
+                   CAST(floor(x0 / 0.25) AS BIGINT),
+                   CAST(floor(x1 / 0.25) AS BIGINT))) AS cx
+          FROM s
+        ),
+        sc AS MATERIALIZED (
+          SELECT *, unnest(generate_series(
+                   CAST(floor(y0 / 0.25) AS BIGINT),
+                   CAST(floor(y1 / 0.25) AS BIGINT))) AS cy
+          FROM sx
+        ),
         cand AS MATERIALIZED (
-          SELECT a.id AS a_id, b.id AS b_id,
+          SELECT DISTINCT a.id AS a_id, b.id AS b_id,
                  a.ax AS aax, a.ay AS aay, a.bx AS abx, a.by AS aby,
                  b.ax AS bax, b.ay AS bay, b.bx AS bbx, b.by AS bby
-          FROM s a JOIN s b
-            ON a.id < b.id
+          FROM sc a JOIN sc b
+            ON a.cx = b.cx AND a.cy = b.cy
+           AND a.id < b.id
            AND a.x0 <= b.x1 AND b.x0 <= a.x1
            AND a.y0 <= b.y1 AND b.y0 <= a.y1
         ),
@@ -7944,10 +7966,19 @@ def _seg_intersect_sql_oracle() -> str:
 
 
 def _snap_sql_oracle() -> str:
-    """Brute-force replay of overlay.snap_to_segments: every (event
-    point, part segment) pair, identical clamped-projection distance
-    chain, radius filter on the same squared constant, row_number
-    argmin ordered (d2, seg_id)."""
+    """Replay of overlay.snap_to_segments: radius-padded cell blocking
+    (the engine's own lossless prefilter shape — a point within radius
+    of a segment lies inside the segment bbox inflated by radius, so
+    its cell is among the cells covering that inflated bbox), then the
+    identical clamped-projection distance chain, radius filter on the
+    same squared constant, row_number argmin ordered (d2, seg_id).
+
+    The previous brute-force CROSS JOIN (events x part = 2G pairs at
+    sf0.1) took 896 s — one steal wave from killing the sweep; the
+    blocked form is exact-identical output (superset prefilter + same
+    final radius filter) at ~100x fewer candidate pairs. Each (pid,
+    sid) candidate appears at most once: a point is in exactly one
+    cell and a segment covers each cell once."""
     plon = S.lon_sql("e.event_id")
     plat = S.lat_sql("e.event_id")
     slon = S.lon_sql("p.p_partkey")
@@ -7955,9 +7986,16 @@ def _snap_sql_oracle() -> str:
     uh = S.u_sql("p.p_partkey", S.MULT_HOT)
     uw = S.u_sql("p.p_partkey", S.MULT_W)
     r2 = SNAP_RADIUS * SNAP_RADIUS
+    c = 0.25  # cell size >= nothing required: pad is by radius itself
     return f"""
         WITH pt AS MATERIALIZED (
           SELECT e.event_id AS pid, {plon} AS px, {plat} AS py FROM events e
+        ),
+        ptc AS MATERIALIZED (
+          SELECT pid, px, py,
+                 CAST(floor(px / {c}) AS BIGINT) AS cx,
+                 CAST(floor(py / {c}) AS BIGINT) AS cy
+          FROM pt
         ),
         sg AS MATERIALIZED (
           SELECT CAST(p.p_partkey AS BIGINT) AS sid,
@@ -7966,10 +8004,28 @@ def _snap_sql_oracle() -> str:
                  ({slat} + (0.4 * ({uw}) - 0.2)) AS by
           FROM part p
         ),
+        sgb AS MATERIALIZED (
+          SELECT *,
+                 CAST(floor((least(ax, bx) - {SNAP_RADIUS!r}) / {c}) AS BIGINT) AS cx0,
+                 CAST(floor((greatest(ax, bx) + {SNAP_RADIUS!r}) / {c}) AS BIGINT) AS cx1,
+                 CAST(floor((least(ay, by) - {SNAP_RADIUS!r}) / {c}) AS BIGINT) AS cy0,
+                 CAST(floor((greatest(ay, by) + {SNAP_RADIUS!r}) / {c}) AS BIGINT) AS cy1
+          FROM sg
+        ),
+        sgcx AS MATERIALIZED (
+          SELECT sid, ax, ay, bx, by, cy0, cy1,
+                 unnest(generate_series(cx0, cx1)) AS cx
+          FROM sgb
+        ),
+        sgc AS MATERIALIZED (
+          SELECT sid, ax, ay, bx, by, cx,
+                 unnest(generate_series(cy0, cy1)) AS cy
+          FROM sgcx
+        ),
         c1 AS (
           SELECT pid, sid, px, py, ax, ay,
                  bx - ax AS ex, by - ay AS ey
-          FROM pt CROSS JOIN sg
+          FROM ptc JOIN sgc ON ptc.cx = sgc.cx AND ptc.cy = sgc.cy
         ),
         c2 AS (
           SELECT *, ex * ex + ey * ey AS len2,
@@ -9780,6 +9836,7 @@ def _url_filter_sql_oracle() -> str:
         ),
         c AS (
           SELECT page_id, url, u, nq,
+                 regexp_replace(nq, '^[a-z][a-z0-9+.-]*://[^/]*', '') AS pp,
                  regexp_replace(
                    regexp_replace(nq, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
                    '/+$', '') AS tp
@@ -9791,7 +9848,8 @@ def _url_filter_sql_oracle() -> str:
                       AS BIGINT) AS path_depth,
                  CAST(length(regexp_extract(u, '\?([^#]*)', 1))
                       AS BIGINT) AS query_len,
-                 regexp_extract(nq, '\.([a-z0-9]{{1,5}})$', 1) AS ext
+                 -- ext from the PATH only (host TLD is not an ext)
+                 regexp_extract(pp, '\.([a-z0-9]{{1,5}})$', 1) AS ext
           FROM c
         )
         SELECT page_id, url, path_depth, query_len, ext,
@@ -10140,7 +10198,13 @@ def _hits_sql_oracle() -> str:
     SUM of units, then floor((s / t) * 1e14) in IEEE doubles with the
     literal-identical op shape, dead-round CASE gate included. Initial
     hub mass floor(1e14 / n) keeps every value inside the 2^53
-    exact-double range, so the BIGINT->DOUBLE casts are exact."""
+    exact-double range, so the BIGINT->DOUBLE casts are exact.
+
+    Every CTE is AS MATERIALIZED: DuckDB inlines single-use CTEs, and
+    sa{r} is referenced by BOTH ta{r} and a{r}, doubling the inlined
+    expression tree per half-round — 10 half-rounds re-evaluated the
+    base chain ~2^10 times (397 s for 500 nodes; 0.34 s materialized,
+    bit-identical output)."""
     from cadastre_pg_spark.operators.graph import RANK_UNIT
 
     n = max(300, int(PR_NODES_PER_SF * 0.01))
@@ -10151,22 +10215,22 @@ def _hits_sql_oracle() -> str:
         f"(i + 1 + (((i * 8 + k + 1) * {S.MULT_W}) % {S.MOD}) % ({n} - 1)) % {n}"
     )
     sql = f"""
-        WITH nodes AS (SELECT i AS v FROM range(0, {n}) t(i)),
-        edges AS (
+        WITH nodes AS MATERIALIZED (SELECT i AS v FROM range(0, {n}) t(i)),
+        edges AS MATERIALIZED (
           SELECT i AS src,
                  unnest([{dst_expr} for k in range(0, {deg_expr})]) AS dst
           FROM range(0, {n}) t(i)
         ),
-        h0 AS (SELECT v, CAST({u0} AS BIGINT) AS u FROM nodes)"""
+        h0 AS MATERIALIZED (SELECT v, CAST({u0} AS BIGINT) AS u FROM nodes)"""
     prev_h = "h0"
     for r in range(1, HITS_ITERS + 1):
         sql += f""",
-        sa{r} AS (
+        sa{r} AS MATERIALIZED (
           SELECT e.dst AS w, SUM(s.u) AS s
           FROM edges e JOIN {prev_h} s ON s.v = e.src GROUP BY e.dst
         ),
-        ta{r} AS (SELECT SUM(s) AS t FROM sa{r}),
-        a{r} AS (
+        ta{r} AS MATERIALIZED (SELECT SUM(s) AS t FROM sa{r}),
+        a{r} AS MATERIALIZED (
           SELECT nd.v,
                  CASE WHEN t > 0 THEN
                    CAST(floor((CAST(COALESCE(sa{r}.s, 0) AS DOUBLE)
@@ -10174,12 +10238,12 @@ def _hits_sql_oracle() -> str:
                  ELSE CAST(0 AS BIGINT) END AS u
           FROM nodes nd LEFT JOIN sa{r} ON sa{r}.w = nd.v CROSS JOIN ta{r}
         ),
-        sh{r} AS (
+        sh{r} AS MATERIALIZED (
           SELECT e.src AS w, SUM(s.u) AS s
           FROM edges e JOIN a{r} s ON s.v = e.dst GROUP BY e.src
         ),
-        th{r} AS (SELECT SUM(s) AS t FROM sh{r}),
-        h{r} AS (
+        th{r} AS MATERIALIZED (SELECT SUM(s) AS t FROM sh{r}),
+        h{r} AS MATERIALIZED (
           SELECT nd.v,
                  CASE WHEN t > 0 THEN
                    CAST(floor((CAST(COALESCE(sh{r}.s, 0) AS DOUBLE)

@@ -392,6 +392,13 @@ AGG_COL = {{
     "host_boilerplate": "n_dropped",
     "pivot_linestatus": "qty_o",
     "tile_extract": "n_cells",
+    # session-2/3 additions whose outputs are pure projections or
+    # unfiltered windows: a bare count() lets Catalyst prune the
+    # computed column / window entirely and measures a parquet scan
+    "readability": "flesch",
+    "bpe_apply": "n_symbols",
+    "global_shuffle": "pos",
+    "curriculum_order": "rank",
 }}
 RETRY_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_SEC", "5.0"))
 # global wall budget for this child: a steal wave that parks on the

@@ -1291,7 +1291,10 @@ def url_filter(
     depth = (
         F.length(trimmed) - F.length(F.regexp_replace(trimmed, "/", ""))
     ).cast("long")
-    ext = F.regexp_extract(no_qf, r"\.([a-z0-9]{1,5})$", 1)
+    # ext comes from the PATH component only: on a path-less URL the
+    # host TLD is not an extension ('cdn.example.js' must not parse as
+    # ext='js'), and an empty path yields ext=''
+    ext = F.regexp_extract(path, r"\.([a-z0-9]{1,5})$", 1)
     qs = F.regexp_extract(u, r"\?([^#]*)", 1)
     qlen = F.length(qs).cast("long")
     bad_ext = ext.isin(*blocked_ext)

@@ -1753,7 +1753,10 @@ def lsh_threshold_sweep(
 
     for bands, rpb in configs:
         if bands * rpb > N_HASHES:
-            raise ValueError(f"config {(bands, rpb)} needs {bands * rpb} > {N_HASHES} hashes")
+            raise ValueError(
+                f"config {(bands, rpb)} needs {bands * rpb} hashes "
+                f"but only {N_HASHES} available"
+            )
 
     ss = minhash_signatures(docs, n_shingle, hash_fn).persist()
     per_cfg = []

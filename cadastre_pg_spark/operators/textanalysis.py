@@ -1398,6 +1398,11 @@ def bpe_merges(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
                 F.split(F.trim(F.col(text_col)), r"\s+")
             ).alias("word")
         )
+        # empty-word gate: split('') yields [''], and Spark's
+        # sequence(1, 0) is the DESCENDING [1, 0] — an empty/
+        # whitespace-only doc would inject two empty-string symbol
+        # rows where the oracle's range(1,1) yields none
+        .where(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

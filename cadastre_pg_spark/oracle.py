@@ -31,6 +31,14 @@ def canonicalize(pdf):
 def _cell_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    # dtype-strict: the driver's hash canonicalization stringifies each
+    # cell with its Python type, so 123 (int) != 123.0 (float).  The old
+    # `==` compare was dtype-blind and certified session_overlap while
+    # the driver failed it (VERDICT round 4, finding #1/#2).
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
