@@ -4071,55 +4071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graded queries remain covered by scripts/sweep_oracles.py
     # (committed SWEEP_r4.json) + pytest.
     return {
-        "blocklist_filter": q_blocklist_filter,
-        "bloom_contamination": q_bloom_contamination,
-        "poisson_bootstrap": q_poisson_bootstrap,
-        "ab_test": q_ab_test,
-        "ppr": q_ppr,
-        "retrieval_eval": q_retrieval_eval,
-        "url_filter": q_url_filter,
-        "lang_mix": q_lang_mix,
-        "temperature_mixture": q_temperature_mixture,
-        "jl_project": q_jl_project,
-        "centroid_drift": q_centroid_drift,
-        "label_prop": q_label_prop,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "char_entropy": q_char_entropy,
-        "token_fertility": q_token_fertility,
-        "host_boilerplate": q_host_boilerplate,
-        "chunk_docs": q_chunk_docs,
-        "norm_dedup": q_norm_dedup,
-        "skipgram_pmi": q_skipgram_pmi,
-        "winnowing": q_winnowing,
-        "winnow_pairs": q_winnow_pairs,
-        "containment_pairs": q_containment,
-        "crawl_delta": q_crawl_delta,
-        "skew_report": q_skew_report,
-        "tfidf_topk": q_tfidf_topk,
-        "ks_drift": q_ks_drift,
-        "ccnet_buckets": q_ccnet_buckets,
-        "source_sketch_sim": q_source_sketch_sim,
-        "morton_range_scan": q_morton_range_scan,
-        "keep_best": q_keep_best,
-        "semdedup": q_semdedup,
-        "dsir_logratio": q_dsir_logratio,
-        "dsir_select": q_dsir_select,
-        "gopher_rules": q_gopher_rules,
-        "script_ratios": q_script_ratios,
-        "minhash_calibration": q_minhash_calibration,
-        "bigram_surprisal": q_bigram_surprisal,
-        "hash_split": q_hash_split,
-        "novelty_score": q_novelty_score,
-        "corpus_report": q_corpus_report,
-        "ivf_recall": q_ivf_recall,
-        "session_stats": q_session_stats,
-        "funnel_steps": q_funnel_steps,
-        "value_percentiles": q_value_percentiles,
-        "winsor_stats": q_winsor_stats,
-        "rank_normalize": q_rank_normalize,
-        "zipf_fit": q_zipf_fit,
-        "repetition_scores": q_repetition_scores,
-        "event_concurrency": q_event_concurrency,
+        # --- round-5 graded window: session_overlap (r4 red row, oracle
+        # dtype fixed, needs its green driver re-grade) + the next 49
+        # never-driver-graded registry entries (VERDICT r4 item #3) ---
         "session_overlap": q_session_overlap,
         "top_terms": q_top_terms,
         "incremental_neardup": q_incremental_neardup,
@@ -4170,6 +4124,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "triangles": q_triangles,
         "kcore": q_kcore,
+        # --- previously driver-graded (r1-r4 artifacts) + remaining
+        # never-graded tail; full registry covered by the committed
+        # sweep artifact (scripts/sweep_oracles.py) + pytest ---
+        "blocklist_filter": q_blocklist_filter,
+        "bloom_contamination": q_bloom_contamination,
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "ab_test": q_ab_test,
+        "ppr": q_ppr,
+        "retrieval_eval": q_retrieval_eval,
+        "url_filter": q_url_filter,
+        "lang_mix": q_lang_mix,
+        "temperature_mixture": q_temperature_mixture,
+        "jl_project": q_jl_project,
+        "centroid_drift": q_centroid_drift,
+        "label_prop": q_label_prop,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "char_entropy": q_char_entropy,
+        "token_fertility": q_token_fertility,
+        "host_boilerplate": q_host_boilerplate,
+        "chunk_docs": q_chunk_docs,
+        "norm_dedup": q_norm_dedup,
+        "skipgram_pmi": q_skipgram_pmi,
+        "winnowing": q_winnowing,
+        "winnow_pairs": q_winnow_pairs,
+        "containment_pairs": q_containment,
+        "crawl_delta": q_crawl_delta,
+        "skew_report": q_skew_report,
+        "tfidf_topk": q_tfidf_topk,
+        "ks_drift": q_ks_drift,
+        "ccnet_buckets": q_ccnet_buckets,
+        "source_sketch_sim": q_source_sketch_sim,
+        "morton_range_scan": q_morton_range_scan,
+        "keep_best": q_keep_best,
+        "semdedup": q_semdedup,
+        "dsir_logratio": q_dsir_logratio,
+        "dsir_select": q_dsir_select,
+        "gopher_rules": q_gopher_rules,
+        "script_ratios": q_script_ratios,
+        "minhash_calibration": q_minhash_calibration,
+        "bigram_surprisal": q_bigram_surprisal,
+        "hash_split": q_hash_split,
+        "novelty_score": q_novelty_score,
+        "corpus_report": q_corpus_report,
+        "ivf_recall": q_ivf_recall,
+        "session_stats": q_session_stats,
+        "funnel_steps": q_funnel_steps,
+        "value_percentiles": q_value_percentiles,
+        "winsor_stats": q_winsor_stats,
+        "rank_normalize": q_rank_normalize,
+        "zipf_fit": q_zipf_fit,
+        "repetition_scores": q_repetition_scores,
+        "event_concurrency": q_event_concurrency,
         "bfs_hops": q_bfs_hops,
         "sssp": q_sssp,
         "link_predict": q_link_predict,
@@ -4200,7 +4206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_entropy": q_cell_entropy,
         "snap": q_snap,
         "peak_concurrency": q_peak_concurrency,
-        # --- graded rounds 1-3 (CORRECTNESS_r01..r03 all green) ---
         "flagship_cell_join": q_flagship,
         "spatial_join_scale": q_spatial_join_scale,
         "grid_cell_assign": q_grid_cell_assign,
