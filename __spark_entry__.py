@@ -2334,6 +2334,9 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+INTERVAL_BUCKET_CAP = 10_000
+
+
 def q_event_concurrency(spark, sf_dir):
     """For each 'error' event: how many gap-rule sessions (any user)
     were active at that instant — the interval-point bucketed join
@@ -2350,7 +2353,13 @@ def q_event_concurrency(spark, sf_dir):
     errs = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("point_id"), "ts"
     )
-    pairs = interval_point_join(sess, errs, bucket_seconds=3600)
+    # measured cap: the densest hour bucket holds 168 intervals / 45
+    # error points at sf0.1, so 10k never skips on the test data (the
+    # oracle stays exact) while bounding an adversarial hot hour's
+    # quadratic grid at 10k^2 with a loud _skipped_buckets report
+    pairs = interval_point_join(
+        sess, errs, bucket_seconds=3600, max_per_bucket=INTERVAL_BUCKET_CAP
+    )
     counts = pairs.groupBy("point_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         errs.join(counts, "point_id", "left")
@@ -2402,9 +2411,11 @@ def q_session_overlap(spark, sf_dir):
         F.col("session_start").alias("start_ts"),
         F.col("session_end").alias("end_ts"),
     )
-    return interval_overlap_join(sess, bucket_seconds=3600).select(
-        "a_id", "b_id", "overlap_us"
-    )
+    # same measured cap rationale as q_event_concurrency: sf0.1 max
+    # bucket population is 168, so the cap never fires on test data
+    return interval_overlap_join(
+        sess, bucket_seconds=3600, max_per_bucket=INTERVAL_BUCKET_CAP
+    ).select("a_id", "b_id", "overlap_us")
 
 
 def q_peak_concurrency(spark, sf_dir):

@@ -53,6 +53,23 @@ def _guarded_buckets(
     ).otherwise(F.sequence(lo, hi))
 
 
+def _cap_bucket_side(df, tag: str, max_per_bucket: int):
+    """Drop every row of buckets whose population on this side exceeds
+    the cap, returning (kept, skipped-report) — skipped is (bucket,
+    side, n), one row per over-cap bucket. Window count over the
+    join's own partition key: one exchange, reused by the join."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket")
+    sized = df.withColumn("_n", F.count(F.lit(1)).over(wb))
+    over = (
+        sized.filter(F.col("_n") > max_per_bucket)
+        .select("bucket", F.lit(tag).alias("side"), F.col("_n").alias("n"))
+        .distinct()
+    )
+    return sized.filter(F.col("_n") <= max_per_bucket).drop("_n"), over
+
+
 def interval_overlap_join(
     a: DataFrame,
     b: DataFrame | None = None,
@@ -103,21 +120,8 @@ def interval_overlap_join(
     left, right = side(a, "a"), side(b, "b")
     skipped = None
     if max_per_bucket is not None:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("bucket")
-
-        def capped(df, tag):
-            sized = df.withColumn("_n", F.count(F.lit(1)).over(wb))
-            over = (
-                sized.filter(F.col("_n") > max_per_bucket)
-                .select("bucket", F.lit(tag).alias("side"), F.col("_n").alias("n"))
-                .distinct()
-            )
-            return sized.filter(F.col("_n") <= max_per_bucket).drop("_n"), over
-
-        left, sk_a = capped(left, "a")
-        right, sk_b = capped(right, "b")
+        left, sk_a = _cap_bucket_side(left, "a", max_per_bucket)
+        right, sk_b = _cap_bucket_side(right, "b", max_per_bucket)
         skipped = sk_a.unionByName(sk_b)
     cond = (
         (F.col("a_start") <= F.col("b_end"))
@@ -161,10 +165,17 @@ def interval_point_join(
     pt_id: str = "point_id",
     ts: str = "ts",
     max_buckets_per_interval: int = 10_000,
+    max_per_bucket: int | None = None,
 ) -> DataFrame:
     """All (point, interval) pairs with start <= ts <= end (closed
     bounds, microsecond grain). Output: (pt_id, iv_id) plus the three
-    timestamp columns. Each qualifying pair appears exactly once."""
+    timestamp columns. Each qualifying pair appears exactly once.
+
+    The per-bucket candidate grid is |points| x |intervals| before the
+    containment residual prunes, so a hot bucket (traffic spike hour)
+    is quadratic. `max_per_bucket` SKIPS buckets whose side population
+    exceeds it and reports them on the result as `_skipped_buckets`
+    (bucket, side, n) — measured cap, never silent."""
     lo = _bucket(F.col(start), bucket_seconds)
     hi = _bucket(F.col(end), bucket_seconds)
     b_iv = intervals.select(
@@ -178,11 +189,19 @@ def interval_point_join(
     b_pt = points.select(
         pt_id, ts, _bucket(F.col(ts), bucket_seconds).alias("bucket")
     )
-    return (
+    skipped = None
+    if max_per_bucket is not None:
+        b_iv, sk_iv = _cap_bucket_side(b_iv, "interval", max_per_bucket)
+        b_pt, sk_pt = _cap_bucket_side(b_pt, "point", max_per_bucket)
+        skipped = sk_iv.unionByName(sk_pt)
+    out = (
         b_pt.join(b_iv, "bucket")
         .filter((F.col(start) <= F.col(ts)) & (F.col(ts) <= F.col(end)))
         .select(pt_id, iv_id, ts, start, end)
     )
+    if skipped is not None:
+        out._skipped_buckets = skipped
+    return out
 
 
 def concurrency_profile(

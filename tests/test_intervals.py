@@ -142,6 +142,43 @@ def test_interval_overlap_mega_bucket_cap(spark):
     assert len({(r.a_id, r.b_id) for r in full.collect()}) > 1000
 
 
+def test_interval_point_join_hot_hour_cap(spark):
+    # adversarial hot hour: 60 sessions and 40 points pile into one
+    # bucket (quadratic grid) while a quiet hour stays small — the cap
+    # skips the hot bucket LOUDLY and leaves the quiet bucket exact
+    hot_iv = [
+        (i, T0 + timedelta(minutes=i % 10), T0 + timedelta(minutes=25 + i % 10))
+        for i in range(60)
+    ]
+    quiet_iv = [
+        (100 + i, T0 + timedelta(hours=7, minutes=i), T0 + timedelta(hours=7, minutes=i + 5))
+        for i in range(3)
+    ]
+    hot_pt = [(j, T0 + timedelta(minutes=5 + j % 20)) for j in range(40)]
+    quiet_pt = [(100 + j, T0 + timedelta(hours=7, minutes=2 + j)) for j in range(4)]
+    iv_df = spark.createDataFrame(
+        hot_iv + quiet_iv, "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    pt_df = spark.createDataFrame(hot_pt + quiet_pt, "point_id long, ts timestamp")
+
+    out = interval_point_join(iv_df, pt_df, 3600, max_per_bucket=30)
+    got = {(r.point_id, r.interval_id) for r in out.collect()}
+    exp_quiet = _brute(quiet_iv, quiet_pt)
+    assert got == exp_quiet and len(exp_quiet) > 5
+    sk = {(r.side, r.n) for r in out._skipped_buckets.collect()}
+    # interval side: 60 rows in the hot bucket; point side: 40
+    assert sk == {("interval", 60), ("point", 40)}
+
+    # uncapped recovers the hot-bucket pairs exactly (losslessness of
+    # the bucketing itself is separate from the cap)
+    full = {
+        (r.point_id, r.interval_id)
+        for r in interval_point_join(iv_df, pt_df, 3600).collect()
+    }
+    assert full == _brute(hot_iv + quiet_iv, hot_pt + quiet_pt)
+    assert len(full) > 1000
+
+
 # ------------------------------------------------------- concurrency
 
 
