@@ -4073,6 +4073,163 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def _partsupp(spark, sf_dir):
+    """Derived partsupp relation (data/synthetic.py twins): part x 4
+    supplier slots, stride-spread supplier keys (a real PK), integer
+    availqty and cost CENTS. The supplier count is the only runtime
+    input — a one-row count on the tiny dim table."""
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    # k explodes as INT; widen before the LCG multiply (ANSI int32
+    # overflow otherwise — k * MULT_LAT exceeds 2^31)
+    pk, k = F.col("p_partkey"), F.col("k").cast("long")
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", F.explode(F.sequence(F.lit(0), F.lit(S.PS_PER_PART - 1))).alias("k"))
+        .select(
+            pk.alias("ps_partkey"),
+            S.ps_suppkey_col(pk, k, n_supp).cast("long").alias("ps_suppkey"),
+            S.ps_availqty_col(pk, k).cast("long").alias("ps_availqty"),
+            S.ps_cost_cents_col(pk, k).cast("long").alias("ps_cost_cents"),
+        )
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (min-cost supplier), adapted to the derived partsupp
+    and trimmed dims: for LARGE parts of size <= 25, the EUROPE-region
+    supplier(s) achieving the region-minimum supply cost per part.
+    Supplier/nation/region collapse to one broadcast dim; the min is a
+    window over the partsupp-side partition key (one exchange); cost
+    surfaces as dollars from exact integer cents."""
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_brand")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat.n_regionkey == reg.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(eu_sup), ps.ps_suppkey == F.col("s_suppkey"))
+        .withColumn("_min_cents", F.min("ps_cost_cents").over(w))
+        .filter(F.col("ps_cost_cents") == F.col("_min_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            (F.col("ps_cost_cents") / F.lit(100.0)).alias("supplycost"),
+        )
+    )
+
+
+TPCH_Q11_FRACTION_DEN = 2000  # value > total / 2000
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: per-part inventory value
+    sum(cost * availqty) over NATION_7's suppliers, kept when value
+    exceeds 1/2000 of the nation total. All-integer cents until the
+    surface division, so the HAVING threshold is an exact BIGINT
+    comparison in both engines; the one-row total broadcasts."""
+    ps = _partsupp(spark, sf_dir)
+    nat7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    grouped = (
+        ps.join(F.broadcast(nat7), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias(
+                "value_cents"
+            )
+        )
+    )
+    total = grouped.agg(F.sum("value_cents").alias("_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.lit(TPCH_Q11_FRACTION_DEN) > F.col("_total")
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (excess-stock suppliers), adapted: suppliers in the
+    ASIA region holding a 'small%' part whose availqty exceeds half
+    the 1996 shipped quantity of that (part, supplier) — the
+    half-threshold is the exact integer test 2*availqty > sum_qty.
+    lineitem aggregates once on its own (partkey, suppkey) key; part
+    and the region dim broadcast; distinct suppliers close it out."""
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    excess = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            li,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * F.lit(2) > F.col("sum_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return excess.join(
+        F.broadcast(asia_sup), excess.ps_suppkey == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver grades the FIRST 50 entries
     # against oracle_sql() per round (CORRECTNESS_r{N}.json).  Rounds
@@ -4132,12 +4289,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "corpus_prep": q_corpus_prep,
         "mad_outliers": q_mad_outliers,
-        "ewma": q_ewma,
-        "triangles": q_triangles,
-        "kcore": q_kcore,
+        # round-5 additions (derived-partsupp TPC-H) go straight into
+        # the graded window — new oracles carry the freshest risk
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         # --- previously driver-graded (r1-r4 artifacts) + remaining
         # never-graded tail; full registry covered by the committed
         # sweep artifact (scripts/sweep_oracles.py) + pytest ---
+        "ewma": q_ewma,
+        "triangles": q_triangles,
+        "kcore": q_kcore,
         "blocklist_filter": q_blocklist_filter,
         "bloom_contamination": q_bloom_contamination,
         "poisson_bootstrap": q_poisson_bootstrap,
@@ -6949,6 +7111,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
               AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
             GROUP BY 1, 2, 3
+        """,
+        # q2/q11/q20 run over the DERIVED partsupp (synthetic.py twins;
+        # the ns/partsupp CTEs splice in SF-generically via the
+        # supplier count). All partsupp arithmetic is integer, so the
+        # only doubles are the final /100.0 cents->dollars casts of
+        # identical BIGINTs.
+        "tpch_q2": f"""
+            WITH {S.partsupp_sql()},
+            eu_sup AS MATERIALIZED (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            cand AS MATERIALIZED (
+              SELECT ps_partkey, ps_cost_cents,
+                     s_acctbal, s_name, n_name, p_brand,
+                     min(ps_cost_cents) OVER (PARTITION BY ps_partkey)
+                       AS min_cents
+              FROM partsupp
+              JOIN part ON p_partkey = ps_partkey
+               AND p_type = 'LARGE' AND p_size <= 25
+              JOIN eu_sup ON s_suppkey = ps_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name,
+                   ps_partkey AS p_partkey, p_brand,
+                   CAST(ps_cost_cents AS BIGINT) / 100.0 AS supplycost
+            FROM cand WHERE ps_cost_cents = min_cents
+        """,
+        "tpch_q11": f"""
+            WITH {S.partsupp_sql()},
+            g AS MATERIALIZED (
+              SELECT ps_partkey,
+                     -- CAST: sum() is HUGEINT in DuckDB -> float64 in
+                     -- pandas; Spark emits int64
+                     CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT)
+                       AS value_cents
+              FROM partsupp
+              JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY ps_partkey
+            ),
+            t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM g)
+            SELECT ps_partkey, value_cents / 100.0 AS value
+            FROM g, t
+            WHERE value_cents * {TPCH_Q11_FRACTION_DEN} > total
+        """,
+        "tpch_q20": f"""
+            WITH {S.partsupp_sql()},
+            lq AS MATERIALIZED (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+              FROM lineitem
+              WHERE year(l_shipdate) = 1996
+              GROUP BY l_partkey, l_suppkey
+            ),
+            excess AS (
+              SELECT DISTINCT ps_suppkey
+              FROM partsupp
+              JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+              JOIN lq ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              WHERE ps_availqty * 2 > sum_qty
+            )
+            SELECT s_suppkey, s_name
+            FROM excess
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
         """,
         "tpch_q21": """
             WITH j AS (

@@ -277,3 +277,58 @@ def parcel_box_sql(expr: str):
     hw = f"(({P_HW0} + {P_HW_SPAN} * ({u_sql(expr, MULT_W)})) * {scale})"
     hh = f"(({P_HH0} + {P_HH_SPAN} * ({u_sql(expr, MULT_H)})) * {scale})"
     return cx, cy, hw, hh
+
+
+# ----------------------------------------------- derived partsupp twins
+#
+# The driver's trimmed TPC-H schema ships no partsupp table, which
+# excluded TPC-H q2/q11/q20. This section derives one deterministically
+# from `part` x a 0..3 slot index — all-INTEGER arithmetic (no IEEE
+# concerns), emitted as both Spark Columns and a DuckDB CTE so engine
+# and oracle read the identical relation. Supplier keys are spread with
+# the TPC-H generator's own stride trick (base + k * n//4, distinct mod
+# n for n >= 4) so (ps_partkey, ps_suppkey) is a real primary key.
+# Costs are integer CENTS: aggregates like q11's sum(cost * qty) stay
+# exact BIGINTs in both engines, divided by 100.0 only at the surface.
+
+PS_PER_PART = 4
+PS_QTY_MOD = 9999  # availqty in 1..9999
+PS_COST_MOD = 99900  # cost cents in 100..99999 (1.00 .. 999.99)
+
+
+def ps_suppkey_col(pk: Column, k: Column, n_supp: int) -> Column:
+    base = (pk * F.lit(MULT_W)) % F.lit(MOD) % F.lit(n_supp)
+    return (base + k * F.lit(n_supp // PS_PER_PART)) % F.lit(n_supp)
+
+
+def ps_availqty_col(pk: Column, k: Column) -> Column:
+    return 1 + (pk * F.lit(MULT_LON) + k * F.lit(MULT_LAT)) % F.lit(MOD) % F.lit(
+        PS_QTY_MOD
+    )
+
+
+def ps_cost_cents_col(pk: Column, k: Column) -> Column:
+    return 100 + (pk * F.lit(MULT_HOT) + k * F.lit(MULT_H)) % F.lit(MOD) % F.lit(
+        PS_COST_MOD
+    )
+
+
+def partsupp_sql() -> str:
+    """Two CTE definitions (splice after WITH): the supplier-count
+    scalar `ns` and the derived `partsupp` relation over `part`.
+    SF-generic — n_supp comes from the supplier view, mirroring the
+    Spark side's supplier.count(); all other arithmetic mirrors the
+    three *_col derivations exactly (same op order, all integer)."""
+    return f"""
+    ns AS (SELECT count(*) AS n, count(*) // {PS_PER_PART} AS stride
+           FROM supplier),
+    partsupp AS MATERIALIZED (
+      SELECT p_partkey AS ps_partkey,
+             (((p_partkey * {MULT_W}) % {MOD}) % ns.n
+               + k * ns.stride) % ns.n AS ps_suppkey,
+             1 + ((p_partkey * {MULT_LON} + k * {MULT_LAT}) % {MOD})
+               % {PS_QTY_MOD} AS ps_availqty,
+             100 + ((p_partkey * {MULT_HOT} + k * {MULT_H}) % {MOD})
+               % {PS_COST_MOD} AS ps_cost_cents
+      FROM part, range(0, {PS_PER_PART}) t(k), ns
+    )"""
