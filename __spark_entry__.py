@@ -4169,9 +4169,12 @@ def q_tpch_q11(spark, sf_dir):
                 "value_cents"
             )
         )
+        # persist: both the one-row total and the filtered output read
+        # this aggregate — unpersisted, the join+agg subtree runs twice
+        .persist()
     )
     total = grouped.agg(F.sum("value_cents").alias("_total"))
-    return (
+    out = (
         grouped.crossJoin(F.broadcast(total))
         .filter(
             F.col("value_cents") * F.lit(TPCH_Q11_FRACTION_DEN) > F.col("_total")
@@ -4181,6 +4184,8 @@ def q_tpch_q11(spark, sf_dir):
             (F.col("value_cents") / F.lit(100.0)).alias("value"),
         )
     )
+    out._cadastre_cached = [grouped]
+    return out
 
 
 def q_tpch_q20(spark, sf_dir):

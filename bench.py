@@ -263,6 +263,9 @@ BENCH_QUERIES = [
     "tpch_q12",
     "tpch_q16",
     "tpch_q21",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
     "heldout_perplexity",
     "psi_drift",
     "gini_tokens",
@@ -396,6 +399,8 @@ AGG_COL = {{
     # unfiltered windows: a bare count() lets Catalyst prune the
     # computed column / window entirely and measures a parquet scan
     "readability": "flesch",
+    "tpch_q2": "supplycost",
+    "tpch_q11": "value",
     "bpe_apply": "n_symbols",
     "global_shuffle": "pos",
     "curriculum_order": "rank",
