@@ -204,6 +204,54 @@ def test_containment_equals_brute_force(spark):
     assert pairs == _brute_containment(rows, 8, 10)
 
 
+def test_containment_wide_vocab_equals_brute_force(spark):
+    """Wider-vocabulary corpus (80 tokens, docs are overlapping
+    slices) with a twin and an everything-superset; engine pairs ==
+    all-pairs brute force."""
+    from cadastre_pg_spark.operators.dedup import containment_join
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    vocab = [f"w{i:02d}" for i in range(80)]
+    rows = []
+    for d in range(30):
+        lo = (7 * d) % 60
+        rows.append((d, " ".join(vocab[lo : lo + 5 + (d % 9)])))
+    rows.append((100, rows[4][1]))  # twin of doc 4
+    rows.append((101, " ".join(vocab)))  # superset of everything
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_join(docs, 8, 10)
+    pairs = {
+        (r.a_id, r.b_id, r.inter, r.size_a, r.size_b) for r in got.collect()
+    }
+    release_cached(got)
+    assert pairs == _brute_containment(rows, 8, 10)
+
+
+def test_containment_clone_groups_equals_brute_force(spark):
+    """Degenerate small-vocab corpus (64 tokens, every posting bucket
+    ~the whole corpus) with three-way clone groups and a full-vocab
+    superset — the shape where prefix pruning is weakest; brute-force
+    oracle."""
+    from cadastre_pg_spark.operators.dedup import containment_join
+    from cadastre_pg_spark.operators.spatial_join import release_cached
+
+    vocab = [f"v{i:02d}" for i in range(64)]  # exactly 64 -> bit 63 used
+    rows = []
+    for d in range(40):
+        lo = (5 * d) % 50
+        rows.append((d, " ".join(vocab[lo : lo + 4 + (d % 11)])))
+    rows.append((200, rows[7][1]))  # clone pair
+    rows.append((201, rows[7][1]))  # three-way clone group
+    rows.append((202, " ".join(vocab)))  # the full-vocab superset
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_join(docs, 8, 10)
+    pairs = {
+        (r.a_id, r.b_id, r.inter, r.size_a, r.size_b) for r in got.collect()
+    }
+    release_cached(got)
+    assert pairs == _brute_containment(rows, 8, 10)
+
+
 def test_containment_bucket_cap_reports_skips(spark):
     """With max_bucket set on a shared-token corpus, skipped posting
     buckets are reported, never silent."""
