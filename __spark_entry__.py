@@ -2159,6 +2159,13 @@ def q_collocations(spark, sf_dir):
     return TA.collocations(_docs(spark, sf_dir), min_count=COLLOC_MIN)
 
 
+def q_bleu_eval(spark, sf_dir):
+    """Doc-level BLEU-2 of the lowercase/punct-strip normalization
+    against the original tokenization — clipped n-gram precision +
+    brevity penalty, side-tagged one-aggregate topology."""
+    return TA.bleu_eval(_docs(spark, sf_dir))
+
+
 SETSIM_NUM, SETSIM_DEN = 9, 10
 
 
@@ -4375,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim": q_setsim,
         "heavy_hitters": q_heavy_hitters,
         "collocations": q_collocations,
+        "bleu_eval": q_bleu_eval,
         "theil_sen": q_theil_sen,
         "theil_sen_sampled": q_theil_sen_sampled,
         "benford": q_benford,
@@ -5295,6 +5303,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT ns.user_id, n,
                    CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, ts_slope
             FROM ns LEFT JOIN m ON m.user_id = ns.user_id
+        """,
+        "bleu_eval": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(rt) > 0
+                          THEN regexp_split_to_array(rt, '\s+')
+                          ELSE [] END AS tr,
+                     CASE WHEN length(ht) > 0
+                          THEN regexp_split_to_array(ht, '\s+')
+                          ELSE [] END AS th
+              FROM (
+                SELECT doc_id,
+                       trim(text) AS rt,
+                       trim(regexp_replace(lower(text),
+                                           '[^a-z0-9\s]', ' ', 'g')) AS ht
+                FROM documents
+              )
+            ),
+            grams AS (
+              SELECT doc_id, 1 AS ord, '' AS g1, '' AS g2, 'x' AS side
+              FROM base
+              UNION ALL
+              SELECT doc_id, 1 AS ord, g1, '' AS g2, 'r' AS side
+              FROM (SELECT doc_id, unnest(tr) AS g1 FROM base)
+              UNION ALL
+              SELECT doc_id, 1, g1, '', 'h'
+              FROM (SELECT doc_id, unnest(th) AS g1 FROM base)
+              UNION ALL
+              SELECT doc_id, 2 AS ord, tr[i] AS g1, tr[i + 1] AS g2,
+                     'r' AS side
+              FROM (SELECT doc_id, tr,
+                           unnest([i for i in range(1, len(tr))]) AS i
+                    FROM base WHERE len(tr) >= 2)
+              UNION ALL
+              SELECT doc_id, 2, th[i], th[i + 1], 'h'
+              FROM (SELECT doc_id, th,
+                           unnest([i for i in range(1, len(th))]) AS i
+                    FROM base WHERE len(th) >= 2)
+            ),
+            per_gram AS (
+              SELECT doc_id, ord, g1, g2,
+                     count(*) FILTER (WHERE side = 'h') AS h,
+                     count(*) FILTER (WHERE side = 'r') AS r
+              FROM grams GROUP BY doc_id, ord, g1, g2
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN ord = 1 THEN r ELSE 0 END)
+                          AS BIGINT) AS ref_len,
+                     CAST(sum(CASE WHEN ord = 1 THEN h ELSE 0 END)
+                          AS BIGINT) AS hyp_len,
+                     CAST(sum(CASE WHEN ord = 1 THEN least(h, r)
+                              ELSE 0 END) AS BIGINT) AS p1_num,
+                     CAST(sum(CASE WHEN ord = 2 THEN least(h, r)
+                              ELSE 0 END) AS BIGINT) AS p2_num
+              FROM per_gram GROUP BY doc_id
+            )
+            SELECT doc_id, ref_len, hyp_len, p1_num, p2_num,
+                   round(CASE WHEN hyp_len < 2 OR p1_num = 0
+                                   OR p2_num = 0 THEN 0.0
+                         ELSE (CASE WHEN hyp_len >= ref_len THEN 1.0
+                               ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+                                              / CAST(hyp_len AS DOUBLE))
+                               END)
+                              * sqrt((CAST(p1_num AS DOUBLE)
+                                      / CAST(hyp_len AS DOUBLE))
+                                     * (CAST(p2_num AS DOUBLE)
+                                        / (CAST(hyp_len AS DOUBLE)
+                                           - 1.0)))
+                         END, 6) AS bleu2
+            FROM per_doc
         """,
         "collocations": f"""
             WITH tk AS (

@@ -338,6 +338,7 @@ AGG_COL = {{
     "setsim": "jaccard",
     "snap": "d2",
     "collocations": "pmi_u",
+    "bleu_eval": "bleu2",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

@@ -1925,3 +1925,133 @@ def heldout_perplexity(
     )
     out._cadastre_cached = [ex]
     return out
+
+
+def bleu_eval(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Doc-level BLEU-2 of an aggressive normalization (lowercase +
+    punctuation-strip + whitespace-collapse) against the original
+    tokenization — the generation-eval primitive (clipped modified
+    n-gram precision + brevity penalty), used here as a curation
+    diagnostic: how much surface form does the cleaning rewrite
+    destroy per document. Reference lineage: extends the reference's
+    per-feature text normalization checks (cadastre-pg cli.rs
+    P-group scalar derivations) to a scored hypothesis/reference
+    comparison.
+
+    Output one row per doc: (doc_id, ref_len, hyp_len, p1_num,
+    p2_num, bleu2) where p1/p2 are clipped unigram/bigram match
+    counts (denominators hyp_len and hyp_len-1), and bleu2 =
+    BP * sqrt(p1 * p2) rounded to 6 dp, BP = exp(1 - ref_len /
+    hyp_len) when the hypothesis is shorter (cosine-family rounding
+    policy: sqrt and division are correctly rounded IEEE, exp ~1ulp
+    — empirically exact behind the 1e-6 grid on the fixed data).
+
+    Scale shape: tokenization is persisted ONCE; four explode
+    branches (ref/hyp x unigram/bigram) union into ONE
+    (doc_id, order, g1, g2) hash aggregate with map-side partials
+    (side-tagged conditional counts — no hyp-vs-ref join), then a
+    doc-level rollup; bigrams come from in-row zip-slices
+    (collocations topology), never a window or self-join. All
+    codegen: no higher-order lambdas, no Python.
+    """
+    ref_txt = F.trim(F.col(text_col))
+    hyp_txt = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")
+    )
+    tok = lambda t: F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = docs.select(
+        "doc_id", tok(ref_txt).alias("tr"), tok(hyp_txt).alias("th")
+    ).persist()
+
+    def _uni(col: str, side: str) -> DataFrame:
+        return base.select(
+            "doc_id",
+            F.lit(1).alias("ord"),
+            F.explode(col).alias("g1"),
+            F.lit("").alias("g2"),
+            F.lit(side).alias("side"),
+        )
+
+    def _bi(col: str, side: str) -> DataFrame:
+        n = F.size(col)
+        return (
+            base.where(n >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col(col), 1, n - 1).alias("g1"),
+                        F.slice(F.col(col), 2, n - 1).alias("g2"),
+                    )
+                ).alias("p"),
+                F.lit(side).alias("side"),
+            )
+            .select(
+                "doc_id",
+                F.lit(2).alias("ord"),
+                F.col("p.g1").alias("g1"),
+                F.col("p.g2").alias("g2"),
+                "side",
+            )
+        )
+
+    # neutral seed row per doc (side 'x' counts into neither h nor r)
+    # so empty / all-punct docs still emit a scored output row
+    seed = base.select(
+        "doc_id",
+        F.lit(1).alias("ord"),
+        F.lit("").alias("g1"),
+        F.lit("").alias("g2"),
+        F.lit("x").alias("side"),
+    )
+    grams = (
+        seed.unionByName(_uni("tr", "r"))
+        .unionByName(_uni("th", "h"))
+        .unionByName(_bi("tr", "r"))
+        .unionByName(_bi("th", "h"))
+    )
+    per_gram = grams.groupBy("doc_id", "ord", "g1", "g2").agg(
+        F.count(F.when(F.col("side") == "h", 1)).alias("h"),
+        F.count(F.when(F.col("side") == "r", 1)).alias("r"),
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("ord") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("ref_len"),
+        F.sum(F.when(F.col("ord") == 1, F.col("h")).otherwise(0))
+        .cast("long")
+        .alias("hyp_len"),
+        F.sum(
+            F.when(F.col("ord") == 1, F.least("h", "r")).otherwise(0)
+        )
+        .cast("long")
+        .alias("p1_num"),
+        F.sum(
+            F.when(F.col("ord") == 2, F.least("h", "r")).otherwise(0)
+        )
+        .cast("long")
+        .alias("p2_num"),
+    )
+    hl = F.col("hyp_len").cast("double")
+    rl = F.col("ref_len").cast("double")
+    p1 = F.col("p1_num").cast("double") / hl
+    p2 = F.col("p2_num").cast("double") / (hl - F.lit(1.0))
+    bp = F.when(F.col("hyp_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - rl / hl)
+    )
+    bleu = F.when(
+        (F.col("hyp_len") < 2) | (F.col("p1_num") == 0) | (F.col("p2_num") == 0),
+        F.lit(0.0),
+    ).otherwise(bp * F.sqrt(p1 * p2))
+    out = per_doc.select(
+        "doc_id",
+        "ref_len",
+        "hyp_len",
+        "p1_num",
+        "p2_num",
+        F.round(bleu, 6).alias("bleu2"),
+    )
+    out._cadastre_cached = [base]
+    return out

@@ -1,0 +1,82 @@
+"""Round-5 operators: bleu_eval (and later additions). Oracle parity
+is covered by the registry sweep; these are behavioral goldens and
+degenerate-input checks."""
+
+import math
+
+from cadastre_pg_spark.operators.textanalysis import bleu_eval
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in bleu_eval(df).collect()}
+    return out
+
+
+def test_bleu_identical_text_scores_one(spark):
+    # all-lowercase alphanumeric text: normalization is a no-op
+    out = _run(spark, [(1, "the cat sat on the mat")])
+    r = out[1]
+    assert r["ref_len"] == r["hyp_len"] == 6
+    assert r["p1_num"] == 6 and r["p2_num"] == 5
+    assert r["bleu2"] == 1.0
+
+
+def test_bleu_hand_computed_golden(spark):
+    # ref: "The cat, sat." -> tokens [The, cat,, sat.]
+    # hyp: lower+strip    -> tokens [the, cat, sat]
+    # unigram clip: no surface forms match -> p1_num 0 -> bleu 0
+    out = _run(spark, [(1, "The cat, sat.")])
+    r = out[1]
+    assert r["ref_len"] == 3 and r["hyp_len"] == 3
+    assert r["p1_num"] == 0 and r["bleu2"] == 0.0
+
+    # partial overlap with a brevity penalty:
+    # ref: "aa bb. cc dd" -> [aa, bb., cc, dd]   (4 tokens)
+    # hyp:                -> [aa, bb, cc, dd] -> wait, "bb." -> "bb "
+    # -> [aa, bb, cc, dd]  (4 tokens, no BP)
+    # uni clip: aa,cc,dd match = 3; bigrams ref {aa bb., bb. cc, cc dd}
+    # hyp {aa bb, bb cc, cc dd} -> only "cc dd" matches = 1
+    out = _run(spark, [(2, "aa bb. cc dd")])
+    r = out[2]
+    assert (r["ref_len"], r["hyp_len"]) == (4, 4)
+    assert (r["p1_num"], r["p2_num"]) == (3, 1)
+    want = round(math.sqrt((3 / 4) * (1 / 3)), 6)
+    assert r["bleu2"] == want
+
+
+def test_bleu_brevity_penalty(spark):
+    # ref: "aa !! bb" -> [aa, !!, bb] (3); hyp -> "aa   bb" -> [aa, bb]
+    # hyp shorter: BP = exp(1 - 3/2); p1 = 2/2, p2: ref bigrams
+    # {aa !!, !! bb}, hyp {aa bb} -> 0 matches -> bleu 0 by the gate
+    out = _run(spark, [(1, "aa !! bb")])
+    r = out[1]
+    assert (r["ref_len"], r["hyp_len"]) == (3, 2)
+    assert r["p2_num"] == 0 and r["bleu2"] == 0.0
+
+    # engineered non-zero BP case:
+    # ref "xx yy zz ?? yy zz" -> 6 toks; hyp -> [xx, yy, zz, yy, zz] 5
+    # uni clip: xx 1, yy 2, zz 2 -> 5; bigrams ref {xx yy, yy zz x2,
+    # zz ??, ?? yy}, hyp {xx yy, yy zz, zz yy, yy zz} ->
+    # clip: xx yy 1, yy zz min(2,2)=2 -> 3
+    out = _run(spark, [(2, "xx yy zz ?? yy zz")])
+    r = out[2]
+    assert (r["ref_len"], r["hyp_len"]) == (6, 5)
+    assert (r["p1_num"], r["p2_num"]) == (5, 3)
+    want = round(math.exp(1 - 6 / 5) * math.sqrt((5 / 5) * (3 / 4)), 6)
+    assert r["bleu2"] == want
+
+
+def test_bleu_degenerate_inputs(spark):
+    # empty, whitespace-only, all-punctuation, single-token docs must
+    # neither raise (ANSI 0/0) nor emit non-zero scores
+    out = _run(
+        spark,
+        [(1, ""), (2, "   "), (3, "?!...;;"), (4, "word")],
+    )
+    assert out[1]["ref_len"] == 0 and out[1]["bleu2"] == 0.0
+    assert out[2]["ref_len"] == 0 and out[2]["bleu2"] == 0.0
+    # all-punct: ref keeps the blob as one token, hyp strips to empty
+    assert out[3]["ref_len"] == 1 and out[3]["hyp_len"] == 0
+    assert out[3]["bleu2"] == 0.0
+    assert out[4]["hyp_len"] == 1 and out[4]["bleu2"] == 0.0
