@@ -864,6 +864,25 @@ def q_user_path(spark, sf_dir):
     return user_path_length(pts)
 
 
+def q_haversine_legs(spark, sf_dir):
+    """Per-user great-circle travel legs (geodesic counterpart of
+    user_path): consecutive event points in event_id order, spherical
+    leg distance via the portable truncated-series haversine kernel
+    (bitwise-identical Spark/DuckDB/NumPy), floor-quantized to mm so
+    sums are exact BIGINTs."""
+    from cadastre_pg_spark.operators.measures import haversine_legs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    return haversine_legs(pts)
+
+
 def q_path_interp(spark, sf_dir):
     """Midpoint of each user's trajectory (ST_LineInterpolatePoint
     analog): quantized BIGINT cumulative lengths make the crossing
@@ -4278,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "hll_distinct": q_hll_distinct,
         "user_path": q_user_path,
+        "haversine_legs": q_haversine_legs,
         "path_interp": q_path_interp,
         "hist_quantile": q_hist_quantile,
         "extent": q_extent,
@@ -5510,6 +5530,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY f.event_type, f.med, f.mad, f.n
         """,
         "user_path": _user_path_sql_oracle(),
+        "haversine_legs": _haversine_legs_sql_oracle(),
         "path_interp": _path_interp_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -10753,6 +10774,48 @@ def _ppr_sql_oracle() -> str:
         prev = f"r{k}"
     sql += f"\n        SELECT v AS node, rd AS rank FROM it{PR_ITERS}"
     return sql
+
+
+def _haversine_legs_sql_oracle() -> str:
+    """Window-lag replay of haversine_legs: the kernel's SQL twin
+    emits the IDENTICAL truncated-series polynomial (every coefficient
+    CAST('repr' AS DOUBLE)), so the per-leg double is bitwise equal
+    and floor(mm) quantization is exact; the mean is fixed-op-order
+    IEEE division on exact BIGINTs (no rounding grid)."""
+    from cadastre_pg_spark.kernels import geodesic as GD
+
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    d = GD.haversine_m_sql("plon", "plat", "lon", "lat")
+    k = "CAST('1000.0' AS DOUBLE)"
+    return f"""
+        WITH pts AS (
+          SELECT event_id, user_id, {lon} AS lon, {lat} AS lat
+          FROM events
+        ),
+        lagged AS (
+          SELECT user_id, lon, lat,
+                 lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)
+        ),
+        legs AS (
+          SELECT user_id,
+                 CAST(floor(({d}) * {k}) AS BIGINT) AS leg_mm
+          FROM lagged WHERE plon IS NOT NULL
+        ),
+        per AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_legs,
+                 CAST(sum(leg_mm) AS BIGINT) AS total_mm,
+                 CAST(max(leg_mm) AS BIGINT) AS max_mm
+          FROM legs GROUP BY user_id
+        )
+        SELECT user_id, n_legs, total_mm, max_mm,
+               (CAST(total_mm AS DOUBLE) / CAST(n_legs AS DOUBLE)) / {k}
+                 AS mean_leg_m
+        FROM per
+    """
 
 
 def _user_path_sql_oracle() -> str:

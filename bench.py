@@ -339,6 +339,7 @@ AGG_COL = {{
     "snap": "d2",
     "collocations": "pmi_u",
     "bleu_eval": "bleu2",
+    "haversine_legs": "mean_leg_m",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

@@ -265,3 +265,69 @@ def geometry_measures_vec(
     narrow = df.select(*[F.col(c) for c in cols])
     out = narrow.mapInArrow(batches, schema=MEASURE_SCHEMA)
     return out.withColumnRenamed("id", id_col)
+
+
+def haversine_legs(
+    pts: "DataFrame",
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> "DataFrame":
+    """Per-key great-circle travel legs over an ordered point stream
+    — the geodesic counterpart of the planar measures above (the
+    engine's other distances are all planar; a geotagged web corpus
+    needs the spherical metric). Each consecutive pair within a key
+    contributes one leg; distance is the PORTABLE truncated-series
+    haversine (kernels/geodesic.py: fixed Horner polynomials, bitwise
+    identical across Spark/DuckDB/NumPy, <0.1mm from true haversine
+    on the engine bbox), quantized to floor(millimetres) so all
+    downstream aggregates are exact BIGINT arithmetic.
+
+    Output: (key, n_legs, total_mm, max_mm, mean_leg_m) — keys with a
+    single point have no legs and are absent by definition.
+
+    Scale shape: ONE exchange on the key (the lag window); the
+    groupBy reuses the window's hash partitioning so no second
+    shuffle; per-key group size is bounded (events/user is constant
+    as the corpus grows), so no skew salting is needed. The distance
+    itself is a single codegen projection — no trig library calls,
+    no Python.
+    """
+    from pyspark.sql import Window
+
+    from ..kernels import geodesic as GD
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    legs = pts.select(
+        F.col(key_col),
+        F.col(lon),
+        F.col(lat),
+        F.lag(lon).over(w).alias("_plon"),
+        F.lag(lat).over(w).alias("_plat"),
+    ).where(F.col("_plon").isNotNull())
+    d_m = GD.haversine_m(
+        F.col("_plon"), F.col("_plat"), F.col(lon), F.col(lat), F.sqrt
+    )
+    mm = F.floor(d_m * 1000.0).cast("long")
+    per = (
+        legs.select(F.col(key_col), mm.alias("leg_mm"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+            F.sum("leg_mm").cast("long").alias("total_mm"),
+            F.max("leg_mm").cast("long").alias("max_mm"),
+        )
+    )
+    return per.select(
+        key_col,
+        "n_legs",
+        "total_mm",
+        "max_mm",
+        # exact-BIGINT inputs + correctly-rounded IEEE divisions in a
+        # fixed op order are bitwise portable — no rounding grid needed
+        (
+            (F.col("total_mm").cast("double") / F.col("n_legs").cast("double"))
+            / F.lit(1000.0)
+        ).alias("mean_leg_m"),
+    )

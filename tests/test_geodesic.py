@@ -1,0 +1,146 @@
+"""Geodesic kernel invariants: the truncated-series haversine must be
+(a) accurate vs libm haversine on the engine bbox (<0.1 mm), and
+(b) BITWISE identical across NumPy, Spark Columns, and the DuckDB SQL
+twin — the cross-engine portability contract every oracle rests on.
+"""
+
+import math
+import struct
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from cadastre_pg_spark.kernels import geodesic as GD
+from cadastre_pg_spark.kernels.cells import (
+    GRID_LAT0,
+    GRID_LAT1,
+    GRID_LON0,
+    GRID_LON1,
+)
+
+
+def _libm_haversine(lon1, lat1, lon2, lat2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2.0
+    dl = math.radians(lon2 - lon1) / 2.0
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2.0 * GD.R_EARTH * math.asin(math.sqrt(a))
+
+
+def _bbox_samples(n_side=12, seed=7):
+    """Deterministic point pairs spanning the bbox, incl. corners."""
+    rng = np.random.RandomState(seed)
+    lons = np.linspace(GRID_LON0, GRID_LON1, n_side)
+    lats = np.linspace(GRID_LAT0, GRID_LAT1, n_side)
+    g_lon, g_lat = np.meshgrid(lons, lats)
+    lon1 = g_lon.ravel()
+    lat1 = g_lat.ravel()
+    lon2 = rng.uniform(GRID_LON0, GRID_LON1, lon1.size)
+    lat2 = rng.uniform(GRID_LAT0, GRID_LAT1, lat1.size)
+    # corner-to-corner worst case + zero-distance + tiny-delta rows
+    lon1 = np.concatenate([lon1, [GRID_LON0, 2.0, 2.0]])
+    lat1 = np.concatenate([lat1, [GRID_LAT0, 45.0, 45.0]])
+    lon2 = np.concatenate([lon2, [GRID_LON1, 2.0, 2.0 + 1e-9]])
+    lat2 = np.concatenate([lat2, [GRID_LAT1, 45.0, 45.0]])
+    return lon1, lat1, lon2, lat2
+
+
+def _bits(arr):
+    return [struct.pack("<d", float(v)) for v in arr]
+
+
+@pytest.fixture(scope="module")
+def samples():
+    return _bbox_samples()
+
+
+def test_series_accuracy_vs_libm(samples):
+    lon1, lat1, lon2, lat2 = samples
+    got = GD.haversine_m(lon1, lat1, lon2, lat2, np.sqrt)
+    want = np.array(
+        [
+            _libm_haversine(a, b, c, d)
+            for a, b, c, d in zip(lon1, lat1, lon2, lat2)
+        ]
+    )
+    err = np.abs(got - want)
+    assert err.max() < 1e-4  # < 0.1 mm everywhere on the bbox
+    # and the worst case really is a long leg, not a degenerate one
+    assert want.max() > 1.5e6  # corner-to-corner ~1600 km is covered
+
+
+def test_numpy_vs_duckdb_bitwise(samples):
+    lon1, lat1, lon2, lat2 = samples
+    np_d = GD.haversine_m(lon1, lat1, lon2, lat2, np.sqrt)
+    tab = pa.table(
+        {"lon1": lon1, "lat1": lat1, "lon2": lon2, "lat2": lat2}
+    )
+    con = duckdb.connect()
+    con.register("pts", tab)
+    sql = GD.haversine_m_sql("lon1", "lat1", "lon2", "lat2")
+    duck_d = con.execute(f"SELECT {sql} AS d FROM pts").fetchnumpy()["d"]
+    assert _bits(np_d) == _bits(duck_d)
+
+
+def test_numpy_vs_spark_bitwise(spark, samples):
+    lon1, lat1, lon2, lat2 = samples
+    np_d = GD.haversine_m(lon1, lat1, lon2, lat2, np.sqrt)
+    df = spark.createDataFrame(
+        list(
+            zip(
+                range(len(lon1)),
+                lon1.tolist(),
+                lat1.tolist(),
+                lon2.tolist(),
+                lat2.tolist(),
+            )
+        ),
+        "i long, lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    col = GD.haversine_m(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"), F.sqrt
+    )
+    rows = df.select("i", col.alias("d")).orderBy("i").collect()
+    spark_d = [r["d"] for r in rows]
+    assert _bits(np_d) == _bits(spark_d)
+
+
+def test_haversine_legs_golden(spark):
+    from cadastre_pg_spark.operators.measures import haversine_legs
+
+    # user 1: three points -> two legs; user 2: single point -> absent
+    pts = spark.createDataFrame(
+        [
+            (1, 10, 2.0, 45.0),
+            (1, 20, 2.0, 45.1),
+            (1, 30, 2.1, 45.1),
+            (2, 40, 3.0, 46.0),
+        ],
+        "user_id long, event_id long, lon double, lat double",
+    )
+    out = {r["user_id"]: r.asDict() for r in haversine_legs(pts).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    d1 = float(
+        GD.haversine_m(
+            np.array([2.0]), np.array([45.0]),
+            np.array([2.0]), np.array([45.1]), np.sqrt,
+        )[0]
+    )
+    d2 = float(
+        GD.haversine_m(
+            np.array([2.0]), np.array([45.1]),
+            np.array([2.1]), np.array([45.1]), np.sqrt,
+        )[0]
+    )
+    mm1, mm2 = math.floor(d1 * 1000.0), math.floor(d2 * 1000.0)
+    assert r["n_legs"] == 2
+    assert r["total_mm"] == mm1 + mm2
+    assert r["max_mm"] == max(mm1, mm2)
+    assert r["mean_leg_m"] == ((mm1 + mm2) / 2.0) / 1000.0
+    # sanity: ~11.1 km per 0.1 deg lat; ~7.8 km per 0.1 deg lon at 45N
+    assert 11_000_000 < mm1 < 11_200_000
+    assert 7_700_000 < mm2 < 7_900_000
