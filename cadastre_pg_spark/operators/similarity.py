@@ -144,7 +144,17 @@ def ivf_topk(
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("arr")
     ).withColumn("features", array_to_vector("arr"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features")
+    # degenerate-input gate: MLlib KMeans.fit raises on an empty
+    # dataset and requires 2 <= k <= n. A single vector has no
+    # neighbor pairs (self-pairs are filtered), so < 2 vectors is
+    # exactly empty. n >= n_lists at any real scale, so
+    # k_eff == n_lists outside tiny inputs.
+    n_vecs = base.count()
+    if n_vecs < 2:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank long"
+        )
+    km = KMeans(k=min(n_lists, n_vecs), seed=seed, featuresCol="features")
     model = km.fit(base)
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
@@ -258,8 +268,11 @@ def ivf_recall_report(
         F.col("n_queries").cast("long").alias("n_queries"),
         F.col("n_exact").cast("long").alias("n_exact"),
         F.col("n_hits").cast("long").alias("n_hits"),
-        (
-            F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+        # ANSI gate: recall is undefined when there are no exact
+        # neighbors (empty/one-row inputs) — 0/0 is an ERROR in Spark 4
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
         ).alias("recall"),
     )
     out._cadastre_cached = [exact]
