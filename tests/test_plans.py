@@ -621,3 +621,36 @@ def test_calibration_ece_bins_single_corpus_exchange(spark):
     assert a["broadcast_join"], "one-row total must broadcast back"
     s = explain_string(df, "formatted")
     assert s.count("Arguments: hashpartitioning(bin") >= 1, s
+
+
+def test_haversine_legs_one_exchange_pruned_scan(spark):
+    """The geodesic leg rollup must be ONE exchange end-to-end: the
+    lag window shuffles on user_id and the groupBy reuses that
+    partitioning; the scan reads only (event_id, user_id) — lon/lat
+    are derived columns. The giant series polynomial must stay a
+    single codegen projection (no Python, no extra stage)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    spark.catalog.clearCache()  # foreign InMemoryRelation adds exchanges
+    df = E.queries()["haversine_legs"](spark, SF_UNIT)
+    s = explain_string(df, "simple")  # one line per node (no detail dup)
+    assert s.count("Exchange") == 1, s[:3000]
+    assert "Window" in s
+    schemas = scan_read_schema(df)
+    assert any(set(s_) <= {"event_id", "user_id"} for s_ in schemas), schemas
+    assert not audit(df)["arrow_eval"]  # no Python anywhere
+
+
+def test_bleu_eval_single_gram_aggregate(spark):
+    """All four explode branches (ref/hyp x uni/bi) union into ONE
+    (doc_id, ord, gram) hash aggregate with map-side partials: expect
+    the gram census exchange plus the doc rollup exchange, and no
+    join anywhere."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    spark.catalog.clearCache()
+    df = E.queries()["bleu_eval"](spark, SF_UNIT)
+    s = explain_string(df, "simple")  # one line per node (no detail dup)
+    assert s.count("Exchange") <= 2, s[:3000]
+    assert "Join" not in s
+    assert not audit(df)["arrow_eval"]
