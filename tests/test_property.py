@@ -109,3 +109,31 @@ def test_pip_center_inside(ring_c):
     # long-radius vertex can drag outside — must be inside
     ring, cx, cy = ring_c
     assert points_in_ring([cx], [cy], ring[:, 0], ring[:, 1])[0]
+
+
+# ---- geodesic series kernel (round 5) ----
+
+import math
+
+from cadastre_pg_spark.kernels import geodesic as GD
+
+
+@given(lons, lats, lons, lats)
+@settings(max_examples=200, deadline=None)
+def test_haversine_symmetric_nonneg_accurate(lon1, lat1, lon2, lat2):
+    a = np.array
+    d_ab = GD.haversine_m(a([lon1]), a([lat1]), a([lon2]), a([lat2]), np.sqrt)[0]
+    d_ba = GD.haversine_m(a([lon2]), a([lat2]), a([lon1]), a([lat1]), np.sqrt)[0]
+    # bitwise symmetry: sin_poly is exactly odd (sign-bit flip), the
+    # squares kill the sign, and the cos product commutes bitwise
+    assert d_ab == d_ba
+    assert d_ab >= 0.0
+    # identity of indiscernibles, exactly: all half-deltas are 0.0
+    d_aa = GD.haversine_m(a([lon1]), a([lat1]), a([lon1]), a([lat1]), np.sqrt)[0]
+    assert d_aa == 0.0
+    # accuracy vs libm haversine everywhere hypothesis wanders
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1) / 2, math.radians(lon2 - lon1) / 2
+    s = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    want = 2.0 * GD.R_EARTH * math.asin(math.sqrt(s))
+    assert abs(d_ab - want) < 1e-4
