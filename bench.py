@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "gini_tokens",
     "pr_thresholds",
     "simhash_pairs",
+    "bleu_eval",
+    "haversine_legs",
 ]
 
 _CHILD = r"""
@@ -680,6 +682,14 @@ def main():
     # it reads the bench's own winding-down process tree, not the host
     load_before = round(os.getloadavg()[0], 2)
     # full suite at the high parallelism level
+    # loud guard: a registry query not in BENCH_QUERIES is silently
+    # unbenched (this bit bleu_eval/haversine_legs once) — fail fast
+    import __spark_entry__ as _E
+    _unbenched = sorted(
+        set(_E.queries()) - set(BENCH_QUERIES) - {"ivf_recall"}
+    )
+    if _unbenched:
+        raise SystemExit(f"BENCH_QUERIES missing registry queries: {_unbenched}")
     hi = run_child(CPUS, BENCH_QUERIES, SF_DIR)
     times = hi["times"]
     suite_skipped = hi.get("skipped", [])
