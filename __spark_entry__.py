@@ -883,6 +883,24 @@ def q_haversine_legs(spark, sf_dir):
     return haversine_legs(pts)
 
 
+def q_radius_gyration(spark, sf_dir):
+    """Per-user radius of gyration (Gonzalez et al. 2008): the
+    order-free spatial-dispersion twin of haversine_legs. Centroid
+    from exact 1e-7-degree BIGINT unit sums; point-to-centroid
+    distances via the portable series haversine, floor-quantized to
+    metres; rg = sqrt of the exact integer second moment / n."""
+    from cadastre_pg_spark.operators.measures import radius_of_gyration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    return radius_of_gyration(pts)
+
+
 def q_path_interp(spark, sf_dir):
     """Midpoint of each user's trajectory (ST_LineInterpolatePoint
     analog): quantized BIGINT cumulative lengths make the crossing
@@ -4330,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grading record is SWEEP_r5.json at sf0.01+sf0.1
         "haversine_legs": q_haversine_legs,
         "bleu_eval": q_bleu_eval,
+        "radius_gyration": q_radius_gyration,
         # --- previously driver-graded (r1-r4 artifacts) + remaining
         # never-graded tail; full registry covered by the committed
         # sweep artifact (scripts/sweep_oracles.py) + pytest ---
@@ -5534,6 +5553,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_path": _user_path_sql_oracle(),
         "haversine_legs": _haversine_legs_sql_oracle(),
+        "radius_gyration": _radius_gyration_sql_oracle(),
         "path_interp": _path_interp_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -10777,6 +10797,56 @@ def _ppr_sql_oracle() -> str:
         prev = f"r{k}"
     sql += f"\n        SELECT v AS node, rd AS rank FROM it{PR_ITERS}"
     return sql
+
+
+def _radius_gyration_sql_oracle() -> str:
+    """Window-sum replay of radius_of_gyration: identical 1e-7-unit
+    floor quantization, integer centroid sums, the series-haversine
+    SQL twin, floor-metre second moment, fixed-order sqrt(mean)."""
+    from cadastre_pg_spark.kernels import geodesic as GD
+
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    u = "CAST('10000000.0' AS DOUBLE)"
+    d = GD.haversine_m_sql("clon", "clat", "lon", "lat")
+    return f"""
+        WITH pts AS (
+          SELECT user_id, {lon} AS lon, {lat} AS lat FROM events
+        ),
+        su AS (
+          SELECT user_id, lon, lat,
+                 sum(CAST(floor(lon * {u}) AS BIGINT)) OVER w AS sx,
+                 sum(CAST(floor(lat * {u}) AS BIGINT)) OVER w AS sy,
+                 count(*) OVER w AS n
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id)
+        ),
+        cd AS (
+          SELECT user_id,
+                 (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / {u} AS clon,
+                 (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / {u} AS clat,
+                 lon, lat
+          FROM su
+        ),
+        d2 AS (
+          SELECT user_id, clon, clat,
+                 CAST(floor({d}) AS BIGINT) * CAST(floor({d}) AS BIGINT)
+                   AS dd
+          FROM cd
+        ),
+        per AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 any_value(clon) AS centroid_lon,
+                 any_value(clat) AS centroid_lat,
+                 CAST(sum(dd) AS BIGINT) AS sd2
+          FROM d2 GROUP BY user_id
+        )
+        SELECT user_id, n_points, centroid_lon, centroid_lat,
+               sqrt(CAST(sd2 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                 AS rg_m
+        FROM per
+    """
 
 
 def _haversine_legs_sql_oracle() -> str:

@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "bleu_eval",
     "haversine_legs",
+    "radius_gyration",
 ]
 
 _CHILD = r"""
@@ -342,6 +343,7 @@ AGG_COL = {{
     "collocations": "pmi_u",
     "bleu_eval": "bleu2",
     "haversine_legs": "mean_leg_m",
+    "radius_gyration": "rg_m",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

@@ -331,3 +331,81 @@ def haversine_legs(
             / F.lit(1000.0)
         ).alias("mean_leg_m"),
     )
+
+
+def radius_of_gyration(
+    pts: "DataFrame",
+    key_col: str = "user_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> "DataFrame":
+    """Per-key radius of gyration — the canonical human-mobility
+    spread metric (Gonzalez et al. 2008): rg = sqrt(mean over points
+    of d(point, centroid)^2), with d the portable series haversine
+    (kernels/geodesic.py). Complements haversine_legs (sequential
+    travel) with the ORDER-FREE spatial dispersion of each key.
+
+    Portability spec (every step replays bitwise in DuckDB):
+    coordinates quantize to exact 1e-7-degree BIGINT units (~1cm) so
+    the centroid comes from order-independent integer sums; the
+    per-row centroid division and the series haversine are fixed-order
+    correctly-rounded IEEE ops; per-point distances floor to whole
+    metres (BIGINT) so the second moment is again an exact integer
+    sum; the final sqrt(mean) is two correctly-rounded ops. Overflow
+    bounds (ANSI errors loudly, never corrupts): |unit| <= 9e7 so
+    coordinate sums hold to ~1e11 points/key; floor-metre d^2 <= 4e12
+    holds to ~2e6 points/key and stays < 2^53 for the exact
+    double cast — events/user is bounded as the corpus scales.
+
+    Scale shape: ONE exchange. The window over the key attaches the
+    group's integer sums to every row (no agg+join-back pass), the
+    distance is a codegen projection, and the final groupBy reuses
+    the window's hash partitioning — same topology as haversine_legs.
+
+    Output: (key, n_points, centroid_lon, centroid_lat, rg_m).
+    """
+    from pyspark.sql import Window
+
+    from ..kernels import geodesic as GD
+
+    U = 1.0e7
+    w = Window.partitionBy(key_col)
+    ux = F.floor(F.col(lon) * F.lit(U)).cast("long")
+    uy = F.floor(F.col(lat) * F.lit(U)).cast("long")
+    base = pts.select(
+        F.col(key_col),
+        F.col(lon),
+        F.col(lat),
+        F.sum(ux).over(w).alias("_sx"),
+        F.sum(uy).over(w).alias("_sy"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    clon = (F.col("_sx").cast("double") / nd) / F.lit(U)
+    clat = (F.col("_sy").cast("double") / nd) / F.lit(U)
+    d_m = GD.haversine_m(clon, clat, F.col(lon), F.col(lat), F.sqrt)
+    dm = F.floor(d_m).cast("long")
+    per = (
+        base.select(
+            F.col(key_col),
+            clon.alias("_clon"),
+            clat.alias("_clat"),
+            (dm * dm).alias("_d2"),
+        )
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.first("_clon").alias("centroid_lon"),
+            F.first("_clat").alias("centroid_lat"),
+            F.sum("_d2").cast("long").alias("_sd2"),
+        )
+    )
+    return per.select(
+        key_col,
+        "n_points",
+        "centroid_lon",
+        "centroid_lat",
+        F.sqrt(
+            F.col("_sd2").cast("double") / F.col("n_points").cast("double")
+        ).alias("rg_m"),
+    )

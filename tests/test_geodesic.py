@@ -144,3 +144,38 @@ def test_haversine_legs_golden(spark):
     # sanity: ~11.1 km per 0.1 deg lat; ~7.8 km per 0.1 deg lon at 45N
     assert 11_000_000 < mm1 < 11_200_000
     assert 7_700_000 < mm2 < 7_900_000
+
+
+def test_radius_of_gyration_golden(spark):
+    from cadastre_pg_spark.operators.measures import radius_of_gyration
+
+    pts = spark.createDataFrame(
+        [
+            (1, 2.0, 45.0),
+            (1, 2.2, 45.0),
+            (1, 2.1, 45.2),
+            (2, 3.0, 46.0),  # single point -> rg exactly 0
+        ],
+        "user_id long, lon double, lat double",
+    )
+    out = {r["user_id"]: r.asDict() for r in radius_of_gyration(pts).collect()}
+    assert out[2]["n_points"] == 1 and out[2]["rg_m"] == 0.0
+    r = out[1]
+    assert r["n_points"] == 3
+    # replay the spec in NumPy: 1e-7-unit integer centroid, series
+    # haversine to centroid, floor-metre second moment
+    lons = np.array([2.0, 2.2, 2.1])
+    lats = np.array([45.0, 45.0, 45.2])
+    sx = int(np.floor(lons * 1e7).astype(np.int64).sum())
+    sy = int(np.floor(lats * 1e7).astype(np.int64).sum())
+    clon = (float(sx) / 3.0) / 1e7
+    clat = (float(sy) / 3.0) / 1e7
+    assert r["centroid_lon"] == clon and r["centroid_lat"] == clat
+    d = GD.haversine_m(
+        np.full(3, clon), np.full(3, clat), lons, lats, np.sqrt
+    )
+    dm = np.floor(d).astype(np.int64)
+    want = math.sqrt(float((dm * dm).sum()) / 3.0)
+    assert r["rg_m"] == want
+    # magnitude sanity: points ~10-20 km around the centroid
+    assert 8_000 < r["rg_m"] < 20_000

@@ -654,3 +654,20 @@ def test_bleu_eval_single_gram_aggregate(spark):
     assert s.count("Exchange") <= 2, s[:3000]
     assert "Join" not in s
     assert not audit(df)["arrow_eval"]
+
+
+def test_radius_gyration_one_exchange_pruned_scan(spark):
+    """The dispersion rollup matches haversine_legs' topology: the
+    ONLY exchange is the window's user_id hash partition (centroid
+    sums attach per-row with no agg+join-back), and the final groupBy
+    reuses it; the scan reads just (event_id, user_id)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    spark.catalog.clearCache()
+    df = E.queries()["radius_gyration"](spark, SF_UNIT)
+    s = explain_string(df, "simple")
+    assert s.count("Exchange") == 1, s[:3000]
+    assert "Window" in s
+    schemas = scan_read_schema(df)
+    assert any(set(s_) <= {"event_id", "user_id"} for s_ in schemas), schemas
+    assert not audit(df)["arrow_eval"]
