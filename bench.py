@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "bleu_eval",
     "haversine_legs",
     "radius_gyration",
+    "source_kl",
 ]
 
 _CHILD = r"""
@@ -344,6 +345,7 @@ AGG_COL = {{
     "bleu_eval": "bleu2",
     "haversine_legs": "mean_leg_m",
     "radius_gyration": "rg_m",
+    "source_kl": "kl_nats",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

@@ -1376,3 +1376,94 @@ def curriculum_order(
             .alias("rank"),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the data-mixing drift monitor: KL(P_s || P_corpus) over whitespace
+    tokens with add-one smoothing of the source model over the corpus
+    vocabulary (the corpus model needs none: every vocab token has
+    count >= 1). Complements psi_drift (binned numeric PSI) and
+    dsir_logratio (per-document importance) with the per-SOURCE
+    distributional distance.
+
+    With V = |vocab|, N = corpus tokens, N_s/T_s = source tokens/types,
+    c/c_s = corpus/source token counts, D = N_s + V, the sum over the
+    FULL vocabulary collapses to census-only terms (absent tokens
+    contribute through corpus scalars — no source x vocab cross):
+
+        KL_s * D [micro-nats] = A_s + L_s - L_all + D*(ln_u N - ln_u D)
+        A_s   = sum_present (c_s+1) * (ln_u(c_s+1) - ln_u c)
+        L_s   = sum_present ln_u c;   L_all = sum_vocab ln_u c
+
+    ln_u is the engine-wide micro-nat quantizer round(ln(x)*1e6) on
+    exact integer counts (collocations/mutual_info precedent); every
+    sum above is exact BIGINT arithmetic, and the final
+    kl_nats = (CAST(kl_num)/CAST(D))/1e6 is two fixed-order
+    correctly-rounded divisions — bitwise portable, no rounding grid.
+
+    Scale shape: one (source, token) census exchange over the exploded
+    corpus, ONE token-partition window pass attaching the corpus count
+    (c = sum over sources) AND electing one row per token (row_number
+    on the same partitioning — no second exchange) for the vocab
+    scalars, then a source rollup over the vocabulary-sized census.
+    Sources whose documents contain no tokens are absent by definition.
+
+    Output: (source, n_tokens, n_types, kl_num, kl_nats), kl_num the
+    exact BIGINT numerator (micro-nats x D) for auditability.
+    """
+    u = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    txt = F.trim(F.col(text_col))
+    toks = F.when(F.length(txt) > 0, F.split(txt, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    st = (
+        docs.select(F.col(source_col).alias("source"), F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    wt = Window.partitionBy("token")
+    stw = st.select(
+        "source",
+        "token",
+        "c_s",
+        F.sum("c_s").over(wt).alias("c"),
+        F.row_number()
+        .over(Window.partitionBy("token").orderBy("source"))
+        .alias("_rn"),
+    ).persist()
+    scal = stw.where(F.col("_rn") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n_corpus"),
+        F.sum(u(F.col("c"))).cast("long").alias("l_all"),
+    )
+    per = stw.groupBy("source").agg(
+        F.sum("c_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c_s") + 1) * (u(F.col("c_s") + 1) - u(F.col("c"))))
+        .cast("long")
+        .alias("_a"),
+        F.sum(u(F.col("c"))).cast("long").alias("_l"),
+    )
+    d = F.col("n_tokens") + F.col("v")
+    kl_num = (
+        F.col("_a")
+        + F.col("_l")
+        - F.col("l_all")
+        + d * (u(F.col("n_corpus")) - u(d))
+    )
+    out = per.crossJoin(F.broadcast(scal)).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        kl_num.cast("long").alias("kl_num"),
+        (
+            (kl_num.cast("double") / d.cast("double")) / F.lit(1e6)
+        ).alias("kl_nats"),
+    )
+    out._cadastre_cached = [stw]
+    return out

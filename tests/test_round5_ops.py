@@ -80,3 +80,54 @@ def test_bleu_degenerate_inputs(spark):
     assert out[3]["ref_len"] == 1 and out[3]["hyp_len"] == 0
     assert out[3]["bleu2"] == 0.0
     assert out[4]["hyp_len"] == 1 and out[4]["bleu2"] == 0.0
+
+
+def test_source_kl_hand_computed(spark):
+    from cadastre_pg_spark.operators.corpus import source_kl_divergence
+
+    # corpus: 2 sources; vocab {aa,bb,cc}; counts:
+    #   s1: aa x2, bb x1 (N=3, T=2);  s2: aa x1, cc x2 (N=3, T=2)
+    # corpus: aa 3, bb 1, cc 2; N=6, V=3
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb", "s1"),
+            (2, "aa cc cc", "s2"),
+            (3, "   ", "s3"),  # token-free source -> absent
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in source_kl_divergence(docs).collect()
+    }
+    assert set(out) == {"s1", "s2"}
+
+    lnu = lambda x: round(math.log(x) * 1e6)
+    V, N = 3, 6
+    corpus = {"aa": 3, "bb": 1, "cc": 2}
+    l_all = sum(lnu(c) for c in corpus.values())
+
+    def expect(cs):
+        n_s = sum(cs.values())
+        d = n_s + V
+        a = sum(
+            (c + 1) * (lnu(c + 1) - lnu(corpus[t])) for t, c in cs.items()
+        )
+        l = sum(lnu(corpus[t]) for t in cs)
+        kl_num = a + l - l_all + d * (lnu(N) - lnu(d))
+        return kl_num, (float(kl_num) / float(d)) / 1e6
+
+    for s, cs in (("s1", {"aa": 2, "bb": 1}), ("s2", {"aa": 1, "cc": 2})):
+        num, nats = expect(cs)
+        r = out[s]
+        assert (r["n_tokens"], r["n_types"]) == (3, 2)
+        assert r["kl_num"] == num
+        assert r["kl_nats"] == nats
+        # the quantized KL must agree with true float KL to ~1e-5
+        q = {
+            t: (cs.get(t, 0) + 1) / (3 + V) for t in corpus
+        }
+        p = {t: c / N for t, c in corpus.items()}
+        true_kl = sum(q[t] * math.log(q[t] / p[t]) for t in corpus)
+        assert abs(r["kl_nats"] - true_kl) < 1e-5
+        assert r["kl_nats"] >= 0.0  # KL(q||p) >= 0 for distributions
