@@ -901,6 +901,27 @@ def q_radius_gyration(spark, sf_dir):
     return radius_of_gyration(pts)
 
 
+TRIP_GAP_MIN = 60
+
+
+def q_trip_segments(spark, sf_dir):
+    """Gap-split trips (sessionize rule, 60 min) with geodesic
+    within-trip distance and fixed-order speed — the mobility
+    rollup of the event timeline."""
+    from cadastre_pg_spark.operators.measures import trip_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        S.lon_col(key).alias("lon"),
+        S.lat_col(key).alias("lat"),
+    )
+    return trip_segments(pts, gap_minutes=TRIP_GAP_MIN)
+
+
 def q_path_interp(spark, sf_dir):
     """Midpoint of each user's trajectory (ST_LineInterpolatePoint
     analog): quantized BIGINT cumulative lengths make the crossing
@@ -4361,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_eval": q_bleu_eval,
         "radius_gyration": q_radius_gyration,
         "source_kl": q_source_kl,
+        "trip_segments": q_trip_segments,
         # --- previously driver-graded (r1-r4 artifacts) + remaining
         # never-graded tail; full registry covered by the committed
         # sweep artifact (scripts/sweep_oracles.py) + pytest ---
@@ -5622,6 +5644,7 @@ def oracle_sql() -> dict[str, str]:
         "user_path": _user_path_sql_oracle(),
         "haversine_legs": _haversine_legs_sql_oracle(),
         "radius_gyration": _radius_gyration_sql_oracle(),
+        "trip_segments": _trip_segments_sql_oracle(TRIP_GAP_MIN),
         "path_interp": _path_interp_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -10865,6 +10888,63 @@ def _ppr_sql_oracle() -> str:
         prev = f"r{k}"
     sql += f"\n        SELECT v AS node, rd AS rank FROM it{PR_ITERS}"
     return sql
+
+
+def _trip_segments_sql_oracle(gap_minutes: int = 60) -> str:
+    """Replay of trip_segments: the sessionize gap rule (epoch_us
+    integer arithmetic, strictly-greater split), within-trip legs via
+    the series-haversine SQL twin floored to mm, exact BIGINT sums and
+    integer micros duration, fixed-order speed division (gated)."""
+    from cadastre_pg_spark.kernels import geodesic as GD
+
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    gap_us = gap_minutes * 60_000_000
+    d = GD.haversine_m_sql("plon", "plat", "lon", "lat")
+    k = "CAST('1000.0' AS DOUBLE)"
+    return f"""
+        WITH pts AS (
+          SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat
+          FROM events
+        ),
+        e AS (
+          SELECT *, lag(ts) OVER w AS prev,
+                 lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        t AS (
+          SELECT user_id, ts, lon, lat, plon, plat,
+                 (prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > {gap_us}) AS new_trip,
+                 CAST(sum(CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) > {gap_us}
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+          FROM e
+        ),
+        legs AS (
+          SELECT user_id, trip_id, epoch_us(ts) AS us,
+                 CASE WHEN NOT new_trip
+                      THEN CAST(floor(({d}) * {k}) AS BIGINT) END AS leg_mm
+          FROM t
+        ),
+        per AS (
+          SELECT user_id, trip_id,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(coalesce(sum(leg_mm), 0) AS BIGINT) AS total_mm,
+                 CAST(max(us) - min(us) AS BIGINT) AS duration_us
+          FROM legs GROUP BY user_id, trip_id
+        )
+        SELECT user_id, trip_id, n_points, total_mm, duration_us,
+               CASE WHEN duration_us > 0
+                    THEN (CAST(total_mm AS DOUBLE)
+                          / CAST(duration_us AS DOUBLE)) * {k}
+               END AS speed_mps
+        FROM per
+    """
 
 
 def _radius_gyration_sql_oracle() -> str:

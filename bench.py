@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "haversine_legs",
     "radius_gyration",
     "source_kl",
+    "trip_segments",
 ]
 
 _CHILD = r"""
@@ -346,6 +347,7 @@ AGG_COL = {{
     "haversine_legs": "mean_leg_m",
     "radius_gyration": "rg_m",
     "source_kl": "kl_nats",
+    "trip_segments": "total_mm",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

@@ -409,3 +409,86 @@ def radius_of_gyration(
             F.col("_sd2").cast("double") / F.col("n_points").cast("double")
         ).alias("rg_m"),
     )
+
+
+def trip_segments(
+    pts: "DataFrame",
+    key_col: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    gap_minutes: int = 60,
+) -> "DataFrame":
+    """Gap-split trips with geodesic distance and speed — completes
+    the mobility family (user_path length, path_interp, stay_points,
+    haversine_legs, radius_of_gyration, THIS): the sessionize gap rule
+    (new trip strictly beyond gap_minutes between consecutive points)
+    segments each key's timeline, then every within-trip leg gets the
+    portable series-haversine distance floor-quantized to mm.
+
+    Output per (key, trip_id): n_points, total_mm (exact BIGINT, 0
+    for single-point trips), duration_us (exact integer micros), and
+    speed_mps — ((total_mm / duration_us) * 1000) in fixed-order IEEE
+    doubles, NULL for zero-duration trips (ANSI 0/0 gate).
+
+    Scale shape: ONE exchange on the key. All three window passes
+    (gap lag, running trip sum, leg lag) share the same partition+sort
+    spec so Catalyst runs them in one Window stage chain without
+    re-sorting, and the (key, trip_id) groupBy is satisfied by the
+    key's hash partitioning (key ⊆ grouping keys) — no second
+    exchange. Distances are a codegen projection (no Python).
+    """
+    from pyspark.sql import Window
+
+    from ..kernels import geodesic as GD
+    from .sessions import sessionize
+
+    s = sessionize(
+        pts,
+        key=key_col,
+        ts=ts,
+        order_tiebreak=order_col,
+        gap_minutes=gap_minutes,
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc()
+    )
+    d_m = GD.haversine_m(
+        F.lag(lon).over(w),
+        F.lag(lat).over(w),
+        F.col(lon),
+        F.col(lat),
+        F.sqrt,
+    )
+    same_trip = F.lag("session_idx").over(w) == F.col("session_idx")
+    leg_mm = F.when(same_trip, F.floor(d_m * 1000.0).cast("long"))
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
+    per = (
+        s.select(
+            F.col(key_col),
+            F.col("session_idx").alias("trip_id"),
+            leg_mm.alias("_leg_mm"),
+            micros.alias("_us"),
+        )
+        .groupBy(key_col, "trip_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.coalesce(F.sum("_leg_mm"), F.lit(0)).cast("long").alias("total_mm"),
+            F.min("_us").alias("_t0"),
+            F.max("_us").alias("_t1"),
+        )
+    )
+    dur = (F.col("_t1") - F.col("_t0")).cast("long")
+    return per.select(
+        key_col,
+        "trip_id",
+        "n_points",
+        "total_mm",
+        dur.alias("duration_us"),
+        F.when(
+            dur > 0,
+            (F.col("total_mm").cast("double") / dur.cast("double"))
+            * F.lit(1000.0),
+        ).alias("speed_mps"),
+    )

@@ -179,3 +179,62 @@ def test_radius_of_gyration_golden(spark):
     assert r["rg_m"] == want
     # magnitude sanity: points ~10-20 km around the centroid
     assert 8_000 < r["rg_m"] < 20_000
+
+
+def test_trip_segments_golden(spark):
+    import datetime as dt
+
+    from cadastre_pg_spark.operators.measures import trip_segments
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # trip 1: three points a minute apart, 0.1 deg lat hops
+        (1, 10, t0, 2.0, 45.0),
+        (1, 20, t0 + 1 * m, 2.0, 45.1),
+        (1, 30, t0 + 2 * m, 2.0, 45.2),
+        # > 60 min gap -> trip 2: a single point (0 distance/duration)
+        (1, 40, t0 + 70 * m, 3.0, 46.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lon double, lat double"
+    )
+    out = {
+        (r["user_id"], r["trip_id"]): r.asDict()
+        for r in trip_segments(pts, gap_minutes=60).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2)}
+    r1, r2 = out[(1, 1)], out[(1, 2)]
+    d = GD.haversine_m(
+        np.array([2.0, 2.0]), np.array([45.0, 45.1]),
+        np.array([2.0, 2.0]), np.array([45.1, 45.2]), np.sqrt,
+    )
+    want_mm = int(np.floor(d[0] * 1000.0) + np.floor(d[1] * 1000.0))
+    assert r1["n_points"] == 3 and r1["total_mm"] == want_mm
+    assert r1["duration_us"] == 120_000_000
+    assert r1["speed_mps"] == (float(want_mm) / 120_000_000.0) * 1000.0
+    # ~22.2 km in 2 min ≈ 185 m/s (synthetic hops, not physical)
+    assert 180 < r1["speed_mps"] < 190
+    assert r2["n_points"] == 1 and r2["total_mm"] == 0
+    assert r2["duration_us"] == 0 and r2["speed_mps"] is None
+
+
+def test_trip_exactly_at_gap_stays_one_trip(spark):
+    import datetime as dt
+
+    from cadastre_pg_spark.operators.measures import trip_segments
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        (1, 10, t0, 2.0, 45.0),
+        (1, 20, t0 + dt.timedelta(minutes=60), 2.0, 45.1),  # == gap
+        (1, 30, t0 + dt.timedelta(minutes=120, microseconds=1), 2.0, 45.2),
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lon double, lat double"
+    )
+    out = trip_segments(pts, gap_minutes=60).collect()
+    trips = sorted((r["trip_id"], r["n_points"]) for r in out)
+    # sessionize splits STRICTLY beyond the gap: 60:00.000000 merges,
+    # 60:00.000001 splits
+    assert trips == [(1, 2), (2, 1)]

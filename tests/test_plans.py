@@ -671,3 +671,17 @@ def test_radius_gyration_one_exchange_pruned_scan(spark):
     schemas = scan_read_schema(df)
     assert any(set(s_) <= {"event_id", "user_id"} for s_ in schemas), schemas
     assert not audit(df)["arrow_eval"]
+
+
+def test_trip_segments_one_exchange(spark):
+    """Sessionize's two ordered windows and the leg lag share one
+    partition+sort spec, and the (user, trip) groupBy is satisfied by
+    the user hash partitioning — the whole mobility rollup is ONE
+    exchange, no Python."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    spark.catalog.clearCache()
+    df = E.queries()["trip_segments"](spark, SF_UNIT)
+    s = explain_string(df, "simple")
+    assert s.count("Exchange") == 1, s[:3000]
+    assert not audit(df)["arrow_eval"]
