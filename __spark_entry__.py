@@ -901,6 +901,25 @@ def q_radius_gyration(spark, sf_dir):
     return radius_of_gyration(pts)
 
 
+LOCENT_LEVEL = 7
+
+
+def q_location_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of visited grid cells (level-7) in
+    exact integer micro-nats — the mobility predictability metric
+    next to radius_gyration's spatial extent."""
+    from cadastre_pg_spark.operators.measures import location_entropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    lon, lat = S.lon_col(key), S.lat_col(key)
+    pts = ev.select(
+        "user_id",
+        S.grid_cell_col(lon, lat, LOCENT_LEVEL).alias("cell"),
+    )
+    return location_entropy(pts)
+
+
 TRIP_GAP_MIN = 60
 
 
@@ -4383,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_gyration": q_radius_gyration,
         "source_kl": q_source_kl,
         "trip_segments": q_trip_segments,
+        "location_entropy": q_location_entropy,
         # --- previously driver-graded (r1-r4 artifacts) + remaining
         # never-graded tail; full registry covered by the committed
         # sweep artifact (scripts/sweep_oracles.py) + pytest ---
@@ -5285,6 +5305,36 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS slope
             FROM wnd
+        """,
+        "location_entropy": f"""
+            WITH pts AS (
+              SELECT user_id,
+                     {S.grid_cell_sql(S.lon_sql('event_id'), S.lat_sql('event_id'), LOCENT_LEVEL)} AS cell
+              FROM events
+            ),
+            census AS (
+              SELECT user_id, cell, CAST(count(*) AS BIGINT) AS n_c
+              FROM pts GROUP BY user_id, cell
+            ),
+            per AS (
+              SELECT user_id,
+                     CAST(sum(n_c) AS BIGINT) AS n_points,
+                     CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(n_c * CAST(round(ln(CAST(n_c AS DOUBLE))
+                              * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+              FROM census GROUP BY user_id
+            )
+            SELECT user_id, n_points, n_cells,
+                   CAST(n_points
+                        * CAST(round(ln(CAST(n_points AS DOUBLE)) * 1e6, 0)
+                               AS BIGINT)
+                        - s AS BIGINT) AS ent_u,
+                   (CAST(n_points
+                         * CAST(round(ln(CAST(n_points AS DOUBLE)) * 1e6, 0)
+                                AS BIGINT)
+                         - s AS DOUBLE) / CAST(n_points AS DOUBLE))
+                     / CAST('1000000.0' AS DOUBLE) AS ent_nats
+            FROM per
         """,
         "cell_entropy": f"""
             WITH pts AS (

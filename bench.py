@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "radius_gyration",
     "source_kl",
     "trip_segments",
+    "location_entropy",
 ]
 
 _CHILD = r"""
@@ -348,6 +349,7 @@ AGG_COL = {{
     "radius_gyration": "rg_m",
     "source_kl": "kl_nats",
     "trip_segments": "total_mm",
+    "location_entropy": "ent_nats",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

@@ -492,3 +492,48 @@ def trip_segments(
             * F.lit(1000.0),
         ).alias("speed_mps"),
     )
+
+
+def location_entropy(
+    pts: "DataFrame",
+    key_col: str = "user_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Per-key Shannon entropy of the visited-cell distribution — the
+    mobility predictability signal (Song et al. 2010: low entropy =
+    routine movement, high = exploratory), pairing with
+    radius_of_gyration (spatial extent) and trip_segments (dynamics).
+
+    Exactness: the engine-wide micro-nat quantizer (cell_entropy /
+    mutual_info precedent): ent_u = n*ln_u(n) - sum_c n_c*ln_u(n_c)
+    is exact BIGINT arithmetic; ent_nats = (ent_u / n) / 1e6 is two
+    fixed-order correctly-rounded divisions (n >= 1 by construction).
+
+    Scale shape: one (key, cell) hash aggregate with map-side
+    partials, then the key rollup — two narrow-key exchanges, no
+    window, no join. Output (key, n_points, n_cells, ent_u, ent_nats).
+    """
+    u = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+    census = (
+        pts.select(F.col(key_col), F.col(cell_col).alias("cell"))
+        .groupBy(key_col, "cell")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    per = census.groupBy(key_col).agg(
+        F.sum("n_c").cast("long").alias("n_points"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.col("n_c") * u(F.col("n_c"))).cast("long").alias("_s"),
+    )
+    ent_u = (F.col("n_points") * u(F.col("n_points")) - F.col("_s")).cast(
+        "long"
+    )
+    return per.select(
+        key_col,
+        "n_points",
+        "n_cells",
+        ent_u.alias("ent_u"),
+        (
+            (ent_u.cast("double") / F.col("n_points").cast("double"))
+            / F.lit(1e6)
+        ).alias("ent_nats"),
+    )

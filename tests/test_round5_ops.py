@@ -131,3 +131,32 @@ def test_source_kl_hand_computed(spark):
         true_kl = sum(q[t] * math.log(q[t] / p[t]) for t in corpus)
         assert abs(r["kl_nats"] - true_kl) < 1e-5
         assert r["kl_nats"] >= 0.0  # KL(q||p) >= 0 for distributions
+
+
+def test_location_entropy_golden(spark):
+    from cadastre_pg_spark.operators.measures import location_entropy
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10), (1, 10), (1, 10), (1, 10),  # all one cell -> H = 0
+            (2, 10), (2, 20),                     # 2 cells evenly -> ln 2
+            (3, 10), (3, 10), (3, 20), (3, 30),  # mixed
+        ],
+        "user_id long, cell long",
+    )
+    out = {
+        r["user_id"]: r.asDict() for r in location_entropy(pts).collect()
+    }
+    lnu = lambda x: round(math.log(x) * 1e6)
+    assert out[1]["ent_u"] == 0 and out[1]["ent_nats"] == 0.0
+    assert out[1]["n_cells"] == 1
+
+    e2 = 2 * lnu(2) - 2 * lnu(1)
+    assert out[2]["ent_u"] == e2
+    assert abs(out[2]["ent_nats"] - math.log(2)) < 1e-5
+
+    e3 = 4 * lnu(4) - (2 * lnu(2) + lnu(1) + lnu(1))
+    assert out[3]["ent_u"] == e3
+    true_h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert abs(out[3]["ent_nats"] - true_h) < 1e-5
+    assert out[3]["ent_nats"] == (float(e3) / 4.0) / 1e6
