@@ -941,6 +941,26 @@ def q_trip_segments(spark, sf_dir):
     return trip_segments(pts, gap_minutes=TRIP_GAP_MIN)
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flow census over 60-min gap-split trips at
+    level-7 cells: trip counts + exact geodesic distance mass per
+    (origin, destination) cell pair."""
+    from cadastre_pg_spark.operators.measures import od_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("event_id")
+    lon, lat = S.lon_col(key), S.lat_col(key)
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        S.grid_cell_col(lon, lat, LOCENT_LEVEL).alias("cell"),
+    )
+    return od_matrix(pts, gap_minutes=TRIP_GAP_MIN)
+
+
 def q_path_interp(spark, sf_dir):
     """Midpoint of each user's trajectory (ST_LineInterpolatePoint
     analog): quantized BIGINT cumulative lengths make the crossing
@@ -4403,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "trip_segments": q_trip_segments,
         "location_entropy": q_location_entropy,
+        "od_matrix": q_od_matrix,
         # --- previously driver-graded (r1-r4 artifacts) + remaining
         # never-graded tail; full registry covered by the committed
         # sweep artifact (scripts/sweep_oracles.py) + pytest ---
@@ -5695,6 +5716,7 @@ def oracle_sql() -> dict[str, str]:
         "haversine_legs": _haversine_legs_sql_oracle(),
         "radius_gyration": _radius_gyration_sql_oracle(),
         "trip_segments": _trip_segments_sql_oracle(TRIP_GAP_MIN),
+        "od_matrix": _od_matrix_sql_oracle(TRIP_GAP_MIN, LOCENT_LEVEL),
         "path_interp": _path_interp_sql_oracle(),
         "hist_quantile": _hist_quantile_sql_oracle(),
         "extent": f"""
@@ -10994,6 +11016,71 @@ def _trip_segments_sql_oracle(gap_minutes: int = 60) -> str:
                           / CAST(duration_us AS DOUBLE)) * {k}
                END AS speed_mps
         FROM per
+    """
+
+
+def _od_matrix_sql_oracle(gap_minutes: int = 60, level: int = 7) -> str:
+    """Replay of od_matrix: trip_segments' gap rule + leg quantization,
+    origin/destination elected by DuckDB's struct min/max (same
+    lexicographic (ts, event_id, cell) order as Spark's struct
+    ordering), exact BIGINT census sums, fixed-order mean division."""
+    from cadastre_pg_spark.kernels import geodesic as GD
+
+    lon = S.lon_sql("event_id")
+    lat = S.lat_sql("event_id")
+    cell = S.grid_cell_sql("lon", "lat", level)
+    gap_us = gap_minutes * 60_000_000
+    d = GD.haversine_m_sql("plon", "plat", "lon", "lat")
+    k = "CAST('1000.0' AS DOUBLE)"
+    return f"""
+        WITH pts AS (
+          SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat
+          FROM events
+        ),
+        pc AS (
+          SELECT *, {cell} AS cell FROM pts
+        ),
+        e AS (
+          SELECT *, lag(ts) OVER w AS prev,
+                 lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+          FROM pc
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        t AS (
+          SELECT user_id, ts, event_id, cell, lon, lat, plon, plat,
+                 (prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > {gap_us}) AS new_trip,
+                 CAST(sum(CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) > {gap_us}
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_id
+          FROM e
+        ),
+        trips AS (
+          SELECT user_id, trip_id,
+                 (min(struct_pack(ts := ts, eid := event_id,
+                                  cell := cell))).cell AS o_cell,
+                 (max(struct_pack(ts := ts, eid := event_id,
+                                  cell := cell))).cell AS d_cell,
+                 CAST(coalesce(sum(CASE WHEN NOT new_trip
+                       THEN CAST(floor(({d}) * {k}) AS BIGINT) END), 0)
+                      AS BIGINT) AS trip_mm
+          FROM t GROUP BY user_id, trip_id
+        ),
+        od AS (
+          SELECT o_cell, d_cell,
+                 CAST(count(*) AS BIGINT) AS n_trips,
+                 CAST(sum(CASE WHEN o_cell = d_cell THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_round,
+                 CAST(sum(trip_mm) AS BIGINT) AS total_mm
+          FROM trips GROUP BY o_cell, d_cell
+        )
+        SELECT o_cell, d_cell, n_trips, n_round, total_mm,
+               (CAST(total_mm AS DOUBLE) / CAST(n_trips AS DOUBLE)) / {k}
+                 AS mean_trip_m
+        FROM od
     """
 
 

@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "source_kl",
     "trip_segments",
     "location_entropy",
+    "od_matrix",
 ]
 
 _CHILD = r"""
@@ -350,6 +351,7 @@ AGG_COL = {{
     "source_kl": "kl_nats",
     "trip_segments": "total_mm",
     "location_entropy": "ent_nats",
+    "od_matrix": "mean_trip_m",
     "theil_sen": "ts_slope",
     "theil_sen_sampled": "ts_slope",
     "semdedup": "kept",

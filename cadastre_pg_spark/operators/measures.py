@@ -537,3 +537,93 @@ def location_entropy(
             / F.lit(1e6)
         ).alias("ent_nats"),
     )
+
+
+def od_matrix(
+    pts: "DataFrame",
+    key_col: str = "user_id",
+    ts: str = "ts",
+    order_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_col: str = "cell",
+    gap_minutes: int = 60,
+) -> "DataFrame":
+    """Origin-destination matrix over gap-split trips — the flow
+    census transit/mobility analysis keys on: each trip (sessionize
+    gap rule, trip_segments' segmentation) contributes one
+    (origin cell, destination cell) pair; the census rolls up trip
+    counts and exact geodesic distance mass per OD pair.
+
+    Origin/destination are the cells of the trip's first/last point
+    by (ts, order) — elected MAP-SIDE as min/max over
+    struct(ts, order, cell) (the max-struct idiom; lexicographic on a
+    unique prefix, no window rank). Distances are the same floor-mm
+    series-haversine legs as trip_segments, so total_mm is an exact
+    BIGINT and mean_trip_m a fixed-order IEEE division.
+
+    Scale shape: one key exchange (the shared window spec), a
+    per-(key, trip) aggregate riding the key partitioning, then ONE
+    narrow (o_cell, d_cell) census exchange. Output: (o_cell, d_cell,
+    n_trips, n_round [o==d subset], total_mm, mean_trip_m).
+    """
+    from pyspark.sql import Window
+
+    from ..kernels import geodesic as GD
+    from .sessions import sessionize
+
+    s = sessionize(
+        pts,
+        key=key_col,
+        ts=ts,
+        order_tiebreak=order_col,
+        gap_minutes=gap_minutes,
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(order_col).asc()
+    )
+    d_m = GD.haversine_m(
+        F.lag(lon).over(w),
+        F.lag(lat).over(w),
+        F.col(lon),
+        F.col(lat),
+        F.sqrt,
+    )
+    same_trip = F.lag("session_idx").over(w) == F.col("session_idx")
+    leg_mm = F.when(same_trip, F.floor(d_m * 1000.0).cast("long"))
+    trips = (
+        s.select(
+            F.col(key_col),
+            F.col("session_idx").alias("trip_id"),
+            F.struct(F.col(ts), F.col(order_col), F.col(cell_col)).alias(
+                "_pt"
+            ),
+            leg_mm.alias("_leg_mm"),
+        )
+        .groupBy(key_col, "trip_id")
+        .agg(
+            F.min("_pt")[cell_col].alias("o_cell"),
+            F.max("_pt")[cell_col].alias("d_cell"),
+            F.coalesce(F.sum("_leg_mm"), F.lit(0))
+            .cast("long")
+            .alias("trip_mm"),
+        )
+    )
+    od = trips.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips"),
+        F.sum((F.col("o_cell") == F.col("d_cell")).cast("long"))
+        .cast("long")
+        .alias("n_round"),
+        F.sum("trip_mm").cast("long").alias("total_mm"),
+    )
+    return od.select(
+        "o_cell",
+        "d_cell",
+        "n_trips",
+        "n_round",
+        "total_mm",
+        (
+            (F.col("total_mm").cast("double") / F.col("n_trips").cast("double"))
+            / F.lit(1000.0)
+        ).alias("mean_trip_m"),
+    )

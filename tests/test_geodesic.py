@@ -238,3 +238,49 @@ def test_trip_exactly_at_gap_stays_one_trip(spark):
     # sessionize splits STRICTLY beyond the gap: 60:00.000000 merges,
     # 60:00.000001 splits
     assert trips == [(1, 2), (2, 1)]
+
+
+def test_od_matrix_golden(spark):
+    import datetime as dt
+
+    from cadastre_pg_spark.operators.measures import od_matrix
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, trip 1: cell 100 -> 200 (two legs)
+        (1, 10, t0, 2.0, 45.0, 100),
+        (1, 20, t0 + m, 2.0, 45.1, 150),
+        (1, 30, t0 + 2 * m, 2.0, 45.2, 200),
+        # user 1, trip 2 after gap: single point, round trip 300->300
+        (1, 40, t0 + 90 * m, 3.0, 46.0, 300),
+        # user 2: same OD pair as user 1 trip 1, one leg
+        (2, 50, t0, 2.0, 45.0, 100),
+        (2, 60, t0 + m, 2.0, 45.2, 200),
+    ]
+    pts = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, lon double,"
+        " lat double, cell long",
+    )
+    out = {
+        (r["o_cell"], r["d_cell"]): r.asDict()
+        for r in od_matrix(pts, gap_minutes=60).collect()
+    }
+    assert set(out) == {(100, 200), (300, 300)}
+    d = GD.haversine_m(
+        np.array([2.0, 2.0, 2.0]),
+        np.array([45.0, 45.1, 45.0]),
+        np.array([2.0, 2.0, 2.0]),
+        np.array([45.1, 45.2, 45.2]),
+        np.sqrt,
+    )
+    mm = np.floor(d * 1000.0).astype(np.int64)
+    want_mm = int(mm[0] + mm[1] + mm[2])  # u1 two legs + u2 one leg
+    r = out[(100, 200)]
+    assert r["n_trips"] == 2 and r["n_round"] == 0
+    assert r["total_mm"] == want_mm
+    assert r["mean_trip_m"] == (float(want_mm) / 2.0) / 1000.0
+    r2 = out[(300, 300)]
+    assert r2["n_trips"] == 1 and r2["n_round"] == 1
+    assert r2["total_mm"] == 0
