@@ -284,3 +284,50 @@ def test_od_matrix_golden(spark):
     r2 = out[(300, 300)]
     assert r2["n_trips"] == 1 and r2["n_round"] == 1
     assert r2["total_mm"] == 0
+
+
+def test_radius_of_gyration_negative_lon(spark):
+    """floor() on negative coordinates rounds toward -inf in all three
+    engines — the west-of-Greenwich half of the bbox must quantize
+    identically (explicit golden next to the sweep's empirical pass)."""
+    from cadastre_pg_spark.operators.measures import radius_of_gyration
+
+    pts = spark.createDataFrame(
+        [(1, -4.35, 48.4), (1, -4.25, 48.4), (1, -4.3, 48.5)],
+        "user_id long, lon double, lat double",
+    )
+    r = radius_of_gyration(pts).collect()[0].asDict()
+    lons = np.array([-4.35, -4.25, -4.3])
+    lats = np.array([48.4, 48.4, 48.5])
+    sx = int(np.floor(lons * 1e7).astype(np.int64).sum())
+    sy = int(np.floor(lats * 1e7).astype(np.int64).sum())
+    clon = (float(sx) / 3.0) / 1e7
+    clat = (float(sy) / 3.0) / 1e7
+    assert r["centroid_lon"] == clon and r["centroid_lat"] == clat
+    d = GD.haversine_m(np.full(3, clon), np.full(3, clat), lons, lats, np.sqrt)
+    dm = np.floor(d).astype(np.int64)
+    assert r["rg_m"] == math.sqrt(float((dm * dm).sum()) / 3.0)
+
+
+def test_trip_segments_ts_tie_breaks_by_event_id(spark):
+    import datetime as dt
+
+    from cadastre_pg_spark.operators.measures import trip_segments
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    # two points share a timestamp: leg order must follow event_id
+    rows = [
+        (1, 20, t0, 2.0, 45.1),
+        (1, 10, t0, 2.0, 45.0),
+        (1, 30, t0 + dt.timedelta(minutes=1), 2.0, 45.3),
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lon double, lat double"
+    )
+    r = trip_segments(pts, gap_minutes=60).collect()[0].asDict()
+    d = GD.haversine_m(
+        np.array([2.0, 2.0]), np.array([45.0, 45.1]),
+        np.array([2.0, 2.0]), np.array([45.1, 45.3]), np.sqrt,
+    )
+    want = int(np.floor(d[0] * 1000.0) + np.floor(d[1] * 1000.0))
+    assert r["n_points"] == 3 and r["total_mm"] == want

@@ -160,3 +160,24 @@ def test_location_entropy_golden(spark):
     true_h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
     assert abs(out[3]["ent_nats"] - true_h) < 1e-5
     assert out[3]["ent_nats"] == (float(e3) / 4.0) / 1e6
+
+
+def test_source_kl_single_source_smoothing_floor(spark):
+    """One source == the corpus: divergence comes only from add-one
+    smoothing — tiny but non-negative, and exactly reproducible."""
+    from cadastre_pg_spark.operators.corpus import source_kl_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb", "s1"), (2, "aa cc", "s1")],
+        "doc_id long, text string, source string",
+    )
+    r = source_kl_divergence(docs).collect()[0].asDict()
+    assert r["source"] == "s1"
+    assert (r["n_tokens"], r["n_types"]) == (5, 3)
+    assert r["kl_nats"] >= 0.0
+    # q = (c+1)/(5+3) vs p = c/5 over {aa:3, bb:1, cc:1}
+    true_kl = sum(
+        ((c + 1) / 8.0) * math.log(((c + 1) / 8.0) / (c / 5.0))
+        for c in (3, 1, 1)
+    )
+    assert abs(r["kl_nats"] - true_kl) < 1e-5
