@@ -24,6 +24,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shuffle_n(df: DataFrame) -> int:
+    """The session's shuffle-partition count (the bench/production conf
+    knob) — used to pin explicit repartitions so co-partitioned joins
+    line up; falls back to 2x default parallelism when unreadable."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
+_ROWS_PER_PART = 2_000_000  # narrow long-pair rows per task (~32 MB)
+
+
+def _adaptive_n(df: DataFrame, n_rows: int) -> int:
+    """Partition count for the iterative ops' pinned repartitions:
+    scale-adaptive (guide §2.2/§2.5 — sized from the data, capped at
+    the session conf), never a constant. A fixed repartition(conf_n)
+    at small inputs schedules conf_n near-empty tasks for EVERY round
+    stage (measured 2x regression on label_prop at sf0.1); AQE cannot
+    coalesce an explicit-N repartition, so N itself must adapt."""
+    n = max(1, -(-int(n_rows) // _ROWS_PER_PART))
+    return min(n, _shuffle_n(df))
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "doc_a",
@@ -32,23 +56,59 @@ def connected_components(
 ) -> DataFrame:
     """edges(a, b) -> (node, cluster) where cluster = min node id in
     the node's connected component. Exact; nodes = every id appearing
-    in edges. Returns an empty frame for an empty edge set."""
-    sym = edges.select(
-        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
-    ).unionByName(
+    in edges. Returns an empty frame for an empty edge set.
+
+    Plan shape (round-6 measured rework; results bit-identical):
+    - symmetrization happens INSIDE one pipeline pass via an explode
+      of the (src,dst)/(dst,src) struct pair — the old union-of-two-
+      branches sym checkpoint evaluated the caller's full LSH/overlap
+      pair pipeline twice, once per branch;
+    - convergence is detected on the PRE-jump table (labels only
+      decrease, so sum(stepped) == sum(lab) is elementwise equality;
+      stability under neighborhood-min implies per-component-constant
+      labels, which are a jump fixpoint) — the final round's pointer
+      jump is never executed;
+    - dense graphs CONTRACT after the first neighborhood-min round
+      (the two-phase CC shape): edges whose endpoints share a label
+      are internal and are dropped, the rest relabel to their label
+      endpoints — the remaining O(log d) rounds scan the contracted
+      graph instead of re-scanning every raw edge (measured 9 rounds
+      x 5.1M rows -> 1 round x 5.1M + 8 rounds x ~contracted on the
+      dissolve graph). Contraction preserves components and their
+      minima exactly: labels are member ids, and a component's min
+      node labels itself."""
+    sym = (
         edges.select(
-            F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a).cast("long").alias("src"),
+                        F.col(b).cast("long").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(b).cast("long").alias("src"),
+                        F.col(a).cast("long").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    cached = [sym]
+    # with contraction the raw sym table is scanned at most twice
+    # (round 1 + the relabel pass), so no re-spread is needed — the
+    # count only picks the small-vs-contract branch below
+    n_sym = sym.count()
     lab = (
-        sym.select(F.col("src").alias("node"))
+        sym.select(F.col("dst").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    cached = [sym, lab]
-    prev_sum = lab.agg(F.sum("lab")).first()[0]
+    cached.append(lab)
+    first = lab.agg(F.sum("lab"), F.count(F.lit(1))).first()
+    prev_sum, n_nodes = first[0], first[1]
     if prev_sum is None:  # no edges at all
         out = lab.select("node", F.col("lab").alias("cluster"))
         out._cadastre_cached = cached
@@ -58,61 +118,137 @@ def connected_components(
     # (<~100 MB build), turning BOTH per-round joins map-side so the
     # static edge table is never re-shuffled per round; above that the
     # joins fall back to shuffle plans unchanged
-    bcast = lab.count() <= 5_000_000
+    bcast = n_nodes <= 5_000_000
 
     def _b(d):
         return F.broadcast(d) if bcast else d
 
-    for _ in range(max_rounds):
-        # (1) neighborhood min — checkpoint HERE: this aggregate is the
-        # round's one unavoidable edge-sized exchange, and both the
-        # pointer jump below and the next round reuse it
-        nbr = sym.join(_b(lab), sym.src == lab.node).select(
-            F.col("dst").alias("node"), "lab"
-        )
-        stepped = (
-            lab.select("node", "lab")
-            .unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
-        cached.append(stepped)
-        # (2) pointer jump: lab <- lab(lab(node)). Labels are node ids
-        # with lab(m) <= m, so the jump only ever lowers a label; the
-        # left join covers the (impossible in practice) dangling case.
-        # The map side is REBUILT with renamed columns (fresh exprIds)
-        # — an alias-based self-join of `stepped` loses an attribute in
-        # the optimizer on some plans (NoSuchElementException).
-        jump = stepped.select(
-            F.col("node").alias("m_node"), F.col("lab").alias("m_lab")
-        )
-        new = (
-            stepped.join(_b(jump), F.col("lab") == F.col("m_node"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("m_lab"), F.col("lab")).alias("lab"),
+    def _min_rounds(sym_i, lab_i, prev_sum_i, rounds_left):
+        """Min-label + pointer-jump rounds to the fixpoint; returns the
+        converged (node, lab) table. sym_i/lab_i must be cached."""
+        lab_r = lab_i
+        prev = prev_sum_i
+        for _ in range(rounds_left):
+            # (1) neighborhood min: union the node's own label in as an
+            # extra aggregation arm (measured cheaper per round than a
+            # separate node-keyed fold-in join — the union rides the
+            # same node-sized partial-agg exchange)
+            nbr = sym_i.join(_b(lab_r), sym_i.src == lab_r.node).select(
+                F.col("dst").alias("node"), "lab"
             )
+            stepped = (
+                lab_r.select("node", "lab")
+                .unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+                # lazy checkpoint + immediate aggregate = the
+                # convergence sum rides the SAME job that materializes
+                # the round — one driver job per round instead of
+                # checkpoint-then-sum
+                .localCheckpoint(eager=False)
+            )
+            cached.append(stepped)
+            new_sum = stepped.agg(F.sum("lab")).first()[0]
+            if new_sum == prev:
+                return stepped
+            prev = new_sum
+            # (2) pointer jump: lab <- lab(lab(node)). Labels are node
+            # ids with lab(m) <= m, so the jump only ever lowers a
+            # label; the left join covers the (impossible in practice)
+            # dangling case. The map side is REBUILT with renamed
+            # columns (fresh exprIds) — an alias-based self-join of
+            # `stepped` loses an attribute in the optimizer on some
+            # plans (NoSuchElementException).
+            jump = stepped.select(
+                F.col("node").alias("m_node"), F.col("lab").alias("m_lab")
+            )
+            new = (
+                stepped.join(
+                    _b(jump), F.col("lab") == F.col("m_node"), "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("m_lab"), F.col("lab")).alias("lab"),
+                )
+            )
+            if not bcast:
+                # shuffle path: `new` is consumed twice next round —
+                # keep it materialized so the SMJ is not replayed per
+                # use (the broadcast path recomputes it from the cached
+                # `stepped` with a map-side join, which is cheaper than
+                # a second checkpoint write)
+                new = new.localCheckpoint(eager=True)
+                cached.append(new)
+            lab_r = new
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            f"— component diameter exceeds ~2^{max_rounds - 1}; raise "
+            "max_rounds"
         )
-        if not bcast:
-            # shuffle path: `new` is consumed twice next round — keep
-            # it materialized so the SMJ is not replayed per use (the
-            # broadcast path recomputes it from the cached `stepped`
-            # with a map-side join, which is cheaper than a second
-            # checkpoint write)
-            new = new.localCheckpoint(eager=True)
-            cached.append(new)
-        new_sum = new.agg(F.sum("lab")).first()[0]
-        lab = new
-        if new_sum == prev_sum:
-            out = lab.select("node", F.col("lab").alias("cluster"))
-            out._cadastre_cached = cached
-            return out
-        prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components: no fixpoint after {max_rounds} rounds — "
-        f"component diameter exceeds ~2^{max_rounds - 1}; raise max_rounds"
+
+    if n_sym <= 1_000_000:
+        # small graphs: contraction overhead (two maps + a distinct)
+        # isn't worth it — iterate directly
+        out = _min_rounds(sym, lab, prev_sum, max_rounds).select(
+            "node", F.col("lab").alias("cluster")
+        )
+        out._cadastre_cached = cached
+        return out
+
+    # dense/large graph: one neighborhood-min round over the raw
+    # edges, then contract and iterate on the (much smaller) label
+    # graph — every subsequent round stops re-scanning raw edges
+    nbr1 = sym.join(_b(lab), sym.src == lab.node).select(
+        F.col("dst").alias("node"), "lab"
     )
+    l1 = (
+        lab.select("node", "lab")
+        .unionByName(nbr1)
+        .groupBy("node")
+        .agg(F.min("lab").alias("lab"))
+        .localCheckpoint(eager=False)
+    )
+    cached.append(l1)
+    s1 = l1.agg(F.sum("lab")).first()[0]
+    if s1 == prev_sum:
+        out = l1.select("node", F.col("lab").alias("cluster"))
+        out._cadastre_cached = cached
+        return out
+    m1 = l1.select(F.col("node").alias("m_node"), F.col("lab").alias("m_lab"))
+    m2 = l1.select(F.col("node").alias("w_node"), F.col("lab").alias("w_lab"))
+    e2 = (
+        sym.join(_b(m1), sym.src == F.col("m_node"))
+        .join(_b(m2), sym.dst == F.col("w_node"))
+        .where(F.col("m_lab") != F.col("w_lab"))
+        .select(F.col("m_lab").alias("src"), F.col("w_lab").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cached.append(e2)
+    lab2 = (
+        e2.select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    cached.append(lab2)
+    sum2 = lab2.agg(F.sum("lab")).first()[0]
+    fix2 = _min_rounds(e2, lab2, sum2, max_rounds - 1)
+    # map every original node through its round-1 label to the
+    # contracted fixpoint; labels whose whole component collapsed at
+    # round 1 never enter e2 and keep their (already-minimal) label
+    fmap = fix2.select(
+        F.col("node").alias("f_node"), F.col("lab").alias("f_lab")
+    )
+    out = (
+        l1.join(_b(fmap), F.col("lab") == F.col("f_node"), "left")
+        .select(
+            "node",
+            F.coalesce(F.col("f_lab"), F.col("lab")).alias("cluster"),
+        )
+    )
+    out._cadastre_cached = cached
+    return out
 
 
 def dedup_clusters(
@@ -173,16 +309,6 @@ def pagerank(
     base = (1.0 - damping) / n_nodes  # python double, shared with the oracle
     u0 = int((1.0 / n_nodes) * RANK_UNIT)  # floor, exact python int
 
-    e = edges.select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
-
-    ranks = nodes.select(
-        F.col("node").cast("long").alias("v"), F.lit(u0).alias("u")
-    ).localCheckpoint(eager=True)
-    cached = [ed, ranks]
     # measured gate (same rule as connected_components): a node-sized
     # rank/contrib table under ~5M rows broadcasts, so the static edge
     # table is never re-shuffled per round
@@ -190,6 +316,33 @@ def pagerank(
 
     def _b(d):
         return F.broadcast(d) if bcast else d
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # round-6 plan rework (results bit-identical): partition the static
+    # edge table ONCE — by dst in broadcast mode so the per-round
+    # inbound SUM rides the partitioning (zero exchanges per round); by
+    # src above the gate so the per-round rank join is co-partitioned
+    # and only the node-sized partial-agg exchange remains. The node
+    # table is partitioned by id once for the co-partitioned attach
+    # join. In-loop checkpoints are LAZY: lineage still truncates per
+    # round, but the fixed-iteration chain executes without a blocking
+    # driver job per round.
+    n = _adaptive_n(edges, n_nodes)
+    ed = (
+        e.join(deg, "src")
+        .repartition(n, "dst" if bcast else "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes0 = (
+        nodes.select(F.col("node").cast("long").alias("v"))
+        .repartition(n, "v")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes0.select("v", F.lit(u0).alias("u"))
+    cached = [ed, nodes0]
 
     out = None
     for _ in range(iters):
@@ -204,13 +357,11 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        stepped = nodes.select(F.col("node").cast("long").alias("v")).join(
-            _b(contrib), F.col("v") == F.col("dst"), "left"
-        )
+        stepped = nodes0.join(contrib, F.col("v") == F.col("dst"), "left")
         rd = F.lit(base) + F.lit(damping) * (
             F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(RANK_UNIT)
         )
-        out = stepped.select("v", rd.alias("rd")).localCheckpoint(eager=True)
+        out = stepped.select("v", rd.alias("rd")).localCheckpoint(eager=False)
         cached.append(out)
         ranks = out.select("v", F.floor(F.col("rd") * F.lit(RANK_UNIT)).alias("u"))
     res = out.select(F.col("v").alias("node"), F.col("rd").alias("rank"))
@@ -254,17 +405,36 @@ def hits(
     if n_nodes is None:
         n_nodes = nodes.count()
     unit = F.lit(float(RANK_UNIT))
-    e = edges.select(
+    bcast = n_nodes <= 5_000_000
+    # round-6 plan rework (results bit-identical): in broadcast mode
+    # the static edge table is kept in TWO partitioned copies — by dst
+    # for the authority half-round and by src for the hub half-round —
+    # so each half's inbound SUM rides a setup partitioning and the
+    # round body is exchange-free; the node table is partitioned by id
+    # once for the co-partitioned attach join. Above the gate a single
+    # unpartitioned copy keeps the old shuffle shape (two copies would
+    # double edge storage at scale for no round-body win there).
+    # In-loop checkpoints are LAZY (lineage truncation without a
+    # blocking driver job per half-round; the fixed-round chain runs
+    # in the terminal action).
+    n = _adaptive_n(edges, n_nodes)
+    e0 = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).localCheckpoint(eager=True)
-    nv = nodes.select(F.col("node").cast("long").alias("v"))
-    u0 = int(RANK_UNIT / n_nodes)
-    h = nv.select("v", F.lit(u0).cast("long").alias("u")).localCheckpoint(
-        eager=True
     )
-    cached = [e, h]
-    bcast = n_nodes <= 5_000_000
+    if bcast:
+        e_by_dst = e0.repartition(n, "dst").localCheckpoint(eager=True)
+        e_by_src = e0.repartition(n, "src").localCheckpoint(eager=True)
+    else:
+        e_by_dst = e_by_src = e0.localCheckpoint(eager=True)
+    nv = (
+        nodes.select(F.col("node").cast("long").alias("v"))
+        .repartition(n, "v")
+        .localCheckpoint(eager=True)
+    )
+    u0 = int(RANK_UNIT / n_nodes)
+    h = nv.select("v", F.lit(u0).cast("long").alias("u"))
+    cached = [e_by_dst, e_by_src, nv]
 
     def _b(d):
         return F.broadcast(d) if bcast else d
@@ -272,6 +442,7 @@ def hits(
     def _half(scores, src_col, dst_col):
         """One half-round: inbound unit SUM onto dst_col, L1-normalize,
         re-floor to units. Returns the new node-sized (v, u) table."""
+        e = e_by_dst if dst_col == "dst" else e_by_src
         s = (
             e.join(_b(scores), F.col(src_col) == scores.v)
             .select(F.col(dst_col).alias("w"), "u")
@@ -280,7 +451,7 @@ def hits(
         )
         t = s.agg(F.sum("s").alias("t"))
         out = (
-            nv.join(_b(s), F.col("v") == F.col("w"), "left")
+            nv.join(s, F.col("v") == F.col("w"), "left")
             .crossJoin(F.broadcast(t))
             .select(
                 "v",
@@ -298,7 +469,7 @@ def hits(
                 .cast("long")
                 .alias("u"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cached.append(out)
         return out
@@ -511,16 +682,29 @@ def bfs_hops(
     so round r plans as cheap as round 1. The fixpoint is unique, so
     the oracle replays it as unrolled idempotent rounds.
     """
-    e = edges.select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    # round-6 plan rework (results bit-identical): the edge table is
+    # partitioned by dst once, so in broadcast mode the per-round
+    # frontier expansion's distinct rides the setup partitioning and
+    # the round is exchange-free; the visited set is kept as the UNION
+    # OF THE CACHED PER-ROUND FRONTIERS (each already checkpointed for
+    # the convergence count) instead of re-checkpointing a growing
+    # label table every round — one driver job per round, not three.
+    # Above the gate the old consolidated-label checkpoint shape is
+    # kept (a per-round union-of-r-frames anti-join would re-shuffle
+    # every frame every round at scale).
+    e0 = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
     ).localCheckpoint(eager=True)
+    n = _adaptive_n(edges, e0.count())  # cheap: e0 is cached
+    e = e0.repartition(n, "dst").localCheckpoint(eager=True)
     lab = (
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("hop"))
         .localCheckpoint(eager=True)
     )
-    cached = [e, lab]
+    cached = [e0, e, lab]
     frontier = lab
     # measured gate (the connected_components rule): frontier and
     # visited sets under ~5M rows broadcast, keeping the static edge
@@ -542,7 +726,9 @@ def bfs_hops(
             .distinct()
             .join(anti_side, "node", "left_anti")
             .select("node", F.lit(r).alias("hop"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: the convergence count rides the
+            # materialization job — one driver job per round
+            .localCheckpoint(eager=False)
         )
         cached.append(nxt)
         n_frontier = nxt.count()
@@ -550,8 +736,12 @@ def bfs_hops(
             out = lab.select("node", F.col("hop").cast("int").alias("hop"))
             out._cadastre_cached = cached
             return out
-        lab = lab.unionByName(nxt).localCheckpoint(eager=True)
-        cached.append(lab)
+        if n_lab + n_frontier <= _B:
+            # visited stays a lazy union of cached frames — no extra job
+            lab = lab.unionByName(nxt)
+        else:
+            lab = lab.unionByName(nxt).localCheckpoint(eager=True)
+            cached.append(lab)
         n_lab += n_frontier
         frontier = nxt
     raise RuntimeError(
@@ -673,18 +863,30 @@ def sssp(
     label set. Work is proportional to the frontier's out-edges, the
     Pregel bound.
     """
-    e = edges.select(
+    # round-6 plan rework (results bit-identical): the edge table is
+    # partitioned by dst once, so in broadcast mode the per-round
+    # candidate min-agg rides the setup partitioning (exchange-free
+    # round body); the label update collapses to ONE anti-join —
+    # `improved` holds strictly-better distances only, so the new
+    # label set is exactly improved ∪ (lab \ improved.nodes), and in
+    # broadcast mode the update is map-side over the cached tables
+    # WITHOUT its own checkpoint job (recomputation from cache is two
+    # narrow map passes; the old shape paid a blocking checkpoint +
+    # two joins per round).
+    e0 = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     ).localCheckpoint(eager=True)
+    n = _adaptive_n(edges, e0.count())  # cheap: e0 is cached
+    e = e0.repartition(n, "dst").localCheckpoint(eager=True)
     lab = (
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    cached = [e, lab]
+    cached = [e0, e, lab]
     frontier = lab
     # measured gate (the connected_components rule): node-sized
     # frontier/label tables under ~5M rows broadcast so the static
@@ -693,6 +895,7 @@ def sssp(
     _B = 5_000_000
     n_frontier = lab.count()
     n_lab = n_frontier
+    rounds_since_ckpt = 0
 
     def _gate(d, n):
         return F.broadcast(d) if n <= _B else d
@@ -720,7 +923,9 @@ def sssp(
             )
             .filter(F.col("_old").isNull() | (F.col("_d") < F.col("_old")))
             .select("node", F.col("_d").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint + count: the convergence count rides the
+            # materialization job — one driver job per round
+            .localCheckpoint(eager=False)
         )
         cached.append(improved)
         n_frontier = improved.count()
@@ -728,33 +933,18 @@ def sssp(
             out = lab.select("node", "dist")
             out._cadastre_cached = cached
             return out
-        lab = (
-            lab.join(
-                _gate(
-                    improved.select("node", F.col("dist").alias("_new")),
-                    n_frontier,
-                ),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.when(
-                    F.col("_new").isNotNull()
-                    & (F.col("_new") < F.col("dist")),
-                    F.col("_new"),
-                )
-                .otherwise(F.col("dist"))
-                .alias("dist"),
-            )
-            .unionByName(
-                improved.join(
-                    _gate(lab.select("node"), n_lab), "node", "left_anti"
-                )
-            )
-            .localCheckpoint(eager=True)
-        )
-        cached.append(lab)
+        lab = lab.join(
+            _gate(improved.select("node"), n_frontier), "node", "left_anti"
+        ).unionByName(improved)
+        rounds_since_ckpt += 1
+        if n_lab + n_frontier > _B or rounds_since_ckpt >= 8:
+            # consolidate: above the broadcast gate every union arm
+            # would re-shuffle per round, and even below it the lazy
+            # anti-join chain is re-evaluated per consumer — cap its
+            # depth so each round stays O(chain of <= 8 map passes)
+            lab = lab.localCheckpoint(eager=True)
+            cached.append(lab)
+            rounds_since_ckpt = 0
         n_lab += n_frontier
         frontier = improved
     raise RuntimeError(
@@ -789,7 +979,13 @@ def label_prop(
     winner pick via max(struct(n, -label)) -- no window function, no
     sort. Per-round localCheckpoint truncates lineage.
     """
-    sym = (
+    # round-6 plan rework (results bit-identical): sym is partitioned
+    # by dst once, so in broadcast mode the per-round vote census
+    # (node, lab), the winner pick (node), and the label update join
+    # (node) ALL ride the setup partitioning — zero exchanges per
+    # round; the label table for the fixed rounds checkpoints LAZILY
+    # (lineage truncation without a blocking driver job per round).
+    sym0 = (
         edges.select(
             F.col(a).cast("long").alias("src"),
             F.col(b).cast("long").alias("dst"),
@@ -804,13 +1000,17 @@ def label_prop(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n = _adaptive_n(edges, sym0.count())  # cheap: sym0 is cached
+    sym = sym0.repartition(n, "dst").localCheckpoint(eager=True)
+    # every node appears as a dst (sym is symmetric): the distinct
+    # rides the dst partitioning and lab comes out partitioned by node
     lab = (
-        sym.select(F.col("src").alias("node"))
+        sym.select(F.col("dst").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    cached = [sym, lab]
+    cached = [sym0, sym, lab]
     bcast = lab.count() <= 5_000_000
 
     def _b(d):
@@ -829,11 +1029,11 @@ def label_prop(
             ).alias("s")
         ).select("node", F.col("s.lab").alias("new_lab"))
         lab = (
-            lab.join(_b(best), "node", "left")
+            lab.join(best, "node", "left")
             .select(
                 "node", F.coalesce("new_lab", "lab").alias("lab")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cached.append(lab)
     out = lab.select("node", F.col("lab").alias("label"))
@@ -872,13 +1072,22 @@ def personalized_pagerank(
     base = (1.0 - damping) / n_seeds
     u0 = int((1.0 / n_seeds) * RANK_UNIT)
 
+    n_nodes = nodes.count()
+    bcast = n_nodes <= 5_000_000
+    # same round-6 partitioned-once round shape as pagerank: edges by
+    # dst (broadcast mode) / src (shuffle mode), seeded node table by
+    # id, lazy in-loop checkpoints — see pagerank for the rationale
+    n = _adaptive_n(edges, n_nodes)
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+    ed = (
+        e.join(deg, "src")
+        .repartition(n, "dst" if bcast else "src")
+        .localCheckpoint(eager=True)
+    )
     sd = seeds.select(
         F.col("node").cast("long").alias("v"), F.lit(True).alias("is_seed")
     )
@@ -886,6 +1095,7 @@ def personalized_pagerank(
         nodes.select(F.col("node").cast("long").alias("v"))
         .join(F.broadcast(sd), "v", "left")
         .select("v", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .repartition(n, "v")
         .localCheckpoint(eager=True)
     )
     ranks = nod.select(
@@ -893,7 +1103,6 @@ def personalized_pagerank(
         F.when(F.col("is_seed"), F.lit(u0)).otherwise(F.lit(0)).alias("u"),
     )
     cached = [ed, nod]
-    bcast = n_nodes <= 5_000_000
 
     def _b(d):
         return F.broadcast(d) if bcast else d
@@ -909,7 +1118,7 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        stepped = nod.join(_b(contrib), F.col("v") == F.col("dst"), "left")
+        stepped = nod.join(contrib, F.col("v") == F.col("dst"), "left")
         rd = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0)) + (
             F.lit(damping)
             * (
@@ -918,7 +1127,7 @@ def personalized_pagerank(
             )
         )
         out = stepped.select("v", "is_seed", rd.alias("rd")).localCheckpoint(
-            eager=True
+            eager=False
         )
         cached.append(out)
         ranks = out.select(
