@@ -2936,6 +2936,15 @@ def q_winnow_pairs(spark, sf_dir):
     )
 
 
+# posting-bucket cap for the registry containment call: the measured
+# max token document frequency is 402 at sf0.01 / 3923 at sf0.1, so
+# 8192 skips nothing on the test data (oracle identical) while bounding
+# the worst posting bucket's candidate fan-out at scale — the same
+# measured-cap pattern as INTERVAL_BUCKET_CAP (round-4) and the LSH
+# band caps; skipped buckets surface via result._skipped_buckets.
+CONT_MAX_BUCKET = 8192
+
+
 def q_containment(spark, sf_dir):
     """Exact asymmetric containment self-join at |AnB|/|A| >= 0.8 via
     the lossless rarest-prefix-vs-full-posting variant of ppjoin; the
@@ -2943,7 +2952,10 @@ def q_containment(spark, sf_dir):
     from cadastre_pg_spark.operators.dedup import containment_join
 
     return containment_join(
-        _docs(spark, sf_dir), threshold_num=CONT_NUM, threshold_den=CONT_DEN
+        _docs(spark, sf_dir),
+        threshold_num=CONT_NUM,
+        threshold_den=CONT_DEN,
+        max_bucket=CONT_MAX_BUCKET,
     )
 
 

@@ -388,7 +388,7 @@ def surprisal(docs: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
             F.sum("u").cast("long").alias("su"),
         )
     )
-    return per.crossJoin(tot).select(
+    return per.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tokens",
         F.round(
