@@ -1747,8 +1747,6 @@ def lsh_threshold_sweep(
     single-row bands bucket on ONE minhash value and degenerate
     toward all-pairs); pairs carry only ids + two 32-long signature
     arrays, never text."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     for bands, rpb in configs:
@@ -1759,61 +1757,87 @@ def lsh_threshold_sweep(
             )
 
     ss = minhash_signatures(docs, n_shingle, hash_fn).persist()
-    per_cfg = []
-    skipped_all = []
-    for bands, rpb in configs:
-        t = (1.0 / bands) ** (1.0 / rpb)
-        banded = ss.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rpb + r].cast("string")
-                                    for r in range(rpb)
-                                ],
-                            ).alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.key")
-        w_bucket = Window.partitionBy("band", "key")
-        sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
-        skipped_all.append(
-            sized.filter(F.col("n") > max_bucket)
-            .select(F.lit(bands).alias("bands"), "band", "key", "n")
-            .distinct()
+    # round-6 plan rework (results identical): ALL layouts explode out
+    # of ONE pass over the cached signatures, tagged (bands, rpb), so
+    # the bucket-size window, the band-bucket self-join, and the pair
+    # distinct each run ONCE over the tagged table instead of once per
+    # config — the sweep's plan is a single candidate pipeline, not
+    # len(configs) unioned copies (3x fewer exchanges/stages; the
+    # self-join's (bands, rpb, band, key) key keeps configs apart).
+    banded = ss.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bands).alias("bands"),
+                        F.lit(rpb).alias("rpb"),
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rpb + r].cast("string")
+                                for r in range(rpb)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bands, rpb in configs
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.bands", "bb.rpb", "bb.band", "bb.key")
+    w_bucket = Window.partitionBy("bands", "rpb", "band", "key")
+    sized = banded.withColumn("n", F.count(F.lit(1)).over(w_bucket))
+    skipped = (
+        sized.filter(F.col("n") > max_bucket)
+        .select("bands", "band", "key", "n")
+        .distinct()
+    )
+    ok = sized.filter(F.col("n") <= max_bucket).drop("n")
+    left, right = ok.alias("l"), ok.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.bands") == F.col("r.bands"))
+            & (F.col("l.rpb") == F.col("r.rpb"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        ok = sized.filter(F.col("n") <= max_bucket).drop("n")
-        left, right = ok.alias("l"), ok.alias("r")
-        per_cfg.append(
-            left.join(
-                right,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.key") == F.col("r.key"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(
-                F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .select(
-                F.lit(bands).alias("bands"),
-                F.lit(rpb).alias("rows_per_band"),
-                F.lit(round(t, 6)).alias("threshold"),
-                F.lit(float(N_HASHES) * t).alias("est_min_f"),
-                "doc_a",
-                "doc_b",
-            )
+        .select(
+            F.col("l.bands").alias("bands"),
+            F.col("l.rpb").alias("rows_per_band"),
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
         )
-    pairs = reduce(lambda a, b: a.unionByName(b), per_cfg)
+        .distinct()
+    )
+    # per-config S-curve midpoints as literal CASE chains (computed in
+    # driver Python exactly as before — same doubles enter both engines)
+    t_of = {(bands, rpb): (1.0 / bands) ** (1.0 / rpb) for bands, rpb in configs}
+    thr = None
+    emf = None
+    for (bands, rpb), t in t_of.items():
+        cond = (F.col("bands") == bands) & (F.col("rows_per_band") == rpb)
+        thr = (
+            F.when(cond, F.lit(round(t, 6)))
+            if thr is None
+            else thr.when(cond, F.lit(round(t, 6)))
+        )
+        emf = (
+            F.when(cond, F.lit(float(N_HASHES) * t))
+            if emf is None
+            else emf.when(cond, F.lit(float(N_HASHES) * t))
+        )
+    pairs = cand.select(
+        "bands",
+        "rows_per_band",
+        thr.alias("threshold"),
+        emf.alias("est_min_f"),
+        "doc_a",
+        "doc_b",
+    )
     a_side = ss.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b_side = ss.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
@@ -1848,7 +1872,7 @@ def lsh_threshold_sweep(
             ).alias("mean_est"),
         )
     )
-    out._skipped_buckets = reduce(lambda a, b: a.unionByName(b), skipped_all)
+    out._skipped_buckets = skipped
     out._cadastre_cached = [ss]
     return out
 
