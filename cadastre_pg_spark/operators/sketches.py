@@ -539,12 +539,14 @@ def group_minhash_sim(
     over 32-bit hashes (xxhash64 for speed; 'md5' for the
     SQL-replayable oracle) — deterministic, so the DuckDB twin
     reproduces every signature bit-for-bit."""
-    from .dedup import MINHASH_PRIME, N_HASHES, _A, _B, shingles
+    from .dedup import MINHASH_PRIME, N_HASHES, _A, _B, shingle_hash_rows
 
-    ex = docs.select(
-        F.col(group_col).alias("grp"),
-        F.explode(shingles(F.col("text"), n_shingle)).alias("s"),
-    ).select("grp", shingle_hash32(F.col("s"), hash_fn).alias("h"))
+    # codegen n-gram rows (arrays_zip + concat_ws + hash), never the
+    # interpreted transform(shingles()) lambda — same strings, same
+    # hashes, ~5x the throughput (the round-2 measured trap)
+    ex = shingle_hash_rows(docs, n_shingle, hash_fn, carry=(group_col,)).select(
+        F.col(group_col).alias("grp"), "h"
+    )
     sigs = ex.groupBy("grp").agg(
         *[
             F.min(
