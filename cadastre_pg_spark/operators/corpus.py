@@ -1107,14 +1107,32 @@ def bloom_contamination(
     position arithmetic + three uint8 gathers per gram, summed per doc
     with cumsum-over-offsets. No join, no shuffle, no pandas boxing.
     """
-    split = docs.select(
-        "doc_id",
+    # one hoisted+fused interpreted pass: the token array is a REAL
+    # column (an attribute reference inside the lambda — the inlined
+    # split() would be re-evaluated per element, the round-5 hoist
+    # trap), and the n-gram build and its hash run in ONE transform
+    # instead of transform(shingles(...), hash)'s two lambda passes;
+    # same strings, same hashes, same distinct-after-hash order
+    k = F.greatest(F.size(F.col("_t")) - F.lit(n_shingle - 1), F.lit(0))
+    sh_expr = F.when(
+        k > 0,
         F.array_distinct(
             F.transform(
-                shingles(F.col("text"), n_shingle),
-                lambda s: shingle_hash32(s, hash_fn),
+                F.sequence(F.lit(0), k - F.lit(1)),
+                lambda i: shingle_hash32(
+                    F.concat_ws(
+                        " ", F.slice(F.col("_t"), i + 1, n_shingle)
+                    ),
+                    hash_fn,
+                ),
             )
-        ).alias("sh"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    split = docs.withColumn(
+        "_t", F.split(F.trim(F.col("text")), r"\s+")
+    ).select(
+        "doc_id",
+        sh_expr.alias("sh"),
         (
             F.pmod(_hash32(F.col("doc_id"), "e:", hash_fn), F.lit(eval_mod))
             == 0
