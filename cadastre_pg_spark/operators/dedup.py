@@ -780,23 +780,45 @@ def segment_lines(
     the whitespace token stream into non-overlapping seg_tokens-word
     windows — the segment unit for corpora without line structure
     (non-overlapping slices of the same JVM token array `shingles`
-    windows over). Both are pure Catalyst: split/transform/posexplode,
-    no Python."""
+    windows over). Both are pure codegen Catalyst: the tokens mode
+    explodes segment POSITIONS and slices each window out of the
+    hoisted token array after the explode — no interpreted transform
+    lambda builds a segment array (and no inlined split re-evaluates
+    per element, the round-5 hoist trap)."""
     if segmenter == "newline":
-        arr = F.split(F.col(text_col), "\n")
-    elif segmenter == "tokens":
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        n = F.greatest(
-            F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int"), F.lit(1)
+        return docs.select(
+            "doc_id",
+            *carry_cols,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
         )
-        arr = F.transform(
-            F.sequence(F.lit(0), n - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
-        )
-    else:
+    if segmenter != "tokens":
         raise ValueError(f"unknown segmenter {segmenter!r}")
-    return docs.select(
-        "doc_id", *carry_cols, F.posexplode(arr).alias("pos", "line")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.greatest(
+        F.ceil(F.size(F.col("_t")) / F.lit(float(seg_tokens))).cast("int"),
+        F.lit(1),
+    )
+    return (
+        docs.withColumn("_t", toks)
+        .select(
+            "doc_id",
+            *carry_cols,
+            "_t",
+            F.posexplode(F.sequence(F.lit(0), n - F.lit(1))).alias(
+                "pos", "_i"
+            ),
+        )
+        .select(
+            "doc_id",
+            *carry_cols,
+            "pos",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_t"), F.col("pos") * seg_tokens + 1, seg_tokens
+                ),
+            ).alias("line"),
+        )
     )
 
 
