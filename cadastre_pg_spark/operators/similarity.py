@@ -141,9 +141,16 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
-    ).withColumn("features", array_to_vector("arr"))
+    # persist BEFORE the degenerate-input count: the gate's scan then
+    # doubles as the cache fill for the KMeans fit and the list
+    # assignment, which both re-read base immediately (round-5 advice)
+    base = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+        )
+        .withColumn("features", array_to_vector("arr"))
+        .persist()
+    )
     # degenerate-input gate: MLlib KMeans.fit raises on an empty
     # dataset and requires 2 <= k <= n. A single vector has no
     # neighbor pairs (self-pairs are filtered), so < 2 vectors is
@@ -151,6 +158,7 @@ def ivf_topk(
     # k_eff == n_lists outside tiny inputs.
     n_vecs = base.count()
     if n_vecs < 2:
+        base.unpersist()
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank long"
         )
@@ -217,9 +225,11 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+    out = scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+    out._cadastre_cached = [base]
+    return out
 
 
 def ivf_recall_report(
