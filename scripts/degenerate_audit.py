@@ -32,8 +32,9 @@ def build_variant(name: str, nrows: int) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         dst = f"{out_dir}/{t}.parquet"
-        if os.path.exists(dst):
-            continue
+        # always rewrite: the slices are 0-1 rows, and a cached file
+        # would silently pin a stale schema after a generator change
+        # (round-5 advice)
         tab = pq.read_table(f"{SRC}/{t}.parquet")
         pq.write_table(tab.slice(0, nrows), dst)
     return out_dir
