@@ -415,6 +415,25 @@ def cell_spatial_join(
         if col not in df.columns:
             raise ValueError(f"{side} side is missing required column {col!r}")
     parcels = parcels.persist()
+    if (
+        strategy == "auto"
+        and compact_d == "auto"
+        and scheme == "grid"
+        and cover is None
+    ):
+        # both gates need one tiny parcel aggregate — fuse them into a
+        # single driver job (it also fills the persist cache)
+        wx, wy = C.grid_cell_size(level)
+        est = (
+            (F.array_max("xs") - F.array_min("xs")) / F.lit(wx) + F.lit(1.0)
+        ) * ((F.array_max("ys") - F.array_min("ys")) / F.lit(wy) + F.lit(1.0))
+        row = parcels.agg(F.count(F.lit(1)), F.avg(est)).first()
+        n_parcels = row[0]
+        cells_est = float(row[1]) if row[1] is not None else 0.0
+        strategy = (
+            "broadcast" if n_parcels <= BROADCAST_PARCEL_LIMIT else "shuffle"
+        )
+        compact_d = COMPACT_D if cells_est > COMPACT_CELLS_THRESHOLD else 0
     if strategy == "auto":
         strategy = "broadcast" if parcels.count() <= BROADCAST_PARCEL_LIMIT else "shuffle"
     if compact_d == "auto":
