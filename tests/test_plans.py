@@ -673,6 +673,34 @@ def test_radius_gyration_one_exchange_pruned_scan(spark):
     assert not audit(df)["arrow_eval"]
 
 
+def test_od_matrix_two_exchanges_no_window_after_election(spark):
+    """The OD census is one user-keyed exchange (the trip-split window
+    and the per-trip struct-min/max election ride it) plus one narrow
+    (o_cell, d_cell) rollup exchange; the first/last election is the
+    map-side max-struct idiom, so NO window function runs after the
+    per-trip aggregate, and no Python node exists (round-5 verdict
+    item: the most join-like mobility op gets the same audit as its
+    siblings)."""
+    from cadastre_pg_spark.plans.audit import explain_string
+
+    spark.catalog.clearCache()
+    df = E.queries()["od_matrix"](spark, SF_UNIT)
+    s = explain_string(df, "simple")
+    assert s.count("Exchange") <= 2, s[:3000]
+    # the trip-split window chain (lag/cumsum/lag, one shared user_id
+    # spec) sits BELOW the per-trip election aggregate: every Window
+    # node line is deeper in the plan than the first HashAggregate,
+    # i.e. the first/last-point election is map-side max-struct, not a
+    # post-aggregation window
+    lines = s.splitlines()
+    first_agg = min(
+        i for i, ln in enumerate(lines) if "HashAggregate" in ln
+    )
+    win_lines = [i for i, ln in enumerate(lines) if "+- Window" in ln]
+    assert win_lines and all(i > first_agg for i in win_lines), s[:3000]
+    assert not audit(df)["arrow_eval"]
+
+
 def test_trip_segments_one_exchange(spark):
     """Sessionize's two ordered windows and the leg lag share one
     partition+sort spec, and the (user, trip) groupBy is satisfied by
