@@ -36,6 +36,16 @@ def _shuffle_n(df: DataFrame) -> int:
 
 _ROWS_PER_PART = 2_000_000  # narrow long-pair rows per task (~32 MB)
 
+# node-sized tables at or under this many rows broadcast in the
+# iterative ops (the measured house gate); module-level so tests can
+# force the shuffle paths on small graphs
+BCAST_NODE_LIMIT = 5_000_000
+
+# symmetric-edge count above which connected_components contracts the
+# graph after the first neighborhood-min round (module-level so tests
+# can force the contraction branch on small graphs)
+CC_CONTRACT_EDGE_LIMIT = 1_000_000
+
 
 def _adaptive_n(df: DataFrame, n_rows: int) -> int:
     """Partition count for the iterative ops' pinned repartitions:
@@ -118,7 +128,7 @@ def connected_components(
     # (<~100 MB build), turning BOTH per-round joins map-side so the
     # static edge table is never re-shuffled per round; above that the
     # joins fall back to shuffle plans unchanged
-    bcast = n_nodes <= 5_000_000
+    bcast = n_nodes <= BCAST_NODE_LIMIT
 
     def _b(d):
         return F.broadcast(d) if bcast else d
@@ -186,7 +196,7 @@ def connected_components(
             "max_rounds"
         )
 
-    if n_sym <= 1_000_000:
+    if n_sym <= CC_CONTRACT_EDGE_LIMIT:
         # small graphs: contraction overhead (two maps + a distinct)
         # isn't worth it — iterate directly
         out = _min_rounds(sym, lab, prev_sum, max_rounds).select(
@@ -312,7 +322,7 @@ def pagerank(
     # measured gate (same rule as connected_components): a node-sized
     # rank/contrib table under ~5M rows broadcasts, so the static edge
     # table is never re-shuffled per round
-    bcast = n_nodes <= 5_000_000
+    bcast = n_nodes <= BCAST_NODE_LIMIT
 
     def _b(d):
         return F.broadcast(d) if bcast else d
@@ -405,7 +415,7 @@ def hits(
     if n_nodes is None:
         n_nodes = nodes.count()
     unit = F.lit(float(RANK_UNIT))
-    bcast = n_nodes <= 5_000_000
+    bcast = n_nodes <= BCAST_NODE_LIMIT
     # round-6 plan rework (results bit-identical): in broadcast mode
     # the static edge table is kept in TWO partitioned copies — by dst
     # for the authority half-round and by src for the hub half-round —
@@ -542,7 +552,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         # list is filtered map-side instead of re-shuffling per round
         def _ab(col):
             side = alive.select(F.col("node").alias(col))
-            return F.broadcast(side) if n_alive <= 5_000_000 else side
+            return F.broadcast(side) if n_alive <= BCAST_NODE_LIMIT else side
 
         und = (
             und.join(_ab("a"), "a", "left_semi")
@@ -710,7 +720,7 @@ def bfs_hops(
     # visited sets under ~5M rows broadcast, keeping the static edge
     # table out of per-round exchanges; counts are already materialized
     # by the convergence check
-    _B = 5_000_000
+    _B = BCAST_NODE_LIMIT
     n_frontier = lab.count()
     n_lab = n_frontier
     for r in range(1, max_rounds + 1):
@@ -892,7 +902,7 @@ def sssp(
     # frontier/label tables under ~5M rows broadcast so the static
     # edge table never re-shuffles; frontier counts come free from the
     # convergence check, the label count is tracked as an upper bound
-    _B = 5_000_000
+    _B = BCAST_NODE_LIMIT
     n_frontier = lab.count()
     n_lab = n_frontier
     rounds_since_ckpt = 0
@@ -1011,7 +1021,7 @@ def label_prop(
         .localCheckpoint(eager=True)
     )
     cached = [sym0, sym, lab]
-    bcast = lab.count() <= 5_000_000
+    bcast = lab.count() <= BCAST_NODE_LIMIT
 
     def _b(d):
         return F.broadcast(d) if bcast else d
@@ -1073,7 +1083,7 @@ def personalized_pagerank(
     u0 = int((1.0 / n_seeds) * RANK_UNIT)
 
     n_nodes = nodes.count()
-    bcast = n_nodes <= 5_000_000
+    bcast = n_nodes <= BCAST_NODE_LIMIT
     # same round-6 partitioned-once round shape as pagerank: edges by
     # dst (broadcast mode) / src (shuffle mode), seeded node table by
     # id, lazy in-loop checkpoints — see pagerank for the rationale
